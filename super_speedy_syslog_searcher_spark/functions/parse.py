@@ -1,0 +1,310 @@
+"""Vectorized datetime extraction over the DTPD table.
+
+Re-expresses the reference's per-line probe chain
+``find_datetime_in_line → ezcheck_slice → bytes_to_regex_to_datetime →
+captures_to_buffer_bytes → datetime_parse_from_str``
+(/root/reference/src/readers/syslinereader.rs:1200-1403;
+/root/reference/src/data/datetime.rs:5859-6364) as Arrow-batched pandas
+operations:
+
+* the **ezcheck** prefilter (syslinereader.rs:1077-1187) becomes a
+  vectorized ``str.contains(r"\\d\\d")`` mask — rows without two
+  consecutive digits can never match any pattern — plus a pre-UDF
+  ``rlike`` the caller can push into the Spark plan;
+* the per-pattern **byte-range slice** (``range_regex``,
+  datetime.rs:995-1008) becomes ``str.slice`` before regex;
+* patterns compile ONCE per Python worker at module import
+  (reference compiles lazily per OnceCell, datetime.rs:6213-6243);
+* **pattern lock-in** (P9, syslinereader.rs:1450,1528; DT_PATTERN_MAX=1
+  at :450) becomes a two-pass scheme: ``vote_patterns`` samples the first
+  K lines per doc, votes per source (ties → lowest table index,
+  datetime.rs:2517-2556) and the locked id is joined in as a column the
+  UDF tries first;
+* conversion failure after a regex match (e.g. month 13) falls through to
+  the next pattern, matching ``bytes_to_regex_to_datetime`` returning None.
+
+Output columns: ``ts`` (UTC timestamp, µs), ``ts_ns`` (nanosecond
+remainder 0-999 — chrono carries ns, Spark µs; SURVEY §7.3), ``dt_beg`` /
+``dt_end`` (char offsets of the datetime substring — the reference keeps
+byte offsets for highlighting, sysline.rs:58-65), ``pattern_id``.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from .patterns import DATETIME_PARSE_DATAS, DUMMY_YEAR, month_name_to_num, year2_to_year
+from .tzmap import offset_str_to_minutes, resolve_tz_abbrev
+
+_COMPILED = [re.compile(p.regex) for p in DATETIME_PARSE_DATAS]
+NOYEAR_PATTERN_IDS = [p.pattern_id for p in DATETIME_PARSE_DATAS if not p.has_year]
+
+PARSE_RESULT_FIELDS = "ts timestamp, ts_ns int, dt_beg int, dt_end int, pattern_id int"
+
+# cheap prefilter, usable both Spark-side (rlike) and pandas-side
+EZCHECK_RE = r"\d\d"
+
+
+def _frac_to_ns(frac: pd.Series) -> pd.Series:
+    """fractional-digit strings right-padded to 9 → integer nanoseconds
+    (reference pads to 9, captures_to_buffer_bytes datetime.rs:5859+)."""
+    return frac.fillna("").str.ljust(9, "0").replace("", "000000000").astype("int64")
+
+
+def _tz_minutes(gd: pd.DataFrame, default_tz_minutes: int) -> tuple[pd.Series, pd.Series]:
+    """Resolve tz offset minutes from 'tz' (numeric) or 'tzname' groups.
+
+    Returns (minutes, ok). Unknown named tz → not ok (conversion failure →
+    next pattern); ambiguous named tz → default offset (datetime.rs:6165).
+    """
+    n = len(gd)
+    minutes = pd.Series(default_tz_minutes, index=gd.index, dtype="int64")
+    ok = pd.Series(True, index=gd.index)
+    if "tz" in gd.columns:
+        has = gd["tz"].notna()
+        if has.any():
+            minutes.loc[has] = gd.loc[has, "tz"].map(offset_str_to_minutes)
+    if "tzname" in gd.columns:
+        has = gd["tzname"].notna()
+        if has.any():
+            resolved = gd.loc[has, "tzname"].map(
+                lambda a: resolve_tz_abbrev(a, fallback_offset="SENTINEL_DEFAULT")
+            )
+            bad = resolved.isna()
+            ok.loc[has] = ~bad
+            use_default = resolved == "SENTINEL_DEFAULT"
+            fixed = resolved[~bad & ~use_default]
+            if len(fixed):
+                minutes.loc[fixed.index] = fixed.map(offset_str_to_minutes)
+    return minutes, ok
+
+
+def _convert_matches(
+    matches: list[re.Match],
+    pattern,
+    default_tz_minutes: int,
+    reference_year: int | None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Matched rows → (utc_ns int64 epoch, ns_rem int16, ok bool)."""
+    gd = pd.DataFrame([m.groupdict() for m in matches])
+    n = len(gd)
+    ok = pd.Series(True, index=gd.index)
+
+    if pattern.epoch:
+        secs = gd["epoch"].astype("int64")
+        ns = _frac_to_ns(gd["frac"]) if "frac" in gd.columns else pd.Series(0, index=gd.index)
+        utc_ns = secs * 1_000_000_000 + ns
+        return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
+
+    if "year" in gd.columns and gd["year"].notna().all():
+        year = gd["year"].astype("int64")
+    elif "year2" in gd.columns:
+        year = gd["year2"].astype("int64").map(year2_to_year)
+    else:
+        year = pd.Series(reference_year or DUMMY_YEAR, index=gd.index, dtype="int64")
+
+    if "month" in gd.columns and gd["month"].notna().all():
+        month = gd["month"].astype("int64")
+    else:
+        month = gd["monthb"].map(lambda s: month_name_to_num(s) if isinstance(s, str) else None)
+        bad = month.isna()
+        ok &= ~bad
+        month = month.fillna(1).astype("int64")
+
+    day = gd["day"].str.strip().astype("int64")
+    hour = gd["hour"].astype("int64")
+    minute = gd["minute"].astype("int64")
+    second = gd["second"].astype("int64") if "second" in gd.columns else pd.Series(0, index=gd.index)
+
+    ns = _frac_to_ns(gd["frac"]) if "frac" in gd.columns else pd.Series(0, index=gd.index, dtype="int64")
+    tz_min, tz_ok = _tz_minutes(gd, default_tz_minutes)
+    ok &= tz_ok
+
+    naive = pd.to_datetime(
+        pd.DataFrame(
+            {"year": year, "month": month, "day": day, "hour": hour, "minute": minute, "second": second}
+        ),
+        errors="coerce",
+        utc=False,
+    )
+    ok &= naive.notna()
+    base_ns = naive.astype("int64").where(ok, 0)
+    utc_ns = base_ns + ns - tz_min * 60_000_000_000
+    return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
+
+
+def parse_series(
+    text: pd.Series,
+    default_tz_minutes: int = 0,
+    reference_year: int | None = None,
+    locked: pd.Series | None = None,
+) -> pd.DataFrame:
+    """The core vectorized parse: Series[str] → DataFrame(ts, ts_ns,
+    dt_beg, dt_end, pattern_id).
+
+    Dispatch order = DTPD table order; a per-row ``locked`` pattern id
+    (from P9 voting) is tried first for its rows.
+    """
+    n = len(text)
+    out_ns = np.zeros(n, dtype="int64")
+    out_ok = np.zeros(n, dtype=bool)
+    out_nsr = np.zeros(n, dtype="int16")
+    out_beg = np.full(n, -1, dtype="int32")
+    out_end = np.full(n, -1, dtype="int32")
+    out_pid = np.full(n, -1, dtype="int32")
+
+    if n == 0:
+        return pd.DataFrame(
+            {
+                "ts": pd.Series([], dtype="datetime64[ns, UTC]"),
+                "ts_ns": pd.Series([], dtype="int32"),
+                "dt_beg": pd.Series([], dtype="int32"),
+                "dt_end": pd.Series([], dtype="int32"),
+                "pattern_id": pd.Series([], dtype="int32"),
+            }
+        )
+
+    text = text.fillna("").reset_index(drop=True)
+    # ezcheck: two consecutive digits required by every pattern
+    candidate = text.str.contains(EZCHECK_RE, regex=True, na=False).to_numpy()
+
+    def _try_pattern(pid: int, row_mask: np.ndarray) -> None:
+        pat = DATETIME_PARSE_DATAS[pid]
+        rx = _COMPILED[pid]
+        idx = np.flatnonzero(row_mask)
+        if len(idx) == 0:
+            return
+        sliced = text.iloc[idx]
+        if pat.slice_lo or pat.slice_hi < 4096:
+            sliced = sliced.str.slice(pat.slice_lo, pat.slice_hi)
+        matches = [rx.search(s) for s in sliced]
+        hit_rows = [i for i, m in zip(idx, matches) if m is not None]
+        hit_matches = [m for m in matches if m is not None]
+        if not hit_rows:
+            return
+        utc_ns, ns_rem, ok = _convert_matches(hit_matches, pat, default_tz_minutes, reference_year)
+        good = np.asarray(hit_rows)[ok]
+        if len(good) == 0:
+            return
+        out_ns[good] = utc_ns[ok]
+        out_nsr[good] = ns_rem[ok]
+        out_pid[good] = pid
+        spans = np.array(
+            [(m.start("dt") + pat.slice_lo, m.end("dt") + pat.slice_lo) for m, o in zip(hit_matches, ok) if o],
+            dtype="int32",
+        )
+        out_beg[good] = spans[:, 0]
+        out_end[good] = spans[:, 1]
+        out_ok[good] = True
+
+    # pass 0: locked patterns first (P9 fast path)
+    if locked is not None:
+        lk = locked.fillna(-1).astype("int64").to_numpy()
+        for pid in np.unique(lk):
+            if pid < 0 or pid >= len(DATETIME_PARSE_DATAS):
+                continue
+            _try_pattern(int(pid), candidate & ~out_ok & (lk == pid))
+
+    # full-table pass on leftovers
+    for pid in range(len(DATETIME_PARSE_DATAS)):
+        remaining = candidate & ~out_ok
+        if not remaining.any():
+            break
+        _try_pattern(pid, remaining)
+
+    # Spark timestamps are µs: truncate; the sub-µs remainder is ts_ns
+    # (sort-fidelity tiebreaker, SURVEY §7.3)
+    trunc = out_ns - (out_ns % 1000)
+    ts = pd.Series(
+        pd.DatetimeIndex(np.where(out_ok, trunc, np.int64(0)).view("datetime64[ns]")).tz_localize("UTC")
+    )
+    ts[~out_ok] = pd.NaT
+    return pd.DataFrame(
+        {
+            "ts": ts,
+            "ts_ns": pd.Series(out_nsr, dtype="int32"),
+            "dt_beg": pd.Series(out_beg, dtype="int32"),
+            "dt_end": pd.Series(out_end, dtype="int32"),
+            "pattern_id": pd.Series(out_pid, dtype="int32"),
+        }
+    )
+
+
+def make_parse_udf(default_tz: str = "+00:00", reference_year: int | None = None):
+    """Build the Arrow-batched parse UDF (struct result) with job params
+    baked into the closure (≙ the reference's --tz-offset default fill)."""
+    tz_min = offset_str_to_minutes(default_tz)
+
+    @F.pandas_udf(PARSE_RESULT_FIELDS)
+    def _parse(text: pd.Series, locked: pd.Series) -> pd.DataFrame:
+        return parse_series(text, default_tz_minutes=tz_min, reference_year=reference_year, locked=locked)
+
+    return _parse
+
+
+def vote_patterns(lines: DataFrame, sample_lines_per_doc: int = 8, default_tz: str = "+00:00") -> DataFrame:
+    """P9 pattern lock-in, pass 1 — the block-zero-analysis analogue
+    (reference Stage1, syslogprocessor.rs:911; dt_patterns_analysis
+    syslinereader.rs:1528).
+
+    Samples the first K lines of every doc, parses with the full table,
+    and elects ONE pattern per source (DT_PATTERN_MAX = 1): most hits
+    wins, ties broken by lowest table index. Returns a tiny DF
+    ``(source, locked_pattern_id)`` meant for a broadcast join.
+    """
+    parse_udf = make_parse_udf(default_tz=default_tz)
+    sample = lines.filter(F.col("line_no") < sample_lines_per_doc)
+    parsed = sample.withColumn("p", parse_udf(F.col("text"), F.lit(None).cast("int")))
+    counts = (
+        parsed.filter(F.col("p.pattern_id") >= 0)
+        .groupBy("source", F.col("p.pattern_id").alias("locked_pattern_id"))
+        .count()
+    )
+    w = Window.partitionBy("source").orderBy(F.col("count").desc(), F.col("locked_pattern_id").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", "locked_pattern_id")
+    )
+
+
+def parse_lines(
+    lines: DataFrame,
+    default_tz: str = "+00:00",
+    reference_year: int | None = None,
+    lock_patterns: bool = True,
+    sample_lines_per_doc: int = 8,
+) -> DataFrame:
+    """Full two-pass parse over a lines DF (doc_id, source, line_no, text, ...).
+
+    Adds ts/ts_ns/dt_beg/dt_end/pattern_id. The pre-UDF ``rlike`` ezcheck
+    lets Catalyst skip digit-less rows before Python is ever invoked —
+    those rows keep NULL ts and become continuation lines downstream.
+    """
+    parse_udf = make_parse_udf(default_tz=default_tz, reference_year=reference_year)
+    if lock_patterns:
+        votes = vote_patterns(lines, sample_lines_per_doc=sample_lines_per_doc, default_tz=default_tz)
+        lines = lines.join(F.broadcast(votes), "source", "left")
+    else:
+        lines = lines.withColumn("locked_pattern_id", F.lit(None).cast("int"))
+
+    # NOTE: no F.when() gate around the UDF — Catalyst does not guarantee
+    # lazy branch evaluation for python UDFs, and continuation lines must
+    # be KEPT (null ts), not filtered. The vectorized ezcheck inside
+    # parse_series() rejects digit-less rows at ~memchr cost instead.
+    parsed = lines.withColumn("p", parse_udf(F.col("text"), F.col("locked_pattern_id")))
+    return parsed.select(
+        *[c for c in lines.columns if c != "locked_pattern_id"],
+        F.col("p.ts").alias("ts"),
+        F.col("p.ts_ns").alias("ts_ns"),
+        F.col("p.dt_beg").alias("dt_beg"),
+        F.col("p.dt_end").alias("dt_end"),
+        F.coalesce(F.col("p.pattern_id"), F.lit(-1)).alias("pattern_id"),
+    )

@@ -1,0 +1,43 @@
+"""Routing / fan-out: write messages to per-sink tables.
+
+Reference analogue: each message goes to exactly one printer keyed by
+``PathId`` (/root/reference/src/bin/s4.rs:3397-3418); the north_rule
+generalizes to fan-out sinks keyed by ``sink_key = facility.severity_class``.
+
+Spark realization: a single ``write.partitionBy("sink_key")`` — one job,
+no per-sink re-scan; dynamic partition overwrite keeps re-runs idempotent
+per sink. Output stays PARQUET (Iceberg jars are absent in the sandbox —
+writes go through ``catalog.py``-style path tables; the layout is
+Iceberg-compatible: partition column + snapshot-ish manifest in
+plans/pipeline.py).
+
+Per-sink aggregate counts ≙ ``SummaryPrinted``
+(/root/reference/src/printer/summary.rs:151-171): messages, lines, bytes
+(chars), dt_first, dt_last.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def route_write(enriched: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
+    """Fan-out write, partitioned by the routing key."""
+    (
+        enriched.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("sink_key")
+        .parquet(out_dir)
+    )
+
+
+def sink_counts(enriched: DataFrame) -> DataFrame:
+    """Per-sink aggregates (the driver-checked counts; A6)."""
+    return enriched.groupBy("sink_key").agg(
+        F.count("*").alias("messages"),
+        F.sum("n_lines").alias("lines"),
+        F.sum("n_chars").alias("bytes"),
+        F.min("ts").alias("dt_first"),
+        F.max("ts").alias("dt_last"),
+    )

@@ -1,0 +1,169 @@
+"""Sessionization: parsed lines → log messages ("syslines").
+
+The reference's core grouping rule (SyslineReader::find_sysline two-phase
+loop, /root/reference/src/readers/syslinereader.rs:1976-2192): a line with
+a datetime STARTS a message, subsequent datetime-less lines APPEND to it,
+the next datetime line ENDS it. Leading datetime-less lines (before the
+first datetime in a doc) belong to no message and are dropped — they are
+the reference's "lines processed but not part of any sysline".
+
+Spark realization: one hash shuffle on ``doc_id`` then a single
+``mapInPandas`` pass over doc-sorted partitions. We deliberately do NOT use
+``Window + groupBy(doc_id, msg_no)`` (two shuffles of the full data) nor
+``applyInPandas`` (one Python call per doc — ruinous with millions of small
+docs): mapInPandas processes whole Arrow batches, carrying the trailing
+incomplete doc across batch boundaries inside a partition.
+
+Scale note: a doc is never split across partitions (hash on doc_id), so
+correctness holds at any parallelism; memory is bounded by the corpus'
+lines-per-doc cap (the reference has the analogous one-thread-per-file
+constraint, SURVEY §7.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.codec import NEWLINE_TOKEN
+
+MESSAGES_SCHEMA = (
+    "doc_id string, source string, msg_no int, ts timestamp, ts_ns int, "
+    "dt_beg int, dt_end int, pattern_id int, text string, "
+    "tokens array<int>, n_lines int, n_chars long"
+)
+
+_IN_COLS = ["doc_id", "source", "line_no", "line_tokens", "text", "ts", "ts_ns", "dt_beg", "dt_end", "pattern_id"]
+
+
+def _emit_messages(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized message assembly for a block of COMPLETE docs, already
+    sorted by (doc_id, line_no)."""
+    if len(pdf) == 0:
+        return _empty_messages()
+    flag = pdf["ts"].notna().to_numpy()
+    doc = pdf["doc_id"].to_numpy()
+    new_doc = np.empty(len(pdf), dtype=bool)
+    new_doc[0] = True
+    new_doc[1:] = doc[1:] != doc[:-1]
+    # msg_no = running count of datetime lines within each doc
+    flag_i = flag.astype(np.int64)
+    csum = np.cumsum(flag_i)
+    doc_base = np.maximum.accumulate(np.where(new_doc, csum - flag_i, 0))
+    msg_no = csum - doc_base  # 0 for leading datetime-less lines
+    keep = msg_no > 0
+    if not keep.any():
+        return _empty_messages()
+    kept = pdf.loc[keep]
+    k_msg = msg_no[keep]
+    k_doc = doc[keep]
+    starts = np.flatnonzero(
+        np.concatenate(([True], (k_doc[1:] != k_doc[:-1]) | (k_msg[1:] != k_msg[:-1])))
+    )
+    ends = np.concatenate((starts[1:], [len(kept)]))
+
+    texts = kept["text"].to_numpy()
+    toks = kept["line_tokens"].to_numpy()
+    nl = np.array([NEWLINE_TOKEN], dtype=np.int32)
+
+    out_text, out_tokens = [], []
+    for s, e in zip(starts, ends):
+        if e - s == 1:
+            out_text.append(texts[s])
+            out_tokens.append(np.asarray(toks[s], dtype=np.int32))
+        else:
+            out_text.append("\n".join(texts[s:e]))
+            parts = []
+            for j in range(s, e):
+                if j > s:
+                    parts.append(nl)
+                parts.append(np.asarray(toks[j], dtype=np.int32))
+            out_tokens.append(np.concatenate(parts))
+
+    first = kept.iloc[starts].reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "doc_id": first["doc_id"],
+            "source": first["source"],
+            "msg_no": k_msg[starts].astype(np.int32),
+            "ts": first["ts"],  # stays tz-aware datetime64[ns, UTC]
+            "ts_ns": first["ts_ns"],
+            "dt_beg": first["dt_beg"],
+            "dt_end": first["dt_end"],
+            "pattern_id": first["pattern_id"],
+            "text": out_text,
+            "tokens": out_tokens,
+            "n_lines": (ends - starts).astype(np.int32),
+            "n_chars": np.array([len(t) for t in out_text], dtype=np.int64),
+        }
+    )
+
+
+def _empty_messages() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "doc_id": pd.Series(dtype=object),
+            "source": pd.Series(dtype=object),
+            "msg_no": pd.Series(dtype="int32"),
+            "ts": pd.Series(dtype="datetime64[ns, UTC]"),
+            "ts_ns": pd.Series(dtype="int32"),
+            "dt_beg": pd.Series(dtype="int32"),
+            "dt_end": pd.Series(dtype="int32"),
+            "pattern_id": pd.Series(dtype="int32"),
+            "text": pd.Series(dtype=object),
+            "tokens": pd.Series(dtype=object),
+            "n_lines": pd.Series(dtype="int32"),
+            "n_chars": pd.Series(dtype="int64"),
+        }
+    )
+
+
+def _sessionize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition driver: batches arrive sorted by (doc_id, line_no);
+    hold back the last (possibly incomplete) doc until the next batch."""
+    pending: pd.DataFrame | None = None
+    for pdf in batches:
+        if pending is not None and len(pending):
+            pdf = pd.concat([pending, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            continue
+        last_doc = pdf["doc_id"].iloc[-1]
+        tail_mask = (pdf["doc_id"] == last_doc).to_numpy()
+        # rows of the trailing doc may continue in the next batch
+        cut = len(pdf) - int(tail_mask[::-1].argmin() if not tail_mask.all() else len(pdf))
+        pending = pdf.iloc[cut:].copy()
+        complete = pdf.iloc[:cut]
+        if len(complete):
+            yield _emit_messages(complete)
+    if pending is not None and len(pending):
+        yield _emit_messages(pending)
+
+
+def sessionize(parsed_lines: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Parsed lines DF → messages DF (MESSAGES_SCHEMA). One shuffle."""
+    n = num_partitions or int(parsed_lines.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    df = (
+        parsed_lines.select(*_IN_COLS)
+        .repartition(n, "doc_id")
+        .sortWithinPartitions("doc_id", "line_no")
+    )
+    return df.mapInPandas(_sessionize_batches, schema=MESSAGES_SCHEMA)
+
+
+def dropped_leading_lines(parsed_lines: DataFrame) -> DataFrame:
+    """Summary-path helper: count per (doc, source) the leading
+    datetime-less lines that belong to no message (A2 'lines dropped')."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("line_no").rowsBetween(Window.unboundedPreceding, 0)
+    flag = F.when(F.col("ts").isNotNull(), 1).otherwise(0)
+    return (
+        parsed_lines.withColumn("msg_no", F.sum(flag).over(w))
+        .filter(F.col("msg_no") == 0)
+        .groupBy("source")
+        .agg(F.count("*").alias("lines_dropped"))
+    )

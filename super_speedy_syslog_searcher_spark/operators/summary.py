@@ -1,0 +1,71 @@
+"""The ``--summary`` counters as DataFrame aggregates.
+
+Reference: per-file reader summaries + grand totals —
+``SummaryBlockReader`` (/root/reference/src/readers/blockreader.rs:515-534),
+``SummaryLineReader`` (linereader.rs:151-171), ``SummarySyslineReader``
+(syslinereader.rs:382-445, incl. per-DTPD pattern-use counts),
+``SummaryPrinted`` (printer/summary.rs:151-171), grand-total rollup
+(s4.rs:3500-3590).
+
+The per-file + grand-total structure is a textbook 2-level rollup →
+``df.rollup("source")``; NULL source row = grand total. Per-pattern
+hit/miss counts (north_star metric "parse hit/miss rates per DTPD
+pattern") come from the parsed lines before sessionization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def source_summary(parsed_lines: DataFrame, messages: DataFrame) -> DataFrame:
+    """Per-source counters with a grand-total rollup row (source=NULL).
+
+    ``lines_processed``  ≙ SummaryLineReader.lines
+    ``lines_with_dt``    ≙ datetime-bearing lines (sysline starts)
+    ``lines_dropped``    ≙ lines not routed into any message (leading
+                           continuation lines; computed as processed −
+                           member lines)
+    ``bytes_processed``  ≙ SummaryBlockReader bytes (char count here)
+    ``syslines``         ≙ SummarySyslineReader.syslines processed
+    ``dt_first/dt_last`` ≙ SummarySyslineReader datetime_first/last
+    """
+    lines_agg = parsed_lines.rollup("source").agg(
+        F.count("*").alias("lines_processed"),
+        F.sum(F.when(F.col("ts").isNotNull(), 1).otherwise(0)).alias("lines_with_dt"),
+        F.sum(F.length("text")).alias("bytes_processed"),
+    )
+    msg_agg = messages.rollup("source").agg(
+        F.count("*").alias("syslines"),
+        F.sum("n_lines").alias("member_lines"),
+        F.min("ts").alias("dt_first"),
+        F.max("ts").alias("dt_last"),
+    )
+    # rollup emits source=NULL for the grand total → null-safe join key
+    joined = lines_agg.join(
+        msg_agg.withColumnRenamed("source", "_src"),
+        lines_agg["source"].eqNullSafe(F.col("_src")),
+        "left",
+    ).drop("_src")
+    return joined.select(
+        lines_agg["source"],
+        "lines_processed",
+        "lines_with_dt",
+        (F.col("lines_processed") - F.coalesce(F.col("member_lines"), F.lit(0))).alias("lines_dropped"),
+        "bytes_processed",
+        F.coalesce(F.col("syslines"), F.lit(0)).alias("syslines"),
+        "dt_first",
+        "dt_last",
+    )
+
+
+def pattern_hit_miss(parsed_lines: DataFrame) -> DataFrame:
+    """Per-(source, pattern) hit counts + per-source miss counts
+    ≙ DateTimePatternCounts (syslinereader.rs:99) and the ezcheck/regex
+    attempt counters. pattern_id = -1 rows are the misses."""
+    return (
+        parsed_lines.groupBy("source", "pattern_id")
+        .agg(F.count("*").alias("n"))
+        .withColumn("kind", F.when(F.col("pattern_id") >= 0, "hit").otherwise("miss"))
+    )

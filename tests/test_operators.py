@@ -1,0 +1,183 @@
+"""Operator-level tests: year inference, CLI filters, catalog rules,
+checkpoint/resume."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pandas as pd
+import pytest
+
+from super_speedy_syslog_searcher_spark.operators.filters import (
+    AFTER_RANGE,
+    BEFORE_RANGE,
+    IN_RANGE,
+    dt_pass_filters,
+    parse_dt_filter,
+    resolve_filters,
+    string_wdhms_to_duration,
+)
+from super_speedy_syslog_searcher_spark.sources.catalog import (
+    EVTX,
+    FIXEDSTRUCT,
+    JOURNAL,
+    TEXT,
+    UNPARSABLE,
+    guess_filetype,
+)
+from super_speedy_syslog_searcher_spark.sources.tokenized import (
+    REFERENCE_YEAR,
+    gen_corpus,
+    gen_year_rollover_doc,
+)
+
+UTC = timezone.utc
+
+
+# ---------------------------------------------------------------- yearfix
+def test_year_rollover(spark):
+    from super_speedy_syslog_searcher_spark.plans.pipeline import PipelineConfig, parse_stage, messages_stage
+
+    docs_pd, golden = gen_year_rollover_doc()
+    docs = spark.createDataFrame(docs_pd, schema="doc_id string, tokens array<int>, n_tok int, source string")
+    cfg = PipelineConfig(reference_year=REFERENCE_YEAR)
+    msgs = messages_stage(parse_stage(docs, cfg), cfg).toPandas().sort_values("msg_no")
+    got = list(msgs["ts"])
+    exp = [t.to_pydatetime().replace(tzinfo=None) for t in pd.to_datetime(golden["ts_expect"])]
+    assert [g.to_pydatetime() for g in pd.to_datetime(got)] == exp
+    # Dec rows really did get REFERENCE_YEAR-1
+    assert got[0].year == REFERENCE_YEAR - 1 and got[-1].year == REFERENCE_YEAR
+
+
+def test_yearfix_pure():
+    from super_speedy_syslog_searcher_spark.operators.yearfix import fix_years_pdf
+    from super_speedy_syslog_searcher_spark.functions.parse import NOYEAR_PATTERN_IDS
+
+    pid = NOYEAR_PATTERN_IDS[0]
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["1972-12-31 23:59:59", "1972-01-01 00:00:30", "1972-06-15 12:00:00"], utc=True
+            ),
+            "pattern_id": [pid, pid, pid],
+        }
+    )
+    out = fix_years_pdf(pdf, 2024)
+    assert list(out["ts"].dt.year) == [2023, 2024, 2024]
+
+
+# ---------------------------------------------------------------- filters
+def test_dt_pass_filters_scalar():
+    a = datetime(2020, 1, 1, tzinfo=UTC)
+    b = datetime(2020, 1, 2, tzinfo=UTC)
+    assert dt_pass_filters(a, a, b) == IN_RANGE  # inclusive both ends
+    assert dt_pass_filters(b, a, b) == IN_RANGE
+    assert dt_pass_filters(a - timedelta(seconds=1), a, b) == BEFORE_RANGE
+    assert dt_pass_filters(b + timedelta(seconds=1), a, b) == AFTER_RANGE
+
+
+def test_parse_dt_filter_forms():
+    assert parse_dt_filter("20000101T002000") == datetime(2000, 1, 1, 0, 20, tzinfo=UTC)
+    assert parse_dt_filter("2000-01-01 00:20:00") == datetime(2000, 1, 1, 0, 20, tzinfo=UTC)
+    assert parse_dt_filter("2000-01-01T00:20:00.5") == datetime(2000, 1, 1, 0, 20, 0, 500000, tzinfo=UTC)
+    # date-only → midnight appended (s4.rs:444-448)
+    assert parse_dt_filter("2000-01-01") == datetime(2000, 1, 1, tzinfo=UTC)
+    # epoch +%s
+    assert parse_dt_filter("+1609459200") == datetime(2021, 1, 1, tzinfo=UTC)
+    # default tz offset applies to bare datetimes
+    assert parse_dt_filter("2000-01-01 00:20:00", tz_offset="-08:00") == datetime(2000, 1, 1, 8, 20, tzinfo=UTC)
+    # explicit tz wins
+    assert parse_dt_filter("2000-01-01 00:20:00 +02:00", tz_offset="-08:00") == datetime(
+        1999, 12, 31, 22, 20, tzinfo=UTC
+    )
+    # named tz
+    assert parse_dt_filter("2000-01-01 00:20:00 PST") == datetime(2000, 1, 1, 8, 20, tzinfo=UTC)
+    with pytest.raises(ValueError):
+        parse_dt_filter("2000-01-01 00:20:00 IST")  # ambiguous → reject (README.md:424)
+
+
+def test_relative_filters():
+    now = datetime(2020, 6, 1, 12, 0, 0, tzinfo=UTC)
+    assert string_wdhms_to_duration("1w2d3h4m5s") == timedelta(weeks=1, days=2, hours=3, minutes=4, seconds=5)
+    assert parse_dt_filter("-1h", now=now) == now - timedelta(hours=1)
+    a, b = resolve_filters("2020-06-01 00:00:00", "@+30m", now=now)
+    assert b == a + timedelta(minutes=30)
+    a2, b2 = resolve_filters("@-1d", "2020-06-01 00:00:00", now=now)
+    assert a2 == b2 - timedelta(days=1)
+
+
+# ---------------------------------------------------------------- catalog
+@pytest.mark.parametrize(
+    "name,expect",
+    [
+        ("syslog", TEXT),
+        ("messages.1", TEXT),
+        ("kern.log.2.gz", TEXT),
+        ("app.log.xz", TEXT),
+        ("system.evtx", EVTX),
+        ("user.journal", JOURNAL),
+        ("system.journal.gz", JOURNAL),
+        ("utmp", FIXEDSTRUCT),
+        ("wtmp.1", FIXEDSTRUCT),
+        ("lastlog", FIXEDSTRUCT),
+        ("btmpx", FIXEDSTRUCT),
+        ("photo.jpg", UNPARSABLE),
+        ("lib.so", UNPARSABLE),
+    ],
+)
+def test_guess_filetype(name, expect):
+    assert guess_filetype(name) == expect
+
+
+def test_filetype_col(spark):
+    from super_speedy_syslog_searcher_spark.sources.catalog import filetype_col
+    from pyspark.sql import functions as F
+
+    names = ["syslog", "system.evtx", "user.journal", "wtmp.1", "photo.jpg", "kern.log.2.gz"]
+    df = spark.createDataFrame([(n,) for n in names], ["source"]).withColumn("ft", filetype_col(F.col("source")))
+    got = {r["source"]: r["ft"] for r in df.collect()}
+    assert got == {
+        "syslog": TEXT,
+        "system.evtx": EVTX,
+        "user.journal": JOURNAL,
+        "wtmp.1": FIXEDSTRUCT,
+        "photo.jpg": UNPARSABLE,
+        "kern.log.2.gz": TEXT,
+    }
+
+
+# ---------------------------------------------------------------- resume
+def test_checkpoint_resume(spark, tmp_path):
+    from super_speedy_syslog_searcher_spark.plans.pipeline import (
+        PipelineConfig,
+        read_manifest,
+        run_pipeline_resumable,
+    )
+
+    docs_pd, enrich_pd, _ = gen_corpus(n_docs=20, lines_per_doc=5, n_sources=4, seed=1)
+    docs = spark.createDataFrame(docs_pd, schema="doc_id string, tokens array<int>, n_tok int, source string")
+    lookup = spark.createDataFrame(enrich_pd)
+    cfg = PipelineConfig(reference_year=REFERENCE_YEAR)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    n_input_sources = docs_pd["source"].nunique()
+    m1 = run_pipeline_resumable(docs, lookup, cfg, out, ckpt, run_id="r1")
+    assert not m1["skipped"] and m1["n_new_sources"] == n_input_sources
+    manifest = read_manifest(spark, ckpt).toPandas()
+    assert set(manifest["source"]) == set(docs_pd["source"].unique())
+
+    # second run: everything already done → full skip
+    m2 = run_pipeline_resumable(docs, lookup, cfg, out, ckpt, run_id="r2")
+    assert m2["skipped"]
+
+    # add a new source → only it is processed
+    docs2_pd, enrich2_pd, _ = gen_corpus(n_docs=5, lines_per_doc=5, n_sources=1, seed=2)
+    docs2_pd["source"] = "newsrc.999"
+    docs2_pd["doc_id"] = ["newsrc.999/%06d" % i for i in range(len(docs2_pd))]
+    both = spark.createDataFrame(
+        pd.concat([docs_pd, docs2_pd], ignore_index=True),
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    m3 = run_pipeline_resumable(both, lookup, cfg, out, ckpt, run_id="r3")
+    assert not m3["skipped"] and m3["n_new_sources"] == 1

@@ -1,0 +1,55 @@
+"""Demo/verify driver: the `s4 <paths> -a A -b B` equivalent as a spark-submit job.
+
+Usage: spark-submit tools/run_pipeline_demo.py [-a DT] [-b DT] [--out DIR]
+Prints the first merged messages (ts + sink_key + text), per-sink counts,
+and the summary rollup — the reference's stdout + --summary analogue.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from super_speedy_syslog_searcher_spark.operators.filters import resolve_filters
+from super_speedy_syslog_searcher_spark.plans.pipeline import PipelineConfig, run_pipeline
+from super_speedy_syslog_searcher_spark.session import get_spark
+from super_speedy_syslog_searcher_spark.sources.tokenized import REFERENCE_YEAR, gen_corpus
+
+DOCS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-a", default=None, help="datetime filter after (inclusive)")
+    ap.add_argument("-b", default=None, help="datetime filter before (inclusive)")
+    ap.add_argument("--tz-offset", default="+00:00")
+    ap.add_argument("--out", default=None, help="fan-out sink directory")
+    ap.add_argument("--docs", type=int, default=200)
+    args = ap.parse_args()
+
+    spark = get_spark("s4spark-demo", cores=8)
+    dt_a, dt_b = resolve_filters(args.a, args.b, tz_offset=args.tz_offset)
+    print(f"resolved filters: -a {dt_a}  -b {dt_b}")
+
+    docs_pd, enrich_pd, _ = gen_corpus(n_docs=args.docs, lines_per_doc=10, n_sources=12, seed=42)
+    docs = spark.createDataFrame(docs_pd, schema=DOCS_SCHEMA)
+    lookup = spark.createDataFrame(enrich_pd)
+
+    cfg = PipelineConfig(reference_year=REFERENCE_YEAR, dt_a=dt_a, dt_b=dt_b)
+    res = run_pipeline(docs, lookup, cfg, out_dir=args.out)
+
+    print("== merged head (ts | sink_key | source | text) ==")
+    for r in res["merged"].select("ts", "ts_ns", "sink_key", "source", "text").take(12):
+        print(f"{r['ts']}.{r['ts_ns']:03d}ns [{r['sink_key']:12s}] {r['source']:16s} {r['text'][:60]}")
+
+    print("== sink counts ==")
+    res["sink_counts"].orderBy("sink_key").show(20, truncate=False)
+    print("== summary (rollup; NULL source = grand total) ==")
+    res["summary"].orderBy("source").show(30, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
