@@ -1,38 +1,45 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship end-to-end pipeline (render → tokenize →
+parse → sessionize → enrich → merge-sort) on sf0.001; ``queries`` /
+``oracle_sql`` expose each implemented operator from SURVEY.md §2 with a
+DuckDB-checkable oracle. Implementation lives in
+``super_speedy_syslog_searcher_spark.entry_queries``.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from super_speedy_syslog_searcher_spark import entry_queries as EQ
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full parse→enrich→merge."""
+    from pyspark.sql import functions as F
+
+    from super_speedy_syslog_searcher_spark.operators.enrich import enrich
+    from super_speedy_syslog_searcher_spark.operators.merge import global_sort, with_source_order
+
+    sf_dir = "/root/testdata/sf0.001"
+    msgs = EQ.parsed_messages(spark, sf_dir)
+    enriched = enrich(msgs, EQ.enrichment_df(spark))
+    merged = global_sort(with_source_order(enriched))
+    return merged.select(
+        "ts", "ts_ns", "source", "doc_id", "msg_no", "facility", "severity", "sink_key",
+        "pattern_id", "n_lines", "text",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(EQ.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(EQ.ORACLES)

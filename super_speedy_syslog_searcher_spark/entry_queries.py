@@ -1,0 +1,460 @@
+"""Driver-contract queries + DuckDB oracles.
+
+Strategy: the driver gives us parquet tables (``events``, ``documents``,
+``embeddings`` …) and compares each Spark query against an ANSI-SQL oracle
+run by DuckDB on the SAME tables. The pipeline's native input is a
+tokenized-log table (BASELINE.json input_hint), so the pipeline queries
+first RENDER a deterministic tokenized corpus from ``events`` with
+JVM-side expressions (``date_format`` + ``concat``), encode it to token
+arrays, and push it through the full token→parse→sessionize→enrich→route
+engine. Because every rendered line embeds its row's ``ts`` and
+``event_id``, the oracle can state the expected output directly from
+``events.ts`` — an end-to-end roundtrip check of the whole parse path
+(reference analogue: tools/compare-current-and-expected golden outputs,
+/root/reference/tools/compare-current-and-expected/compare.sh).
+
+Format-family assignment is ``user_id % 8``; families with second-only
+precision truncate expected ts to the second (oracle CASE mirrors this).
+
+Every aggregate/computed column is aliased identically in the Spark code
+and the SQL (driver hashes by sorted column name).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.codec import encode_text_udf, explode_lines
+from .functions.parse import parse_lines
+from .operators.enrich import enrich
+from .operators.merge import SORT_KEYS, global_sort, with_source_order
+from .operators.route import sink_counts
+from .operators.sessionize import sessionize
+from .operators.summary import pattern_hit_miss, source_summary
+from .operators.yearfix import infer_years
+
+REFERENCE_YEAR = 2024  # events corpus is Jan 2024
+
+# families with full-microsecond fidelity after a render→parse roundtrip
+US_EXACT_FAMS = (0, 1, 4)
+
+# expected winning DTPD pattern per family (table order = dispatch order;
+# verified by tests/test_entry_queries.py)
+FAMILY_PATTERN_ID = {0: 5, 1: 2, 2: 18, 3: 13, 4: 16, 5: 14, 6: 8, 7: 10}
+
+# deterministic enrichment rows for the 8 rendered sources; mirrored
+# literally in the oracle SQL (CASE) — facility/severity by family index
+FACILITIES = ["auth", "daemon", "kern", "mail", "cron", "local0"]
+SEVERITIES = ["debug", "info", "notice", "warning", "err", "crit"]
+SEV_CLASS = {"debug": "dbg", "info": "info", "notice": "info", "warning": "warn", "err": "err", "crit": "err"}
+
+
+def _utc(spark: SparkSession) -> SparkSession:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# rendered tokenized corpus (events → input_hint-shaped docs table)
+# ---------------------------------------------------------------------------
+def _line_expr() -> F.Column:
+    """One log line per event row, format family = user_id % 8.
+
+    All JVM-side (date_format/concat) — deterministic and codegen'd.
+    Every line ends with ' eid=<event_id>' for roundtrip recovery.
+    """
+    ts = F.col("ts")
+    fam = F.col("user_id") % 8
+    eid = F.col("event_id")
+    day_sp = F.lpad(F.date_format(ts, "d"), 2, " ")  # '%e' space-padded day
+    line = (
+        F.when(
+            fam == 0,  # RFC 3339 with Z offset, µs
+            F.concat(F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z host app["), eid, F.lit("]: "), F.col("event_type")),
+        )
+        .when(
+            fam == 1,  # samba-style bracketed, µs
+            F.concat(F.lit("["), F.date_format(ts, "yyyy/MM/dd HH:mm:ss.SSSSSS"), F.lit("] oplock.c:1340 "), F.col("event_type")),
+        )
+        .when(
+            fam == 2,  # Apache CLF, seconds
+            F.concat(F.lit("192.168.0.1 - - ["), F.date_format(ts, "dd/MMM/yyyy:HH:mm:ss"), F.lit(' +0000] "GET /p'), eid, F.lit('" 200 17')),
+        )
+        .when(
+            fam == 3,  # RFC 3164 no-year, seconds
+            F.concat(F.lit("<14>"), F.date_format(ts, "MMM"), F.lit(" "), day_sp, F.lit(" "), F.date_format(ts, "HH:mm:ss"), F.lit(" host sshd["), eid, F.lit("]: "), F.col("event_type")),
+        )
+        .when(
+            fam == 4,  # strace epoch.frac, µs
+            F.concat(F.unix_timestamp(ts).cast("string"), F.lit("."), F.date_format(ts, "SSSSSS"), F.lit(" read(3, ..., 1024) = 17")),
+        )
+        .when(
+            fam == 5,  # Windows MM/DD/YY, seconds
+            F.concat(F.date_format(ts, "MM/dd/yy HH:mm:ss"), F.lit(": infinst: "), F.col("event_type")),
+        )
+        .when(
+            fam == 6,  # synology word<TAB>dt, seconds
+            F.concat(F.lit("info\t"), F.date_format(ts, "yyyy/MM/dd HH:mm:ss"), F.lit("\tSYSTEM:\t"), F.col("event_type")),
+        )
+        .otherwise(  # RFC 2822, seconds
+            F.concat(F.date_format(ts, "EEE, d MMM yyyy HH:mm:ss"), F.lit(" +0000 "), F.col("event_type")),
+        )
+    )
+    return F.concat(line, F.lit(" eid="), eid)
+
+
+def _doc_id_expr() -> F.Column:
+    return F.concat(F.lit("e"), F.lpad(F.col("event_id").cast("string"), 12, "0"))
+
+
+def _source_expr() -> F.Column:
+    return F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string"))
+
+
+def rendered_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → input_hint table (doc_id, tokens array<int32>, n_tok, source);
+    one single-line doc per event."""
+    ev = _events(spark, sf_dir)
+    docs = ev.select(
+        _doc_id_expr().alias("doc_id"),
+        _source_expr().alias("source"),
+        _line_expr().alias("text"),
+    ).withColumn("tokens", encode_text_udf("text"))
+    return docs.select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+
+
+def rendered_docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → one doc per user; 'error' events carry two datetime-less
+    continuation lines (stack-trace style) — exercises sessionization."""
+    ev = _events(spark, sf_dir)
+    line = _line_expr()
+    line = F.when(
+        F.col("event_type") == "error",
+        F.concat(line, F.lit("\n  at module alpha\n  at module beta")),
+    ).otherwise(line)
+    per_user = (
+        ev.select(F.col("user_id"), F.col("event_id"), line.alias("text"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("event_id", "text"))).alias("ls"))
+        .select(
+            F.concat(F.lit("u"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+            F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+            F.concat_ws("\n", F.transform("ls", lambda s: s["text"])).alias("text"),
+        )
+    )
+    docs = per_user.withColumn("tokens", encode_text_udf("text"))
+    return docs.select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+
+
+def parsed_messages(spark: SparkSession, sf_dir: str, multiline: bool = False) -> DataFrame:
+    """Full token→parse→sessionize run of the rendered corpus."""
+    _utc(spark)
+    docs = rendered_docs_multiline(spark, sf_dir) if multiline else rendered_docs(spark, sf_dir)
+    lines = explode_lines(docs)
+    parsed = parse_lines(lines, reference_year=REFERENCE_YEAR)
+    return sessionize(parsed)
+
+
+_EID = r"eid=(\d+)"
+
+
+def _with_event_id(messages: DataFrame) -> DataFrame:
+    return messages.withColumn("event_id", F.regexp_extract("text", _EID, 1).cast("bigint"))
+
+
+# oracle fragment: expected parse result per family (µs vs second fidelity)
+ORACLE_TRUNC_TS = "CASE WHEN user_id % 8 IN (0,1,4) THEN ts ELSE date_trunc('second', ts) END"
+
+
+# ---------------------------------------------------------------------------
+# pipeline queries
+# ---------------------------------------------------------------------------
+def q_pipe_parse_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end roundtrip: every event's rendered line must parse back to
+    its own timestamp (per-family truncation)."""
+    msgs = _with_event_id(parsed_messages(spark, sf_dir))
+    return msgs.select("event_id", "ts")
+
+
+SQL_PIPE_PARSE_RECOVER = f"""
+SELECT event_id, {ORACLE_TRUNC_TS} AS ts FROM events
+"""
+
+
+def q_pipe_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-line docs: continuation lines must fold into their message."""
+    msgs = _with_event_id(parsed_messages(spark, sf_dir, multiline=True))
+    return msgs.select("event_id", "ts", "n_lines")
+
+
+SQL_PIPE_SESSIONIZE = f"""
+SELECT event_id, {ORACLE_TRUNC_TS} AS ts,
+       CASE WHEN event_type = 'error' THEN 3 ELSE 1 END AS n_lines
+FROM events
+"""
+
+
+FILTER_A = "2024-01-10 00:00:00"
+FILTER_B = "2024-01-20 23:59:59.999999"
+
+
+def q_pipe_dt_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-a/-b datetime-window filter (inclusive both ends) + per-source agg."""
+    msgs = parsed_messages(spark, sf_dir)
+    a = datetime.fromisoformat(FILTER_A).replace(tzinfo=timezone.utc)
+    b = datetime.fromisoformat(FILTER_B).replace(tzinfo=timezone.utc)
+    return (
+        msgs.filter(F.col("ts").between(F.lit(a), F.lit(b)))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.min("ts").alias("dt_first"), F.max("ts").alias("dt_last"))
+    )
+
+
+SQL_PIPE_DT_FILTER = f"""
+WITH m AS (SELECT 'ev' || (user_id % 8) AS source, {ORACLE_TRUNC_TS} AS mts FROM events)
+SELECT source, count(*) AS n, min(mts) AS dt_first, max(mts) AS dt_last
+FROM m WHERE mts BETWEEN TIMESTAMP '{FILTER_A}' AND TIMESTAMP '{FILTER_B}'
+GROUP BY source
+"""
+
+
+def q_pipe_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global merge-sort with stable tie-break (ts, ts_ns, source_order,
+    doc_id, msg_no); rank materialized so the order-insensitive hash still
+    verifies ORDER."""
+    from pyspark.sql.window import Window
+
+    # filter FIRST so the repeated jobs below (source-order collect, range
+    # sampling, rank window) re-execute only the small in-range slice; at
+    # production scale the equivalent is ts-partition pruning before sort
+    msgs = parsed_messages(spark, sf_dir).filter(F.dayofmonth("ts") == 5).persist()
+    merged = global_sort(with_source_order(msgs))
+    out = (
+        _with_event_id(merged)
+        .withColumn("rn", F.row_number().over(Window.orderBy(*SORT_KEYS)))
+        .select("rn", "event_id")
+    )
+    return out
+
+
+SQL_PIPE_MERGE_ORDER = f"""
+WITH m AS (
+  SELECT event_id, {ORACLE_TRUNC_TS} AS mts, user_id % 8 AS fam,
+         'e' || lpad(event_id::VARCHAR, 12, '0') AS doc_id
+  FROM events
+)
+SELECT row_number() OVER (ORDER BY mts, fam, doc_id) AS rn, event_id
+FROM m WHERE date_part('day', mts) = 5
+"""
+
+
+def enrichment_df(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i in range(8):
+        fac, sev = FACILITIES[i % 6], SEVERITIES[i % 6]
+        rows.append((f"ev{i}", fac, sev, f"{fac}.{SEV_CLASS[sev]}"))
+    return spark.createDataFrame(rows, "source string, facility string, severity string, sink_key string")
+
+
+def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join enrichment + per-sink aggregate counts (A6)."""
+    msgs = parsed_messages(spark, sf_dir)
+    enriched = enrich(msgs, enrichment_df(spark))
+    return sink_counts(enriched).select("sink_key", "messages", "lines", "dt_first", "dt_last")
+
+
+_SINK_CASE = " ".join(
+    f"WHEN {i} THEN '{FACILITIES[i % 6]}.{SEV_CLASS[SEVERITIES[i % 6]]}'" for i in range(8)
+)
+
+SQL_PIPE_ENRICH_SINKS = f"""
+WITH m AS (
+  SELECT CASE user_id % 8 {_SINK_CASE} END AS sink_key, {ORACLE_TRUNC_TS} AS mts
+  FROM events
+)
+SELECT sink_key, count(*) AS messages, count(*) AS lines,
+       min(mts) AS dt_first, max(mts) AS dt_last
+FROM m GROUP BY sink_key
+"""
+
+
+def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """--summary counters per source + grand total (rollup row source=NULL)
+    over the multiline corpus."""
+    _utc(spark)
+    docs = rendered_docs_multiline(spark, sf_dir)
+    lines = explode_lines(docs)
+    parsed = parse_lines(lines, reference_year=REFERENCE_YEAR)
+    msgs = sessionize(parsed)
+    return source_summary(parsed, msgs).select(
+        "source", "lines_processed", "lines_with_dt", "lines_dropped", "syslines"
+    )
+
+
+SQL_PIPE_SUMMARY_ROLLUP = """
+WITH per AS (
+  SELECT 'ev' || (user_id % 8) AS source,
+         CASE WHEN event_type = 'error' THEN 3 ELSE 1 END AS nl
+  FROM events
+)
+SELECT source, sum(nl) AS lines_processed, count(*) AS lines_with_dt,
+       0 AS lines_dropped, count(*) AS syslines
+FROM per GROUP BY ROLLUP (source)
+"""
+
+
+def q_pipe_pattern_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DTPD hit counts (north_star 'parse hit/miss rates per pattern')."""
+    _utc(spark)
+    docs = rendered_docs(spark, sf_dir)
+    parsed = parse_lines(explode_lines(docs), reference_year=REFERENCE_YEAR)
+    return (
+        parsed.groupBy("source", "pattern_id")
+        .agg(F.count("*").alias("n"))
+        .select("source", F.col("pattern_id").cast("int").alias("pattern_id"), "n")
+    )
+
+
+_PAT_CASE = " ".join(f"WHEN {fam} THEN {pid}" for fam, pid in FAMILY_PATTERN_ID.items())
+
+SQL_PIPE_PATTERN_HITS = f"""
+SELECT 'ev' || (user_id % 8) AS source,
+       CAST(CASE user_id % 8 {_PAT_CASE} END AS INT) AS pattern_id,
+       count(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_pipe_year_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3164 year inference across a Dec→Jan boundary: render no-year
+    lines at synthetic times straddling midnight 2023→2024; the 25-hour
+    jump rule must assign Dec lines to 2023 (reference
+    syslogprocessor.rs:604-712)."""
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    x = (F.col("event_id") % 1000).cast("long")
+    ts2 = F.lit(datetime(2023, 12, 31, 23, 50, 0, tzinfo=timezone.utc)) + F.make_dt_interval(secs=x)
+    day_sp = F.lpad(F.date_format(ts2, "d"), 2, " ")
+    line = F.concat(
+        F.lit("<6>"), F.date_format(ts2, "MMM"), F.lit(" "), day_sp, F.lit(" "),
+        F.date_format(ts2, "HH:mm:ss"), F.lit(" host kernel: boot eid="), F.col("event_id"),
+    )
+    docs = (
+        ev.select(F.col("user_id"), F.col("event_id"), x.alias("x"), line.alias("text"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("x", "event_id", "text"))).alias("ls"))
+        .select(
+            F.concat(F.lit("u"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+            F.lit("rollover").alias("source"),
+            F.concat_ws("\n", F.transform("ls", lambda s: s["text"])).alias("text"),
+        )
+        .withColumn("tokens", encode_text_udf("text"))
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+    )
+    parsed = parse_lines(explode_lines(docs))  # no reference year → dummy 1972
+    msgs = sessionize(parsed)
+    fixed = infer_years(msgs, reference_year=2024)
+    return _with_event_id(fixed).select("event_id", "ts")
+
+
+# Per-doc observability rule: a doc that never crosses midnight shows no
+# >25h jump, so (like the reference seeding from mtime) ALL its lines keep
+# the reference year 2024; docs that do cross get Dec→2023, Jan→2024.
+SQL_PIPE_YEAR_ROLLOVER = """
+WITH x AS (
+  SELECT event_id, event_id % 1000 AS x,
+         max(event_id % 1000) OVER (PARTITION BY user_id) AS doc_max_x
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN x >= 600
+            THEN TIMESTAMP '2024-01-01 00:00:00' + (x - 600) * INTERVAL 1 SECOND
+            WHEN doc_max_x >= 600
+            THEN TIMESTAMP '2023-12-31 23:50:00' + x * INTERVAL 1 SECOND
+            ELSE TIMESTAMP '2024-12-31 23:50:00' + x * INTERVAL 1 SECOND
+       END AS ts
+FROM x
+"""
+
+
+def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic gap-based sessionization over the raw events stream (30-min
+    inactivity gap per user) — the window-function face of P2."""
+    from pyspark.sql.window import Window
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sess_no", F.sum(newsess).over(w))
+    return (
+        sess.groupBy("user_id", "sess_no")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+    )
+
+
+SQL_EVENTS_SESSIONIZE_GAP = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_no
+  FROM g
+), c AS (
+  SELECT user_id, sess_no, count(*) AS n_events FROM s GROUP BY user_id, sess_no
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM c GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+QUERIES: dict = {
+    "pipe_parse_recover": q_pipe_parse_recover,
+    "pipe_sessionize": q_pipe_sessionize,
+    "pipe_dt_filter": q_pipe_dt_filter,
+    "pipe_merge_order": q_pipe_merge_order,
+    "pipe_enrich_sinks": q_pipe_enrich_sinks,
+    "pipe_summary_rollup": q_pipe_summary_rollup,
+    "pipe_pattern_hits": q_pipe_pattern_hits,
+    "pipe_year_rollover": q_pipe_year_rollover,
+    "events_sessionize_gap": q_events_sessionize_gap,
+}
+
+ORACLES: dict = {
+    "pipe_parse_recover": SQL_PIPE_PARSE_RECOVER,
+    "pipe_sessionize": SQL_PIPE_SESSIONIZE,
+    "pipe_dt_filter": SQL_PIPE_DT_FILTER,
+    "pipe_merge_order": SQL_PIPE_MERGE_ORDER,
+    "pipe_enrich_sinks": SQL_PIPE_ENRICH_SINKS,
+    "pipe_summary_rollup": SQL_PIPE_SUMMARY_ROLLUP,
+    "pipe_pattern_hits": SQL_PIPE_PATTERN_HITS,
+    "pipe_year_rollover": SQL_PIPE_YEAR_ROLLOVER,
+    "events_sessionize_gap": SQL_EVENTS_SESSIONIZE_GAP,
+}

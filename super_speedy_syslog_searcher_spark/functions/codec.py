@@ -52,6 +52,15 @@ def encode_text(text: str) -> list[int]:
     return [ord(c) for c in text]
 
 
+@F.pandas_udf(T.ArrayType(T.IntegerType()))
+def encode_text_udf(text: pd.Series) -> pd.Series:
+    """string → array<int32> codepoints (corpus construction only — the
+    pipeline itself NEVER re-encodes; see module docstring)."""
+    return text.map(
+        lambda t: np.frombuffer(t.encode("utf-32-le"), dtype=np.int32) if t is not None else None
+    )
+
+
 @F.pandas_udf(T.StringType())
 def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
     """array<int32> codepoints → string, Arrow-batched.
