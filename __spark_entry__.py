@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from super_speedy_syslog_searcher_spark import entry_queries as EQ
+from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -38,8 +39,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(EQ.QUERIES)
+    return {**EQ.QUERIES, **EQD.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(EQ.ORACLES)
+    return {**EQ.ORACLES, **EQD.ORACLES}

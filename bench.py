@@ -1,0 +1,135 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Measures end-to-end parse→enrich→route→aggregate throughput on the
+tokenized-log corpus rendered from ``$SPARK_GRAFT_SF_DIR/events.parquet``
+(default /root/testdata/sf0.1), on ``local[$SPARK_GRAFT_CPUS]``.
+
+Corpus materialization (render+tokenize to parquet) is OUTSIDE the timed
+region — the engine under test starts at the input_hint table
+(doc_id, tokens, n_tok, source), exactly like the reference starts at
+files on disk.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <e2e sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "sequences_per_sec": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark import entry_queries as EQ
+from super_speedy_syslog_searcher_spark.functions.codec import explode_lines
+from super_speedy_syslog_searcher_spark.functions.parse import parse_lines
+from super_speedy_syslog_searcher_spark.operators.enrich import enrich
+from super_speedy_syslog_searcher_spark.operators.merge import global_sort, with_source_order
+from super_speedy_syslog_searcher_spark.operators.route import route_write, sink_counts
+from super_speedy_syslog_searcher_spark.operators.sessionize import sessionize
+from super_speedy_syslog_searcher_spark.operators.summary import pattern_hit_miss, source_summary
+from super_speedy_syslog_searcher_spark.session import get_spark, warm_python_workers
+
+WORK = os.environ.get("S4SPARK_BENCH_DIR", "/tmp/s4spark_bench")
+
+
+def materialize_corpus(spark, sf_dir: str) -> str:
+    """Render + tokenize once (untimed); reuse across runs of the same sf."""
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(WORK, f"corpus_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        # 128 files so the scan parallelizes regardless of file size
+        EQ.rendered_docs(spark, sf_dir).repartition(128).write.mode("overwrite").parquet(path)
+    return path
+
+
+def run_bench(spark, sf_dir: str) -> dict:
+    corpus = materialize_corpus(spark, sf_dir)
+    out_dir = os.path.join(WORK, "routed_out")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    docs = spark.read.parquet(corpus)
+    n_seq = docs.count()
+    warm_python_workers(spark)  # untimed: pay the 32x cold-import once
+    timings: dict[str, float] = {}
+
+    def timed(name, fn, runs=2):
+        """Best-of-N wall time — the sandbox host has sporadic multi-10x
+        throttling windows; min-of-2 (hyperfine-style) reports the
+        engine's actual cost."""
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+
+    # q1: full end-to-end — parse → sessionize → enrich → route write → aggs
+    def q_e2e():
+        parsed = EQ.parse_docs(docs)
+        msgs = sessionize(parsed)
+        enriched = enrich(msgs, EQ.enrichment_df(spark)).persist()
+        route_write(enriched, out_dir)
+        sink_counts(enriched).collect()
+        enriched.unpersist()
+
+    # q2: parse-only throughput (the UDF hot path)
+    def q_parse():
+        EQ.parse_docs(docs).filter(F.col("ts").isNotNull()).count()
+
+    # q3: datetime-window filter + per-source agg
+    def q_filter():
+        msgs = sessionize(EQ.parse_docs(docs))
+        msgs.filter(F.col("ts").between("2024-01-10", "2024-01-21")).groupBy("source").agg(
+            F.count("*"), F.min("ts"), F.max("ts")
+        ).collect()
+
+    # q4: global merge-sort (range partition + in-partition sort), noop sink
+    def q_merge():
+        msgs = sessionize(EQ.parse_docs(docs))
+        merged = global_sort(with_source_order(msgs, sources_in_order=[f"ev{i}" for i in range(8)]))
+        merged.write.format("noop").mode("overwrite").save()
+
+    # q5: summary rollup + per-pattern hit counts (parsed feeds 3 sinks)
+    def q_summary():
+        parsed = EQ.parse_docs(docs).persist()
+        msgs = sessionize(parsed)
+        source_summary(parsed, msgs).collect()
+        pattern_hit_miss(parsed).collect()
+        parsed.unpersist()
+
+    timed("e2e_parse_enrich_route_agg", q_e2e)
+    timed("parse_only", q_parse)
+    timed("dt_filter_agg", q_filter)
+    timed("merge_sort", q_merge)
+    timed("summary_rollup", q_summary)
+
+    e2e = timings["e2e_parse_enrich_route_agg"]
+    return {
+        "metric": "end-to-end parse→enrich→route→aggregate wall time (tokenized corpus)",
+        "value": e2e,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_sequences": n_seq,
+        "sequences_per_sec": round(n_seq / e2e, 1) if e2e else None,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="s4spark-bench")
+    result = run_bench(spark, sf_dir)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.codec import encode_text_udf, explode_lines
-from .functions.parse import parse_lines
+from .functions.parse import parse_lines, vote_lines_from_docs
 from .operators.enrich import enrich
 from .operators.merge import SORT_KEYS, global_sort, with_source_order
 from .operators.route import sink_counts
@@ -161,13 +161,19 @@ def rendered_docs_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
 
 
+def parse_docs(docs: DataFrame, reference_year: int | None = REFERENCE_YEAR) -> DataFrame:
+    """Fused explode+parse (one Python stage) with the vote-sample cut at
+    the scan."""
+    from .functions.parse import parse_docs_fused
+
+    return parse_docs_fused(docs, reference_year=reference_year)
+
+
 def parsed_messages(spark: SparkSession, sf_dir: str, multiline: bool = False) -> DataFrame:
     """Full token→parse→sessionize run of the rendered corpus."""
     _utc(spark)
     docs = rendered_docs_multiline(spark, sf_dir) if multiline else rendered_docs(spark, sf_dir)
-    lines = explode_lines(docs)
-    parsed = parse_lines(lines, reference_year=REFERENCE_YEAR)
-    return sessionize(parsed)
+    return sessionize(parse_docs(docs))
 
 
 _EID = r"eid=(\d+)"
@@ -298,8 +304,7 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the multiline corpus."""
     _utc(spark)
     docs = rendered_docs_multiline(spark, sf_dir)
-    lines = explode_lines(docs)
-    parsed = parse_lines(lines, reference_year=REFERENCE_YEAR)
+    parsed = parse_docs(docs).persist()
     msgs = sessionize(parsed)
     return source_summary(parsed, msgs).select(
         "source", "lines_processed", "lines_with_dt", "lines_dropped", "syslines"
@@ -322,7 +327,7 @@ def q_pipe_pattern_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-DTPD hit counts (north_star 'parse hit/miss rates per pattern')."""
     _utc(spark)
     docs = rendered_docs(spark, sf_dir)
-    parsed = parse_lines(explode_lines(docs), reference_year=REFERENCE_YEAR)
+    parsed = parse_docs(docs)
     return (
         parsed.groupBy("source", "pattern_id")
         .agg(F.count("*").alias("n"))
@@ -366,7 +371,7 @@ def q_pipe_year_rollover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tokens", encode_text_udf("text"))
         .select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
     )
-    parsed = parse_lines(explode_lines(docs))  # no reference year → dummy 1972
+    parsed = parse_lines(explode_lines(docs), vote_lines=vote_lines_from_docs(docs))  # no reference year → dummy 1972
     msgs = sessionize(parsed)
     fixed = infer_years(msgs, reference_year=2024)
     return _with_event_id(fixed).select("event_id", "ts")

@@ -38,7 +38,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.window import Window
 
 from .patterns import DATETIME_PARSE_DATAS, DUMMY_YEAR, month_name_to_num, year2_to_year
 from .tzmap import offset_str_to_minutes, resolve_tz_abbrev
@@ -237,42 +236,151 @@ def parse_series(
     )
 
 
-def make_parse_udf(default_tz: str = "+00:00", reference_year: int | None = None):
+def make_parse_udf(
+    default_tz: str = "+00:00",
+    reference_year: int | None = None,
+    locked_map: dict[str, int] | None = None,
+):
     """Build the Arrow-batched parse UDF (struct result) with job params
-    baked into the closure (≙ the reference's --tz-offset default fill)."""
+    baked into the closure (≙ the reference's --tz-offset default fill).
+
+    ``locked_map`` (source → pattern_id, from P9 voting) rides the closure
+    instead of a broadcast join: it is bounded by the number of sources
+    (same cardinality class as the enrichment lookup), and keeping it out
+    of the plan saves a per-query broadcast exchange + join stage.
+    """
     tz_min = offset_str_to_minutes(default_tz)
+    locked_map = locked_map or {}
 
     @F.pandas_udf(PARSE_RESULT_FIELDS)
-    def _parse(text: pd.Series, locked: pd.Series) -> pd.DataFrame:
+    def _parse(text: pd.Series, source: pd.Series) -> pd.DataFrame:
+        locked = source.map(locked_map) if locked_map else None
         return parse_series(text, default_tz_minutes=tz_min, reference_year=reference_year, locked=locked)
 
     return _parse
 
 
-def vote_patterns(lines: DataFrame, sample_lines_per_doc: int = 8, default_tz: str = "+00:00") -> DataFrame:
+def vote_patterns(
+    lines: DataFrame,
+    sample_lines_per_doc: int = 8,
+    default_tz: str = "+00:00",
+    doc_sample_mod: int = 20,
+) -> dict[str, int]:
     """P9 pattern lock-in, pass 1 — the block-zero-analysis analogue
     (reference Stage1, syslogprocessor.rs:911; dt_patterns_analysis
     syslinereader.rs:1528).
 
-    Samples the first K lines of every doc, parses with the full table,
-    and elects ONE pattern per source (DT_PATTERN_MAX = 1): most hits
-    wins, ties broken by lowest table index. Returns a tiny DF
-    ``(source, locked_pattern_id)`` meant for a broadcast join.
+    Samples the first K lines of a deterministic ~1/doc_sample_mod subset
+    of docs (hash-based, so the vote reads a bounded fraction of the corpus
+    however docs are shaped), parses with the full table, and elects ONE
+    pattern per source (DT_PATTERN_MAX = 1): most hits wins, ties broken by
+    lowest table index. Returns a small dict {source: locked_pattern_id}
+    destined for the parse-UDF closure (bounded by source cardinality).
+    Sources whose sampled docs never match stay unlocked — the full-table
+    fallback in pass 2 keeps them correct.
     """
     parse_udf = make_parse_udf(default_tz=default_tz)
     sample = lines.filter(F.col("line_no") < sample_lines_per_doc)
-    parsed = sample.withColumn("p", parse_udf(F.col("text"), F.lit(None).cast("int")))
+    if doc_sample_mod > 1:
+        sample = sample.filter(F.pmod(F.xxhash64("doc_id"), F.lit(doc_sample_mod)) == 0)
+    # project the UDF struct ONCE before filter/groupBy — referencing
+    # p.pattern_id in both would make Catalyst instantiate the python
+    # stage twice (no CSE across ArrowEvalPython)
+    parsed = sample.select("source", parse_udf(F.col("text"), F.col("source")).getField("pattern_id").alias("pid"))
     counts = (
-        parsed.filter(F.col("p.pattern_id") >= 0)
-        .groupBy("source", F.col("p.pattern_id").alias("locked_pattern_id"))
+        parsed.filter(F.col("pid") >= 0)
+        .groupBy("source", F.col("pid").alias("locked_pattern_id"))
         .count()
+        .collect()  # ≤ sources × patterns rows — argmax on the driver
     )
-    w = Window.partitionBy("source").orderBy(F.col("count").desc(), F.col("locked_pattern_id").asc())
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("source", "locked_pattern_id")
+    best: dict[str, tuple[int, int]] = {}
+    for row in counts:
+        n, pid = row["count"], row["locked_pattern_id"]
+        cur = best.get(row["source"])
+        # most hits wins, ties → lowest table index (datetime.rs:2517-2556)
+        if cur is None or (n, -pid) > (cur[0], -cur[1]):
+            best[row["source"]] = (n, pid)
+    return {s: pid for s, (_, pid) in best.items()}
+
+
+def parse_docs_fused(
+    docs: DataFrame,
+    default_tz: str = "+00:00",
+    reference_year: int | None = None,
+    lock_patterns: bool = True,
+    sample_lines_per_doc: int = 8,
+) -> DataFrame:
+    """Fused explode+parse: one mapInPandas stage that splits each doc's
+    token array into lines AND datetime-parses them in the same Python
+    worker pass — halving the Arrow JVM↔Python round trips of
+    ``explode_lines(docs)`` → ``parse_lines`` on the hot path. Output
+    schema matches ``parse_lines(explode_lines(docs))``.
+
+    This is the Spark shape of the reference's single-pass per-file loop
+    (find_line → find_datetime_in_line fused in one thread,
+    /root/reference/src/readers/syslinereader.rs:1976-2192).
+    """
+    from collections.abc import Iterator
+
+    from .codec import LINES_SCHEMA, _split_doc
+
+    locked_map: dict[str, int] = {}
+    if lock_patterns:
+        locked_map = vote_patterns(
+            vote_lines_from_docs(docs), sample_lines_per_doc=sample_lines_per_doc,
+            default_tz=default_tz, doc_sample_mod=1,
+        )
+    tz_min = offset_str_to_minutes(default_tz)
+    schema = T.StructType(
+        LINES_SCHEMA.fields
+        + [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("ts_ns", T.IntegerType()),
+            T.StructField("dt_beg", T.IntegerType()),
+            T.StructField("dt_end", T.IntegerType()),
+            T.StructField("pattern_id", T.IntegerType()),
+        ]
     )
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_src, out_no, out_tok, out_txt = [], [], [], [], []
+            for doc_id, source, toks in zip(pdf["doc_id"], pdf["source"], pdf["tokens"]):
+                toks_list, texts = _split_doc(toks)
+                n = len(toks_list)
+                out_doc.extend([doc_id] * n)
+                out_src.extend([source] * n)
+                out_no.extend(range(n))
+                out_tok.extend(toks_list)
+                out_txt.extend(texts)
+            text = pd.Series(out_txt, dtype=object)
+            src = pd.Series(out_src, dtype=object)
+            locked = src.map(locked_map) if locked_map else None
+            p = parse_series(text, default_tz_minutes=tz_min, reference_year=reference_year, locked=locked)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "source": src,
+                    "line_no": pd.array(out_no, dtype="int32"),
+                    "line_tokens": out_tok,
+                    "text": text,
+                    "ts": p["ts"],
+                    "ts_ns": p["ts_ns"],
+                    "dt_beg": p["dt_beg"],
+                    "dt_end": p["dt_end"],
+                    "pattern_id": p["pattern_id"],
+                }
+            )
+
+    return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=schema)
+
+
+def vote_lines_from_docs(docs: DataFrame, doc_sample_mod: int = 20) -> DataFrame:
+    """Doc-sampled lines for the P9 vote, with the sample cut applied
+    BEFORE the explode UDF so it reaches the scan."""
+    from .codec import explode_lines
+
+    return explode_lines(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(doc_sample_mod)) == 0))
 
 
 def parse_lines(
@@ -281,6 +389,7 @@ def parse_lines(
     reference_year: int | None = None,
     lock_patterns: bool = True,
     sample_lines_per_doc: int = 8,
+    vote_lines: DataFrame | None = None,
 ) -> DataFrame:
     """Full two-pass parse over a lines DF (doc_id, source, line_no, text, ...).
 
@@ -288,20 +397,30 @@ def parse_lines(
     lets Catalyst skip digit-less rows before Python is ever invoked —
     those rows keep NULL ts and become continuation lines downstream.
     """
-    parse_udf = make_parse_udf(default_tz=default_tz, reference_year=reference_year)
+    locked_map = None
     if lock_patterns:
-        votes = vote_patterns(lines, sample_lines_per_doc=sample_lines_per_doc, default_tz=default_tz)
-        lines = lines.join(F.broadcast(votes), "source", "left")
-    else:
-        lines = lines.withColumn("locked_pattern_id", F.lit(None).cast("int"))
+        # vote_lines, when supplied, is an already doc-sampled lines DF
+        # (e.g. explode_lines(docs.filter(hash(doc_id) % k == 0))) — the
+        # sample cut then happens BEFORE the explode UDF at the scan, so
+        # the vote job reads ~1/k of the corpus instead of exploding all
+        # of it and filtering after (Catalyst cannot push filters through
+        # mapInPandas)
+        if vote_lines is not None:
+            locked_map = vote_patterns(
+                vote_lines, sample_lines_per_doc=sample_lines_per_doc,
+                default_tz=default_tz, doc_sample_mod=1,
+            )
+        else:
+            locked_map = vote_patterns(lines, sample_lines_per_doc=sample_lines_per_doc, default_tz=default_tz)
+    parse_udf = make_parse_udf(default_tz=default_tz, reference_year=reference_year, locked_map=locked_map)
 
     # NOTE: no F.when() gate around the UDF — Catalyst does not guarantee
     # lazy branch evaluation for python UDFs, and continuation lines must
     # be KEPT (null ts), not filtered. The vectorized ezcheck inside
     # parse_series() rejects digit-less rows at ~memchr cost instead.
-    parsed = lines.withColumn("p", parse_udf(F.col("text"), F.col("locked_pattern_id")))
+    parsed = lines.withColumn("p", parse_udf(F.col("text"), F.col("source")))
     return parsed.select(
-        *[c for c in lines.columns if c != "locked_pattern_id"],
+        *lines.columns,
         F.col("p.ts").alias("ts"),
         F.col("p.ts_ns").alias("ts_ns"),
         F.col("p.dt_beg").alias("dt_beg"),

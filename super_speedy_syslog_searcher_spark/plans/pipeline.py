@@ -54,10 +54,11 @@ class PipelineConfig:
 
 
 def parse_stage(docs: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """docs → parsed lines (narrow stages only)."""
-    lines = explode_lines(docs)
-    return parse_lines(
-        lines,
+    """docs → parsed lines (single fused Python stage, no shuffle)."""
+    from ..functions.parse import parse_docs_fused
+
+    return parse_docs_fused(
+        docs,
         default_tz=cfg.default_tz,
         reference_year=cfg.reference_year,
         lock_patterns=cfg.lock_patterns,
@@ -81,8 +82,10 @@ def run_pipeline(
     ``out_dir`` is given, routed messages are fanned out to
     ``out_dir/routed`` and summaries to ``out_dir/…``."""
     cfg = cfg or PipelineConfig()
-    parsed = parse_stage(docs, cfg)
-    messages = messages_stage(parsed, cfg)
+    # parsed/messages feed several sinks (routed write, sink counts,
+    # summary, pattern counts) — persist so the UDF stages run once
+    parsed = parse_stage(docs, cfg).persist()
+    messages = messages_stage(parsed, cfg).persist()
     enriched = enrich(messages, enrichment)
     enriched = with_source_order(enriched, cfg.sources_in_order)
     merged = global_sort(enriched, num_partitions=cfg.num_partitions, sources_in_order=cfg.sources_in_order)

