@@ -28,10 +28,10 @@ from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark import entry_queries as EQ
 from super_speedy_syslog_searcher_spark.functions.codec import explode_lines
-from super_speedy_syslog_searcher_spark.functions.parse import parse_lines
+from super_speedy_syslog_searcher_spark.functions.parse import parse_lines, parse_messages_fused
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich
 from super_speedy_syslog_searcher_spark.operators.merge import global_sort, with_source_order
-from super_speedy_syslog_searcher_spark.operators.route import route_write, sink_counts
+from super_speedy_syslog_searcher_spark.operators.route import route_write, sink_counts_from_path
 from super_speedy_syslog_searcher_spark.operators.sessionize import sessionize
 from super_speedy_syslog_searcher_spark.operators.summary import pattern_hit_miss, source_summary
 from super_speedy_syslog_searcher_spark.session import get_spark, warm_python_workers
@@ -73,12 +73,10 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # q1: full end-to-end — parse → sessionize → enrich → route write → aggs
     def q_e2e():
-        parsed = EQ.parse_docs(docs)
-        msgs = sessionize(parsed)
-        enriched = enrich(msgs, EQ.enrichment_df(spark)).persist()
+        msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
+        enriched = enrich(msgs, EQ.enrichment_df(spark))
         route_write(enriched, out_dir)
-        sink_counts(enriched).collect()
-        enriched.unpersist()
+        sink_counts_from_path(spark, out_dir).collect()
 
     # q2: parse-only throughput (the UDF hot path)
     def q_parse():
@@ -86,14 +84,14 @@ def run_bench(spark, sf_dir: str) -> dict:
 
     # q3: datetime-window filter + per-source agg
     def q_filter():
-        msgs = sessionize(EQ.parse_docs(docs))
+        msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
         msgs.filter(F.col("ts").between("2024-01-10", "2024-01-21")).groupBy("source").agg(
             F.count("*"), F.min("ts"), F.max("ts")
         ).collect()
 
     # q4: global merge-sort (range partition + in-partition sort), noop sink
     def q_merge():
-        msgs = sessionize(EQ.parse_docs(docs))
+        msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
         merged = global_sort(with_source_order(msgs, sources_in_order=[f"ev{i}" for i in range(8)]))
         merged.write.format("noop").mode("overwrite").save()
 

@@ -170,10 +170,14 @@ def parse_docs(docs: DataFrame, reference_year: int | None = REFERENCE_YEAR) -> 
 
 
 def parsed_messages(spark: SparkSession, sf_dir: str, multiline: bool = False) -> DataFrame:
-    """Full token→parse→sessionize run of the rendered corpus."""
+    """Full token→parse→sessionize run of the rendered corpus — the
+    zero-shuffle fused path (docs are doc-grained, so message grouping is
+    partition-local)."""
+    from .functions.parse import parse_messages_fused
+
     _utc(spark)
     docs = rendered_docs_multiline(spark, sf_dir) if multiline else rendered_docs(spark, sf_dir)
-    return sessionize(parse_docs(docs))
+    return parse_messages_fused(docs, reference_year=REFERENCE_YEAR)
 
 
 _EID = r"eid=(\d+)"

@@ -1,0 +1,198 @@
+"""Driver-contract queries for the binary-format analogues (SURVEY §2
+P11-P13): utmpx-style fixed structs, journald export entries, evtx-style
+record streams. Corpora are rendered deterministically from ``events`` so
+each DuckDB oracle states expectations straight from ``events`` columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.evtx import evtx_ordered
+from .operators.fixedstruct import UTMPX, decode_fixedstruct, pack_records, time_ordered
+from .operators.journal import parse_journal_export
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ---------------------------------------------------------------------------
+# P11 — fixedstruct
+# ---------------------------------------------------------------------------
+@F.pandas_udf(T.BinaryType())
+def _pack_utmpx_udf(pid: pd.Series, user: pd.Series, tv_sec: pd.Series, tv_usec: pd.Series) -> pd.Series:
+    out = [
+        pack_records(UTMPX, int(p) % 8, int(p), u, int(s), int(us))
+        for p, u, s, us in zip(pid, user, tv_sec, tv_usec)
+    ]
+    return pd.Series(out)
+
+
+def fixedstruct_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → binary utmpx records, one doc per user, plus one null
+    (all-0x00) record per doc that must be skipped."""
+    ev = _events(spark, sf_dir)
+    recs = ev.select(
+        F.concat(F.lit("u"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+        F.concat(F.lit("utmpx.h"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.col("event_id").cast("int").alias("record_no"),
+        _pack_utmpx_udf(
+            F.col("event_id").cast("int"),
+            F.concat(F.lit("u"), F.col("event_id")),
+            F.unix_timestamp(F.col("ts").cast("timestamp")),
+            F.date_format(F.col("ts"), "SSSSSS").cast("long"),
+        ).alias("record"),
+    )
+    nulls = ev.groupBy("user_id").agg(F.count("*").alias("n")).select(
+        F.concat(F.lit("u"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+        F.concat(F.lit("utmpx.h"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.lit(-1).alias("record_no"),
+        F.lit(bytes(UTMPX.size)).alias("record"),
+    )
+    return recs.unionByName(nulls)
+
+
+def q_fixedstruct_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack→score→decode→time-order roundtrip; null records dropped."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    corpus = fixedstruct_corpus(spark, sf_dir)
+    decoded = decode_fixedstruct(corpus)
+    ranked = time_ordered(decoded)
+    return ranked.select(
+        F.col("ut_pid").cast("bigint").alias("event_id"),
+        "ts",
+        F.col("rec_rank").cast("bigint").alias("rec_rank"),
+        F.col("ut_user").alias("ut_user"),
+    )
+
+
+SQL_FIXEDSTRUCT_DECODE = """
+SELECT event_id, ts,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rec_rank,
+       'u' || event_id AS ut_user
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P13 — journal export
+# ---------------------------------------------------------------------------
+def journal_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → export-format docs (one per user); even event_ids carry a
+    _SOURCE_REALTIME_TIMESTAMP 500 µs later, which must win."""
+    ev = _events(spark, sf_dir)
+    usec = F.unix_micros(F.col("ts").cast("timestamp"))
+    entry = F.concat_ws(
+        "\n",
+        F.concat(F.lit("__REALTIME_TIMESTAMP="), usec.cast("string")),
+        F.when(
+            F.col("event_id") % 2 == 0,
+            F.concat(F.lit("_SOURCE_REALTIME_TIMESTAMP="), (usec + 500).cast("string")),
+        ),
+        F.concat(F.lit("_PID="), F.col("event_id")),
+        F.concat(F.lit("MESSAGE=evt "), F.col("event_type")),
+    )
+    return (
+        ev.select("user_id", "event_id", entry.alias("entry"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("event_id", "entry"))).alias("ls"))
+        .select(
+            F.concat(F.lit("j"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+            F.concat(F.lit("journal.h"), (F.col("user_id") % 4).cast("string")).alias("source"),
+            F.concat_ws("\n\n", F.transform("ls", lambda s: s["entry"])).alias("text"),
+        )
+    )
+
+
+def q_journal_export_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = journal_corpus(spark, sf_dir)
+    parsed = parse_journal_export(docs)
+    return parsed.select(
+        F.element_at("fields", "_PID").cast("bigint").alias("event_id"),
+        "ts",
+        F.col("n_fields").cast("int").alias("n_fields"),
+    )
+
+
+SQL_JOURNAL_EXPORT_PARSE = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN make_timestamp(epoch_us(ts) + 500)
+            ELSE make_timestamp(epoch_us(ts)) END AS ts,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 4 ELSE 3 END AS INT) AS n_fields
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# P12 — evtx record stream
+# ---------------------------------------------------------------------------
+_SCRAMBLE = "(event_id * 2654435761) % 4294967296"
+
+
+def evtx_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → evtx-like struct rows arriving in scrambled order, plus
+    duplicate records (every 97th) that must be deduped by (ts, id)."""
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.concat(F.lit("w"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.col("event_id").alias("record_id"),
+        F.col("ts"),
+        F.expr(_SCRAMBLE).alias("arrival_no"),
+        F.concat(F.lit("<Event><ID>"), F.col("event_id"), F.lit("</ID></Event>")).alias("xml"),
+    )
+    dups = base.filter(F.col("record_id") % 97 == 0).withColumn(
+        "arrival_no", F.col("arrival_no") + F.lit(1 << 33)
+    )
+    return base.unionByName(dups)
+
+
+def q_evtx_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ordered = evtx_ordered(evtx_corpus(spark, sf_dir))
+    return ordered.select(
+        "source", "record_id",
+        F.col("emit_rank").cast("bigint").alias("emit_rank"),
+        F.col("is_out_of_order").cast("int").alias("is_out_of_order"),
+    )
+
+
+SQL_EVTX_ORDER = f"""
+WITH base AS (
+  SELECT 'w' || (user_id % 4) AS source, event_id AS record_id, ts,
+         ({_SCRAMBLE}) AS arrival_no
+  FROM events
+  UNION ALL
+  SELECT 'w' || (user_id % 4) AS source, event_id AS record_id, ts,
+         ({_SCRAMBLE}) + 8589934592 AS arrival_no
+  FROM events WHERE event_id % 97 = 0
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT source, record_id, ts, arrival_no,
+           row_number() OVER (PARTITION BY source, ts, record_id ORDER BY arrival_no) AS dup_rn
+    FROM base
+  ) WHERE dup_rn = 1
+)
+SELECT source, record_id,
+       row_number() OVER (PARTITION BY source ORDER BY ts, record_id) AS emit_rank,
+       CAST(coalesce((ts < lag(ts) OVER (PARTITION BY source ORDER BY arrival_no))::INT, 0) AS INT) AS is_out_of_order
+FROM dedup
+"""
+
+
+QUERIES = {
+    "fixedstruct_decode": q_fixedstruct_decode,
+    "journal_export_parse": q_journal_export_parse,
+    "evtx_order": q_evtx_order,
+}
+
+ORACLES = {
+    "fixedstruct_decode": SQL_FIXEDSTRUCT_DECODE,
+    "journal_export_parse": SQL_JOURNAL_EXPORT_PARSE,
+    "evtx_order": SQL_EVTX_ORDER,
+}

@@ -375,6 +375,73 @@ def parse_docs_fused(
     return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=schema)
 
 
+def parse_messages_fused(
+    docs: DataFrame,
+    default_tz: str = "+00:00",
+    reference_year: int | None = None,
+    lock_patterns: bool = True,
+    sample_lines_per_doc: int = 8,
+    vote_doc_sample_mod: int = 20,
+) -> DataFrame:
+    """Fully-fused docs → MESSAGES: token split + datetime parse +
+    sessionization in ONE mapInPandas stage, ZERO shuffles.
+
+    Valid because the input is doc-grained (input_hint): every doc's lines
+    are contiguous inside the stage by construction, so message grouping
+    is partition-local — the Spark realization of the reference's
+    single-thread-per-file pass (find_line → find_datetime_in_line →
+    sysline assembly, /root/reference/src/readers/syslinereader.rs:
+    1976-2192) with no cross-task coordination. The line-grained
+    ``sessionize`` operator remains for inputs that arrive as loose lines.
+    """
+    from collections.abc import Iterator
+
+    from ..operators.sessionize import MESSAGES_SCHEMA, _emit_messages
+    from .codec import _split_doc
+
+    locked_map: dict[str, int] = {}
+    if lock_patterns:
+        locked_map = vote_patterns(
+            vote_lines_from_docs(docs, doc_sample_mod=vote_doc_sample_mod),
+            sample_lines_per_doc=sample_lines_per_doc,
+            default_tz=default_tz, doc_sample_mod=1,
+        )
+    tz_min = offset_str_to_minutes(default_tz)
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_doc, out_src, out_no, out_tok, out_txt = [], [], [], [], []
+            for doc_id, source, toks in zip(pdf["doc_id"], pdf["source"], pdf["tokens"]):
+                toks_list, texts = _split_doc(toks)
+                n = len(toks_list)
+                out_doc.extend([doc_id] * n)
+                out_src.extend([source] * n)
+                out_no.extend(range(n))
+                out_tok.extend(toks_list)
+                out_txt.extend(texts)
+            text = pd.Series(out_txt, dtype=object)
+            src = pd.Series(out_src, dtype=object)
+            locked = src.map(locked_map) if locked_map else None
+            p = parse_series(text, default_tz_minutes=tz_min, reference_year=reference_year, locked=locked)
+            lines = pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "source": src,
+                    "line_no": pd.array(out_no, dtype="int32"),
+                    "line_tokens": out_tok,
+                    "text": text,
+                    "ts": p["ts"],
+                    "ts_ns": p["ts_ns"],
+                    "dt_beg": p["dt_beg"],
+                    "dt_end": p["dt_end"],
+                    "pattern_id": p["pattern_id"],
+                }
+            )
+            yield _emit_messages(lines)
+
+    return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=MESSAGES_SCHEMA)
+
+
 def vote_lines_from_docs(docs: DataFrame, doc_sample_mod: int = 20) -> DataFrame:
     """Doc-sampled lines for the P9 vote, with the sample cut applied
     BEFORE the explode UDF so it reaches the scan."""

@@ -22,14 +22,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def route_write(enriched: DataFrame, out_dir: str, mode: str = "overwrite") -> None:
-    """Fan-out write, partitioned by the routing key."""
+def route_write(
+    enriched: DataFrame,
+    out_dir: str,
+    mode: str = "overwrite",
+    file_tasks: int | None = None,
+) -> None:
+    """Fan-out write, partitioned by the routing key.
+
+    By default each task writes its local share of every sink (no extra
+    shuffle — tasks × sinks files). Pass ``file_tasks`` to pre-shuffle on
+    (sink_key, salt), bounding output to that many files when file-count
+    pressure outweighs one more pass over the data; the salt lanes keep a
+    hot sink spread over many tasks (explicit skew handling).
+    """
+    if file_tasks:
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(max(file_tasks // 4, 1)))
+        enriched = enriched.repartition(file_tasks, F.col("sink_key"), salt)
     (
         enriched.write.mode(mode)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("sink_key")
         .parquet(out_dir)
     )
+
+
+def sink_counts_from_path(spark, out_dir: str) -> DataFrame:
+    """Per-sink aggregates computed from the COMMITTED sink files — the
+    counts then describe exactly what readers will see (and the big
+    upstream DAG is not re-executed just to count)."""
+    return sink_counts(spark.read.parquet(out_dir))
 
 
 def sink_counts(enriched: DataFrame) -> DataFrame:

@@ -97,30 +97,27 @@ def make_winnow_udf(k: int = 5, window: int = 8):
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def _winnow(text: pd.Series) -> pd.Series:
         out = []
-        B, M = np.uint64(1000003), np.uint64((1 << 61) - 1)
-        for t in text:
-            s = (t or "").lower().encode()
-            if len(s) < k:
-                out.append([])
-                continue
-            vals = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
-            h = np.uint64(0)
-            pw = np.uint64(1)
-            for _ in range(k - 1):
-                pw = (pw * B) % M
-            hashes = np.empty(len(s) - k + 1, dtype=np.uint64)
-            for i in range(k):
-                h = (h * B + vals[i]) % M
-            hashes[0] = h
-            for i in range(1, len(hashes)):
-                h = ((h + M * B - (vals[i - 1] * pw) % M) * B + vals[i + k - 1]) % M
-                hashes[i] = h
-            if len(hashes) <= window:
-                picks = {int(hashes.min())}
-            else:
-                roll = np.lib.stride_tricks.sliding_window_view(hashes, window)
-                picks = set(roll.min(axis=1).astype(np.int64).tolist())
-            out.append(sorted(int(np.int64(np.uint64(p))) for p in picks))
+        B = np.uint64(0x100000001B3)  # odd multiplier; arithmetic mod 2^64
+        err = np.seterr(over="ignore")  # uint64 wraparound IS the modulus
+        try:
+            for t in text:
+                s = (t or "").lower().encode()
+                if len(s) < k:
+                    out.append([])
+                    continue
+                vals = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
+                win = np.lib.stride_tricks.sliding_window_view(vals, k)
+                h = np.zeros(len(win), dtype=np.uint64)
+                for j in range(k):  # k vector ops, no per-position loop
+                    h = h * B + win[:, j]
+                if len(h) <= window:
+                    picks = {int(np.int64(h.min()))}
+                else:
+                    roll = np.lib.stride_tricks.sliding_window_view(h, window)
+                    picks = set(roll.min(axis=1).astype(np.int64).tolist())
+                out.append(sorted(picks))
+        finally:
+            np.seterr(**err)
         return pd.Series(out)
 
     return _winnow

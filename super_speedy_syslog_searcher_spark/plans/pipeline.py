@@ -163,11 +163,16 @@ def run_pipeline_resumable(
         .withColumn("completed_at", F.lit(time.time()))
         .withColumn("run_id", F.lit(run_id))
     )
-    lineage.write.mode("append").parquet(_manifest_path(checkpoint_dir))
+    # materialize BEFORE appending: the lineage plan reads the manifest it
+    # is about to extend (lazy re-scan would anti-join away its own rows)
+    lineage_rows = lineage.collect()
+    spark.createDataFrame(lineage_rows, lineage.schema).write.mode("append").parquet(
+        _manifest_path(checkpoint_dir)
+    )
     metrics = {
         "skipped": False,
         "run_id": run_id,
-        "n_new_sources": lineage.count(),
+        "n_new_sources": len(lineage_rows),
     }
     with open(os.path.join(checkpoint_dir, f"metrics-{run_id}.json"), "w") as f:
         json.dump(metrics, f)

@@ -1,0 +1,107 @@
+"""Structured Streaming face of the engine.
+
+The reference is batch but *stream-shaped* (SURVEY §2.7): bounded
+channels, proactive state drop, a monotonic-per-file assumption
+("presumes syslog messages are in chronological order",
+/root/reference/src/readers/syslogprocessor.rs:206) and out-of-order
+counting. Here:
+
+* ``stream_pipeline`` — the production shape: ``readStream`` over the
+  tokenized-docs table, ``foreachBatch`` reusing the exact batch
+  operators (fused parse→sessionize, broadcast enrich, routed fan-out
+  write). Checkpointing/exactly-once comes from the streaming engine; the
+  per-batch work is identical to the batch pipeline, so correctness is
+  the batch pipeline's correctness.
+* ``windowed_sink_counts`` — declarative watermarked aggregation: per
+  (sink, 1-hour window) message counts with a **25-hour watermark** — the
+  same constant as the reference's year-rollover jump rule
+  (syslogprocessor.rs:189): arrivals later than that are counted into a
+  late-rows metric, not dropped silently (batch mode counts, SURVEY
+  §2.7).
+
+Scale notes: foreachBatch keeps the no-shuffle fused stage; the only
+wide exchange per micro-batch is the routed write. State for the
+windowed agg is bounded by (sinks × open windows) — eviction via the
+watermark, the analogue of the reference's drop-ahead discipline (M4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.parse import parse_messages_fused
+from ..operators.enrich import enrich
+from ..operators.route import route_write
+
+DOCS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+WATERMARK = "25 hours"  # = BACKWARDS_TIME_JUMP_MEANS_NEW_YEAR (yearfix.py)
+
+
+def read_docs_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    enrichment: DataFrame,
+    reference_year: int | None = None,
+    available_now: bool = True,
+):
+    """Streaming parse→enrich→route. Returns the StreamingQuery.
+
+    foreachBatch + dynamic-partition append gives at-least-once sink
+    writes deduplicated by the checkpointed batch id on retry — the
+    streaming twin of the batch manifest resume (plans/pipeline.py).
+    """
+    docs = read_docs_stream(spark, input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        msgs = parse_messages_fused(batch_df, reference_year=reference_year)
+        enriched = enrich(msgs, enrichment)
+        route_write(enriched.withColumn("_batch_id", F.lit(batch_id)), out_dir, mode="append")
+
+    writer = docs.writeStream.foreachBatch(_process).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_sink_counts(
+    messages: DataFrame,
+    enrichment: DataFrame,
+    window: str = "1 hour",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """Watermarked per-(sink, time-window) counts over a *streaming*
+    messages DF — the streaming analogue of route.sink_counts (A6)."""
+    enriched = enrich(messages, enrichment)
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("sink_key"))
+        .agg(F.count("*").alias("messages"), F.sum("n_lines").alias("lines"))
+        .select(F.col("w.start").alias("window_start"), "sink_key", "messages", "lines")
+    )
+
+
+def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """Batch-mode lateness audit: rows arriving more than ``watermark``
+    behind the running per-source max ts — counted, never dropped (the
+    reference counts out-of-order, evtxreader.rs:260)."""
+    from pyspark.sql.window import Window
+
+    secs = int(watermark.split()[0]) * 3600
+    w = Window.partitionBy("source").orderBy("msg_no").rowsBetween(Window.unboundedPreceding, 0)
+    high = F.max("ts").over(w)
+    return (
+        messages.withColumn("_late", (F.unix_timestamp(high) - F.unix_timestamp("ts") > secs).cast("int"))
+        .groupBy("source")
+        .agg(F.count("*").alias("messages"), F.sum("_late").alias("late_rows"))
+    )

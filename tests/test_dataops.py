@@ -1,0 +1,231 @@
+"""Tests for the training-data operators: dedup, similarity, text stats,
+multimodal plumbing (SURVEY — 'beyond the reference' section)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def small_docs(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bend"),
+        (3, "completely different words about spark shuffles and parquet files"),
+        (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (5, "tiny"),
+    ]
+    return _docs_df(spark, base)
+
+
+class TestExactDedup:
+    def test_groups(self, spark, small_docs):
+        from super_speedy_syslog_searcher_spark.operators.dedup import exact_dedup_groups
+
+        got = {r["keeper"]: r["n_copies"] for r in exact_dedup_groups(small_docs).collect()}
+        assert got[1] == 2  # doc 4 folded into doc 1
+        assert got[2] == 1 and got[3] == 1 and got[5] == 1
+        assert 4 not in got
+
+
+class TestJaccard:
+    def test_near_dup_found_exact_not_self(self, spark, small_docs):
+        from super_speedy_syslog_searcher_spark.operators.dedup import ngram_jaccard_pairs
+
+        pairs = {(r["a"], r["b"]): r["j"] for r in ngram_jaccard_pairs(small_docs, threshold=0.5).collect()}
+        assert (1, 4) in pairs and pairs[(1, 4)] == 1.0  # exact dup
+        assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0  # one-word change
+        assert all(a < b for (a, b) in pairs)
+
+    def test_minhash_lsh_matches_exact(self, spark, small_docs):
+        from super_speedy_syslog_searcher_spark.operators.dedup import (
+            minhash_lsh_dedup_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        exact = {(r["a"], r["b"], r["j"]) for r in ngram_jaccard_pairs(small_docs, threshold=0.6).collect()}
+        lsh = {(r["a"], r["b"], r["j"]) for r in minhash_lsh_dedup_pairs(small_docs, threshold=0.6).collect()}
+        assert lsh == exact  # high-threshold regime: LSH recall ~1
+
+
+class TestSimhash:
+    def test_exact_dups_hamming_zero(self, spark, small_docs):
+        from super_speedy_syslog_searcher_spark.operators.dedup import simhash_pairs
+
+        pairs = {(r["a"], r["b"]): r["hamming"] for r in simhash_pairs(small_docs, max_hamming=3).collect()}
+        assert pairs.get((1, 4)) == 0
+
+    def test_deterministic(self, spark, small_docs):
+        from super_speedy_syslog_searcher_spark.operators.dedup import make_simhash_udf
+
+        a = small_docs.select(make_simhash_udf()(F.col("text")).alias("h")).collect()
+        b = small_docs.select(make_simhash_udf()(F.col("text")).alias("h")).collect()
+        assert [r["h"] for r in a] == [r["h"] for r in b]
+
+
+class TestSimilarity:
+    def test_topk_matches_numpy(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import cosine_topk
+
+        rng = np.random.RandomState(0)
+        vecs = rng.randn(30, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(30)], "vec_id long, embedding array<float>"
+        )
+        got = cosine_topk(df, df.filter(F.col("vec_id") < 3), k=4).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+        v = vecs.astype("float64")
+        sims = v @ v.T / (np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(v, axis=1)[None, :])
+        for q in range(3):
+            order = [i for i in np.argsort(-sims[q]) if i != q][:4]
+            assert [n for _, n in sorted(by_q[q])] == order
+
+    def test_lsh_recall(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+
+        rng = np.random.RandomState(1)
+        vecs = rng.randn(60, 8).astype("float32")
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(60)], "vec_id long, embedding array<float>"
+        )
+        q = df.filter(F.col("vec_id") < 5)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, q, k=5).collect()}
+        # low-dim random vectors have weak neighbors (cos≈0.5-0.7): use
+        # shorter hashes + more tables for a predictably-high recall regime
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_lsh(df, q, k=5, n_planes=3, n_tables=8).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.5  # tunable recall, sanity floor
+
+    def test_dup_pairs(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import cosine_dup_pairs
+
+        rng = np.random.RandomState(2)
+        vecs = rng.randn(20, 8).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+        rows += [(100 + i, [float(x) for x in vecs[i]]) for i in range(3)]  # exact copies
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        pairs = {(r["a"], r["b"]) for r in cosine_dup_pairs(df, threshold=0.99).collect()}
+        assert {(0, 100), (1, 101), (2, 102)} <= pairs
+
+
+class TestTextStats:
+    def test_quality_and_tokens(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.textstats import quality_stats, token_counts
+
+        df = _docs_df(spark, [(1, "the cat sat on a mat with a hat and a bat plus more")])
+        q = quality_stats(df).collect()[0]
+        assert q["n_words"] == 14
+        assert q["keep"] == 1
+        t = token_counts(_docs_df(spark, [(1, "ab 12 x.y")])).collect()[0]
+        assert t["ws_tokens"] == 3
+        assert t["bpe_tokens"] == 5  # ab | 12 | x | . | y
+
+    def test_fingerprint_normalizes_ws(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.textstats import content_fingerprint
+
+        df = _docs_df(spark, [(1, "Hello   World"), (2, "hello world")])
+        fps = [r["fp"] for r in content_fingerprint(df).orderBy("doc_id").collect()]
+        assert fps[0] == fps[1]
+
+    def test_winnow_shift_overlap(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.textstats import make_winnow_udf
+
+        # shared region must exceed k + 2*window chars for a guaranteed
+        # common window-minimum fingerprint
+        shared = "a long shared middle stretch of identical winnowable content"
+        df = _docs_df(spark, [(1, f"prefix {shared} suffix"), (2, f"other {shared} thing")])
+        rows = df.select(make_winnow_udf()(F.col("text")).alias("fps")).collect()
+        s1, s2 = set(rows[0]["fps"]), set(rows[1]["fps"])
+        assert s1 and s2 and s1 & s2  # shared substring → shared fingerprints
+
+
+class TestMultimodal:
+    def test_meta_extraction_and_errors(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import extract_media_meta
+
+        rows = [("a", "image", bytearray(b"AB12")), ("b", "audio", bytearray(b"xyz")), ("c", "video", bytearray(b""))]
+        df = spark.createDataFrame(rows, "media_id string, kind string, payload binary")
+        got = {r["media_id"]: r for r in extract_media_meta(df).collect()}
+        assert got["a"]["ok"] and got["a"]["width"] == ord("A") * 4 + 32
+        assert got["a"]["height"] == ord("B") * 2 + 16
+        assert got["b"]["duration_ms"] == 30
+        assert not got["c"]["ok"] and got["c"]["error"] == "empty payload"
+
+    def test_real_decoder_is_stub(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import extract_media_meta
+
+        df = spark.createDataFrame([("a", "image", bytearray(b"AB"))], "media_id string, kind string, payload binary")
+        row = extract_media_meta(df, decoder="real").collect()[0]
+        assert not row["ok"] and "decoder" in row["error"]
+
+    def test_frame_sampling(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import frame_sample_stub
+
+        df = spark.createDataFrame([("v", bytearray(bytes(300)))], "media_id string, payload binary")
+        frames = frame_sample_stub(df, every_ms=1000).collect()
+        assert len(frames) == 3  # 300 bytes * 10 ms = 3000 ms → 3 frames
+        assert [f["frame_no"] for f in frames] == [0, 1, 2]
+
+
+class TestBinaryFormats:
+    def test_fixedstruct_roundtrip_and_scoring(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+            UTMPX,
+            decode_fixedstruct,
+            pack_records,
+            time_ordered,
+        )
+
+        rows = []
+        # deliberately out of order; one null record
+        for i, sec in enumerate([300, 100, 200]):
+            rows.append(("d1", "s1", i, bytearray(pack_records(UTMPX, 7, 40 + i, f"user{i}", sec, i))))
+        rows.append(("d1", "s1", 99, bytearray(bytes(UTMPX.size))))
+        df = spark.createDataFrame(rows, "doc_id string, source string, record_no int, record binary")
+        decoded = decode_fixedstruct(df)
+        got = {r["record_no"]: r for r in decoded.collect()}
+        assert got[0]["ut_user"] == "user0" and got[0]["ut_pid"] == 40
+        assert not got[99]["valid"]
+        ranked = time_ordered(decoded).orderBy("rec_rank").collect()
+        assert [r["record_no"] for r in ranked] == [1, 2, 0]  # time order
+
+    def test_journal_precedence(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.journal import parse_journal_export
+
+        text = (
+            "__REALTIME_TIMESTAMP=1000000\nMESSAGE=a\n\n"
+            "__REALTIME_TIMESTAMP=2000000\n_SOURCE_REALTIME_TIMESTAMP=2500000\nMESSAGE=b"
+        )
+        df = spark.createDataFrame([("d", "s", text)], "doc_id string, source string, text string")
+        got = parse_journal_export(df).orderBy("entry_no").collect()
+        assert got[0]["ts"].timestamp() == 1.0
+        assert got[1]["ts"].timestamp() == 2.5  # source realtime wins
+        assert got[1]["fields"]["MESSAGE"] == "b"
+
+    def test_evtx_dedup_and_ooo(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.evtx import evtx_ordered, evtx_summary
+        from datetime import datetime
+
+        t = lambda s: datetime(2024, 1, 1, 0, 0, s)
+        rows = [
+            ("s", 1, t(10), 0), ("s", 2, t(5), 1),  # 2 arrives after 1 but is earlier → ooo
+            ("s", 3, t(20), 2), ("s", 1, t(10), 3),  # dup of record 1
+        ]
+        df = spark.createDataFrame(rows, "source string, record_id long, ts timestamp, arrival_no long")
+        out = evtx_ordered(df).orderBy("emit_rank").collect()
+        assert [r["record_id"] for r in out] == [2, 1, 3]
+        summ = evtx_summary(evtx_ordered(df)).collect()[0]
+        assert summ["events_accepted"] == 3 and summ["out_of_order"] == 1

