@@ -401,6 +401,28 @@ FROM x
 """
 
 
+def q_pipe_output_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1-O4 output projection: prepended normalized datetime + aligned
+    source name + separator, applied per line (reference PrinterLogMessage,
+    printers.rs:143; prepend fmt s4.rs:454). Family-0 slice so the oracle
+    can rebuild the exact printed line in SQL."""
+    from .operators.output import output_line
+
+    msgs = parsed_messages(spark, sf_dir).filter(F.col("source") == "ev0")
+    out = output_line(msgs, prepend_dt=True, prepend_name="source", separator="|")
+    return _with_event_id(out).select("event_id", "out_line")
+
+
+SQL_PIPE_OUTPUT_PROJECT = """
+SELECT event_id,
+       strftime(ts, '%Y%m%dT%H%M%S') || '.' || substr(strftime(ts, '%f'), 1, 3) || '+0000'
+       || '|' || 'ev0' || '|'
+       || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z host app[' || event_id || ']: '
+       || event_type || ' eid=' || event_id AS out_line
+FROM events WHERE user_id % 8 = 0
+"""
+
+
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization over the raw events stream (30-min
     inactivity gap per user) — the window-function face of P2."""
@@ -454,6 +476,7 @@ QUERIES: dict = {
     "pipe_pattern_hits": q_pipe_pattern_hits,
     "pipe_year_rollover": q_pipe_year_rollover,
     "events_sessionize_gap": q_events_sessionize_gap,
+    "pipe_output_project": q_pipe_output_project,
 }
 
 ORACLES: dict = {
@@ -466,4 +489,5 @@ ORACLES: dict = {
     "pipe_pattern_hits": SQL_PIPE_PATTERN_HITS,
     "pipe_year_rollover": SQL_PIPE_YEAR_ROLLOVER,
     "events_sessionize_gap": SQL_EVENTS_SESSIONIZE_GAP,
+    "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
 }

@@ -102,6 +102,15 @@ def _convert_matches(
         utc_ns = secs * 1_000_000_000 + ns
         return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
 
+    if getattr(pattern, "mjd", False):
+        # NTP statistics: modified Julian day + seconds past midnight UTC
+        # (MJD epoch 1858-11-17; Unix epoch = MJD 40587)
+        days = gd["mjd"].astype("int64")
+        secs = gd["sod_i"].astype("int64")
+        ns = _frac_to_ns(gd["sod_f"])
+        utc_ns = ((days - 40587) * 86400 + secs) * 1_000_000_000 + ns
+        return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
+
     if "year" in gd.columns and gd["year"].notna().all():
         year = gd["year"].astype("int64")
     elif "year2" in gd.columns:

@@ -79,6 +79,7 @@ class DTPD:
     slice_hi: int = 64
     has_year: bool = True  # False → dummy-year fill + year-inference eligible
     epoch: bool = False  # 'epoch' group = seconds (+ optional 'frac')
+    mjd: bool = False  # 'mjd' + 'sod_i'/'sod_f' groups (NTP statistics)
     # embedded test cases: (line, dt_beg, dt_end, iso_utc_microseconds, ns_rem)
     # expected values assume default tz +00:00 and default year 1972
     test_cases: tuple = field(default_factory=tuple)
@@ -269,6 +270,100 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         slice_hi=96,
         test_cases=(
             ('192.168.0.115 - - [08/Oct/2022:22:26:35 +0000] "GET / HTTP/1.1" 404 0 "-"', 19, 45, "2022-10-08T22:26:35.000000", 0),
+        ),
+    ),
+    # -- apt history / unattended-upgrades dpkg log: 'Start-Date: Y-m-d  H:M:S'
+    #    with DOUBLE space (datetime.rs:3374-3390, :2890-2905)
+    DTPD(
+        name="startdate_ymd",
+        regex=rf"^(?:Log (?:started|ended)|(?:Start|End|START|END)[- ]?(?:Date|date|DATE)):?\s{{1,2}}(?P<dt>{YEAR}-{MONTHm}-{DAY}\s{{1,2}}{HOUR}:{MIN}:{SEC})",
+        slice_lo=0,
+        slice_hi=48,
+        test_cases=(
+            ("Start-Date: 2022-07-18  19:34:46", 12, 32, "2022-07-18T19:34:46.000000", 0),
+            ("End-Date: 2022-07-18  19:35:04", 10, 30, "2022-07-18T19:35:04.000000", 0),
+            ("Log started: 2022-07-14  06:48:58", 13, 33, "2022-07-14T06:48:58.000000", 0),
+        ),
+    ),
+    # -- tomcat catalina.out: 'dd-MMM-yyyy H:M:S.fff' (datetime.rs:3610-3625)
+    DTPD(
+        name="tomcat_dby",
+        regex=rf"^(?P<dt>{DAY}-{MONTHb}-{YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)",
+        slice_lo=0,
+        slice_hi=32,
+        test_cases=(
+            ("08-Feb-2023 12:12:09.827 INFO [main] org.apache.coyote.AbstractProtocol.init", 0, 24, "2023-02-08T12:12:09.827000", 0),
+        ),
+    ),
+    # -- ctime/asctime: 'Sat Oct 03 11:26:12 2020' (proftpd xferlog,
+    #    datetime.rs:4189; upstart with TZ before year, :4014; apport
+    #    mid-line, :3830)
+    DTPD(
+        name="ctime",
+        regex=rf"(?:^|[^A-Za-z])(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun) (?P<dt>{MONTHb} {DAYe} {HOUR}:{MIN}:{SEC}(?: {TZNAME})? {YEAR})(?:[^\d]|$)",
+        slice_lo=0,
+        slice_hi=96,
+        test_cases=(
+            ("Sat Oct 03 11:26:12 2020 0 192.168.0.8 0 /var/log/proftpd/xferlog b _ o r root ftp", 4, 24, "2020-10-03T11:26:12.000000", 0),
+            ("Mon Dec 5 21:01:12 PST 2016 try umount root [1] times", 4, 27, "2016-12-06T05:01:12.000000", 0),
+            ("ERROR: apport (pid 5009) Thu Aug  4 00:30:28 2022: called for pid 1549", 29, 49, "2022-08-04T00:30:28.000000", 0),
+        ),
+    ),
+    # -- 'YYYY Mon DD H:M:S TZ' (logs/other/tests/dtf14a.log, datetime.rs:4217)
+    DTPD(
+        name="ymd_b_named_tz",
+        regex=rf"^(?P<dt>{YEAR} {MONTHb} {DAYe} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?(?: {TZNAME})?)(?: |$)",
+        slice_lo=0,
+        slice_hi=40,
+        test_cases=(
+            ("2023 Aug 31 20:01:05 UTC [ERROR] dev-disk-a error 0x08320105", 0, 24, "2023-08-31T20:01:05.000000", 0),
+        ),
+    ),
+    # -- NTP statistics files (loopstats/clockstats/peerstats): modified
+    #    Julian day + seconds past midnight UTC (datetime.rs:3048-3100)
+    DTPD(
+        name="ntp_mjd",
+        regex=r"^(?P<dt>(?P<mjd>\d{5}) (?P<sod_i>\d{1,5})\.(?P<sod_f>\d{1,6}))\s",
+        slice_lo=0,
+        slice_hi=16,
+        mjd=True,
+        test_cases=(
+            ("59955 725.605 -0.002167105 47.876 0.012528010 1.558579 9", 0, 13, "2023-01-11T00:12:05.605000", 0),
+        ),
+    ),
+    # -- Windows ReportingEvents.log: seconds-to-fractional divider is ':'
+    #    (datetime.rs:4353-4375; the file itself is UTF-16 — Issue #16 —
+    #    but the decoded shape is parseable here)
+    DTPD(
+        name="reporting_events",
+        regex=rf"(?P<dt>{YEAR}-{MONTHm}-{DAY} {HOUR}:{MIN}:{SEC}:(?P<frac>\d{{3}}){TZNUM})",
+        slice_lo=0,
+        slice_hi=96,
+        test_cases=(
+            ("{5F45546A-691D-4519-810C-9B159EA7A24F}  2022-10-12 09:26:44:980-0700    1       181", 40, 68, "2022-10-12T16:26:44.980000", 0),
+        ),
+    ),
+    # -- JSONL timestamp fields (datetime.rs:4376-4570)
+    DTPD(
+        name="jsonl_timestamp",
+        regex=rf"\"(?:@?timestamp|time|datetime|date|ts)\"\s*:\s*\"(?P<dt>{YEAR}-{MONTHm}-{DAY}[T ]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})? ?{TZNUM}?)\"",
+        slice_lo=0,
+        slice_hi=1024,
+        test_cases=(
+            ('{"level":"INFO","message":"Started","timestamp":"2024-04-08T21:55:48.726Z"}', 49, 73, "2024-04-08T21:55:48.726000", 0),
+            ('{"ts": "2024-04-08 21:55:48"}', 8, 27, "2024-04-08T21:55:48.000000", 0),
+        ),
+    ),
+    # -- Chrome cv_debug.log '"logTime": "MMDD/HHMMSS"' — no year
+    #    (datetime.rs:4571-4589)
+    DTPD(
+        name="chrome_logtime",
+        regex=r"\"logTime\":\s*\"(?P<dt>(?P<month>\d{2})(?P<day>\d{2})/(?P<hour>\d{2})(?P<minute>\d{2})(?P<second>\d{2}))\"",
+        slice_lo=0,
+        slice_hi=64,
+        has_year=False,
+        test_cases=(
+            ('{"logTime": "0226/052726", "correlationVector":"C3BF38D097234ED3A46F33A1C497BF65"}', 13, 24, "1972-02-26T05:27:26.000000", 0),
         ),
     ),
     # -- general unanchored fallbacks, first 1024 chars (datetime.rs:4590)

@@ -80,6 +80,153 @@ TZ_ABBREV_TO_OFFSET: dict[str, str] = {
     "HDT": "-09:00",
     "HST": "-10:00",
     "SST": "-11:00",
+    # -- Europe / Africa
+    "IRDT": "+04:30",
+    "WAST": "+02:00",
+    "CVT": "-01:00",
+    "MET": "+01:00",
+    "MEST": "+02:00",
+    "TRT": "+03:00",
+    "FET": "+03:00",
+    "SYOT": "+03:00",
+    "AZT": "+04:00",
+    "GET": "+04:00",
+    "SAMT": "+04:00",
+    "MUT": "+04:00",
+    "RET": "+04:00",
+    "SCT": "+04:00",
+    "AFT": "+04:30",
+    # -- Asia
+    "YEKT": "+05:00",
+    "TJT": "+05:00",
+    "TMT": "+05:00",
+    "UZT": "+05:00",
+    "MVT": "+05:00",
+    "SLST": "+05:30",
+    "OMST": "+06:00",
+    "BST-BD": "+06:00",
+    "KGT": "+06:00",
+    "ALMT": "+06:00",
+    "MMT": "+06:30",
+    "CCT": "+06:30",
+    "KRAT": "+07:00",
+    "NOVT": "+07:00",
+    "HOVT": "+07:00",
+    "WITA": "+08:00",
+    "MYT": "+08:00",
+    "PHT": "+08:00",
+    "PHST": "+08:00",
+    "BNT": "+08:00",
+    "IRKT": "+08:00",
+    "ULAT": "+08:00",
+    "CHOT": "+08:00",
+    "TWT": "+08:00",
+    "WIT": "+09:00",
+    "YAKT": "+09:00",
+    "TLT": "+09:00",
+    "PWT": "+09:00",
+    "JDT": "+10:00",
+    "PGT": "+10:00",
+    "CHUT": "+10:00",
+    "DDUT": "+10:00",
+    "LHST": AMBIGUOUS,  # Lord Howe standard/daylight
+    "MAGT": "+11:00",
+    "SAKT": "+11:00",
+    "SBT": "+11:00",
+    "VUT": "+11:00",
+    "NCT": "+11:00",
+    "PONT": "+11:00",
+    "KOST": "+11:00",
+    "NFT": "+11:00",
+    "PETT": "+12:00",
+    "ANAT": "+12:00",
+    "FJT": "+12:00",
+    "TVT": "+12:00",
+    "MHT": "+12:00",
+    "NRT": "+12:00",
+    "GILT": "+12:00",
+    "WAKT": "+12:00",
+    "CHAST": "+12:45",
+    "CHADT": "+13:45",
+    "PHOT": "+13:00",
+    "TKT": "+13:00",
+    "TOT": "+13:00",
+    "WST": AMBIGUOUS,  # Samoa / West Africa Summer (historic)
+    "LINT": "+14:00",
+    # -- Americas / Atlantic / Pacific
+    "AZOST": "+00:00",
+    "EGT": "-01:00",
+    "EGST": "+00:00",
+    "GST-2": "-02:00",
+    "BRST": "-02:00",
+    "FNT": "-02:00",
+    "PMDT": "-02:00",
+    "UYST": "-02:00",
+    "WGST": "-02:00",
+    "ART": "-03:00",
+    "BRT": "-03:00",
+    "CLST": "-03:00",
+    "FKST": "-03:00",
+    "GFT": "-03:00",
+    "PMST": "-03:00",
+    "PYST": "-03:00",
+    "ROTT": "-03:00",
+    "SRT": "-03:00",
+    "UYT": "-03:00",
+    "WGT": "-03:00",
+    "AMST": AMBIGUOUS,  # Amazon Summer / Armenia Summer
+    "BOT": "-04:00",
+    "CLT": "-04:00",
+    "COST": "-04:00",
+    "FKT": "-04:00",
+    "GYT": "-04:00",
+    "PYT": "-04:00",
+    "VET": "-04:00",
+    "AMT": AMBIGUOUS,  # Amazon / Armenia
+    "ACT": AMBIGUOUS,  # Acre / ACST alias
+    "COT": "-05:00",
+    "ECT": "-05:00",
+    "PET": "-05:00",
+    "EASST": "-05:00",
+    "CIST": "-05:00",
+    "EAST": "-06:00",
+    "GALT": "-06:00",
+    "CCST": "-06:00",
+    "PMT": AMBIGUOUS,
+    "TAHT": "-10:00",
+    "CKT": "-10:00",
+    "MART": "-09:30",
+    "GAMT": "-09:00",
+    "PIT": "-08:00",
+    "NUT": "-11:00",
+    "MIT": "-09:30",
+    "BIT": "-12:00",
+    "IDLW": "-12:00",
+    # -- military single letters (RFC 822 / zulu family)
+    "A": "+01:00",
+    "B": "+02:00",
+    "C": "+03:00",
+    "D": "+04:00",
+    "E": "+05:00",
+    "F": "+06:00",
+    "G": "+07:00",
+    "H": "+08:00",
+    "I": "+09:00",
+    "K": "+10:00",
+    "L": "+11:00",
+    "M": "+12:00",
+    "N": "-01:00",
+    "O": "-02:00",
+    "P": "-03:00",
+    "Q": "-04:00",
+    "R": "-05:00",
+    "S": "-06:00",
+    "T": "-07:00",
+    "U": "-08:00",
+    "V": "-09:00",
+    "W": "-10:00",
+    "X": "-11:00",
+    "Y": "-12:00",
 }
 
 # uppercase lookup table (abbreviations match case-insensitively)
