@@ -83,23 +83,59 @@ def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
     return pd.Series(out, index=tokens.index)
 
 
-def _split_doc(tokens: np.ndarray) -> tuple[list[np.ndarray], list[str]]:
-    """Split one doc's token array on NEWLINE_TOKEN into per-line slices."""
-    arr = np.asarray(tokens, dtype=np.int32)
-    cuts = np.flatnonzero(arr == NEWLINE_TOKEN)
-    parts = np.split(arr, cuts + 1)
-    # each part except possibly the last ends with the newline token; strip it
-    lines = []
-    for p in parts:
-        if len(p) and p[-1] == NEWLINE_TOKEN:
-            p = p[:-1]
-        lines.append(p)
-    # trailing newline produces one empty trailing part — drop it (a final
-    # '\n' terminates the last line, it does not open a new empty line)
-    if len(lines) > 1 and len(lines[-1]) == 0 and len(arr) and arr[-1] == NEWLINE_TOKEN:
-        lines.pop()
-    texts = [p.astype(np.uint32).tobytes().decode("utf-32-le") for p in lines]
-    return lines, texts
+def split_docs_batch(doc_ids, sources, tokens) -> pd.DataFrame:
+    """Vectorized doc→lines split for a WHOLE batch: one concatenate, one
+    newline scan, offset arithmetic — no per-doc Python loop. Line token
+    slices are numpy views into the flat buffer (zero-copy until Arrow).
+
+    Returns a pandas frame with LINES_SCHEMA columns.
+    """
+    n_docs = len(doc_ids)
+    if n_docs == 0:
+        return pd.DataFrame({
+            "doc_id": pd.Series(dtype=object), "source": pd.Series(dtype=object),
+            "line_no": pd.array([], dtype="int32"), "line_tokens": pd.Series(dtype=object),
+            "text": pd.Series(dtype=object),
+        })
+    arrs = [np.asarray(t, dtype=np.int32) for t in tokens]
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=n_docs)
+    flat = np.concatenate(arrs) if len(arrs) > 1 else arrs[0]
+    doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    doc_ends = doc_starts + lens
+
+    nl = np.flatnonzero(flat == NEWLINE_TOKEN)
+    nl_doc = np.searchsorted(doc_ends, nl, side="right")  # doc index per newline
+    starts_from_nl = nl + 1
+    keep = starts_from_nl < doc_ends[nl_doc]  # trailing '\n' opens no empty line
+    line_starts = np.sort(np.concatenate((doc_starts[lens > 0], starts_from_nl[keep])))
+    line_doc = np.searchsorted(doc_ends, line_starts, side="right")
+    # line end = next newline at/after the start, capped at the OWN doc's
+    # end (a neighbouring doc's boundary offset must never terminate a line)
+    if len(nl):
+        nxt = np.searchsorted(nl, line_starts, side="left")
+        cand = np.where(nxt < len(nl), nl[np.minimum(nxt, len(nl) - 1)], np.iinfo(np.int64).max)
+    else:
+        cand = np.full(len(line_starts), np.iinfo(np.int64).max)
+    line_ends = np.minimum(cand, doc_ends[line_doc])
+    # line_no = running index within each doc
+    first_of_doc = np.concatenate(([True], line_doc[1:] != line_doc[:-1]))
+    idx = np.arange(len(line_starts))
+    line_no = idx - np.maximum.accumulate(np.where(first_of_doc, idx, 0))
+
+    all_text = flat.astype(np.uint32, copy=False).tobytes().decode("utf-32-le")
+    texts = [all_text[s:e] for s, e in zip(line_starts.tolist(), line_ends.tolist())]
+    toks = [flat[s:e] for s, e in zip(line_starts.tolist(), line_ends.tolist())]
+    ids = np.asarray(doc_ids, dtype=object)
+    srcs = np.asarray(sources, dtype=object)
+    return pd.DataFrame(
+        {
+            "doc_id": ids[line_doc],
+            "source": srcs[line_doc],
+            "line_no": pd.array(line_no, dtype="int32"),
+            "line_tokens": toks,
+            "text": texts,
+        }
+    )
 
 
 def explode_lines(docs: DataFrame) -> DataFrame:
@@ -111,24 +147,7 @@ def explode_lines(docs: DataFrame) -> DataFrame:
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_src, out_no, out_tok, out_txt = [], [], [], [], []
-            for doc_id, source, toks in zip(pdf["doc_id"], pdf["source"], pdf["tokens"]):
-                lines, texts = _split_doc(toks)
-                n = len(lines)
-                out_doc.extend([doc_id] * n)
-                out_src.extend([source] * n)
-                out_no.extend(range(n))
-                out_tok.extend(lines)
-                out_txt.extend(texts)
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_doc,
-                    "source": out_src,
-                    "line_no": pd.array(out_no, dtype="int32"),
-                    "line_tokens": out_tok,
-                    "text": out_txt,
-                }
-            )
+            yield split_docs_batch(pdf["doc_id"].to_numpy(), pdf["source"].to_numpy(), pdf["tokens"])
 
     return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=LINES_SCHEMA)
 

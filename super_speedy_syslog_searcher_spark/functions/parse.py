@@ -331,7 +331,7 @@ def parse_docs_fused(
     """
     from collections.abc import Iterator
 
-    from .codec import LINES_SCHEMA, _split_doc
+    from .codec import LINES_SCHEMA, split_docs_batch
 
     locked_map: dict[str, int] = {}
     if lock_patterns:
@@ -353,33 +353,14 @@ def parse_docs_fused(
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_src, out_no, out_tok, out_txt = [], [], [], [], []
-            for doc_id, source, toks in zip(pdf["doc_id"], pdf["source"], pdf["tokens"]):
-                toks_list, texts = _split_doc(toks)
-                n = len(toks_list)
-                out_doc.extend([doc_id] * n)
-                out_src.extend([source] * n)
-                out_no.extend(range(n))
-                out_tok.extend(toks_list)
-                out_txt.extend(texts)
-            text = pd.Series(out_txt, dtype=object)
-            src = pd.Series(out_src, dtype=object)
-            locked = src.map(locked_map) if locked_map else None
-            p = parse_series(text, default_tz_minutes=tz_min, reference_year=reference_year, locked=locked)
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_doc,
-                    "source": src,
-                    "line_no": pd.array(out_no, dtype="int32"),
-                    "line_tokens": out_tok,
-                    "text": text,
-                    "ts": p["ts"],
-                    "ts_ns": p["ts_ns"],
-                    "dt_beg": p["dt_beg"],
-                    "dt_end": p["dt_end"],
-                    "pattern_id": p["pattern_id"],
-                }
+            lines = split_docs_batch(pdf["doc_id"].to_numpy(), pdf["source"].to_numpy(), pdf["tokens"])
+            locked = lines["source"].map(locked_map) if locked_map else None
+            p = parse_series(
+                lines["text"], default_tz_minutes=tz_min, reference_year=reference_year, locked=locked
             )
+            for c in ("ts", "ts_ns", "dt_beg", "dt_end", "pattern_id"):
+                lines[c] = p[c].to_numpy() if c != "ts" else p[c]
+            yield lines
 
     return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=schema)
 
@@ -406,7 +387,7 @@ def parse_messages_fused(
     from collections.abc import Iterator
 
     from ..operators.sessionize import MESSAGES_SCHEMA, _emit_messages
-    from .codec import _split_doc
+    from .codec import split_docs_batch
 
     locked_map: dict[str, int] = {}
     if lock_patterns:
@@ -419,33 +400,13 @@ def parse_messages_fused(
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out_doc, out_src, out_no, out_tok, out_txt = [], [], [], [], []
-            for doc_id, source, toks in zip(pdf["doc_id"], pdf["source"], pdf["tokens"]):
-                toks_list, texts = _split_doc(toks)
-                n = len(toks_list)
-                out_doc.extend([doc_id] * n)
-                out_src.extend([source] * n)
-                out_no.extend(range(n))
-                out_tok.extend(toks_list)
-                out_txt.extend(texts)
-            text = pd.Series(out_txt, dtype=object)
-            src = pd.Series(out_src, dtype=object)
-            locked = src.map(locked_map) if locked_map else None
-            p = parse_series(text, default_tz_minutes=tz_min, reference_year=reference_year, locked=locked)
-            lines = pd.DataFrame(
-                {
-                    "doc_id": out_doc,
-                    "source": src,
-                    "line_no": pd.array(out_no, dtype="int32"),
-                    "line_tokens": out_tok,
-                    "text": text,
-                    "ts": p["ts"],
-                    "ts_ns": p["ts_ns"],
-                    "dt_beg": p["dt_beg"],
-                    "dt_end": p["dt_end"],
-                    "pattern_id": p["pattern_id"],
-                }
+            lines = split_docs_batch(pdf["doc_id"].to_numpy(), pdf["source"].to_numpy(), pdf["tokens"])
+            locked = lines["source"].map(locked_map) if locked_map else None
+            p = parse_series(
+                lines["text"], default_tz_minutes=tz_min, reference_year=reference_year, locked=locked
             )
+            for c in ("ts", "ts_ns", "dt_beg", "dt_end", "pattern_id"):
+                lines[c] = p[c].to_numpy() if c != "ts" else p[c]
             yield _emit_messages(lines)
 
     return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=MESSAGES_SCHEMA)

@@ -70,19 +70,24 @@ def _emit_messages(pdf: pd.DataFrame) -> pd.DataFrame:
     toks = kept["line_tokens"].to_numpy()
     nl = np.array([NEWLINE_TOKEN], dtype=np.int32)
 
-    out_text, out_tokens = [], []
-    for s, e in zip(starts, ends):
-        if e - s == 1:
-            out_text.append(texts[s])
-            out_tokens.append(np.asarray(toks[s], dtype=np.int32))
-        else:
-            out_text.append("\n".join(texts[s:e]))
-            parts = []
-            for j in range(s, e):
-                if j > s:
-                    parts.append(nl)
-                parts.append(np.asarray(toks[j], dtype=np.int32))
-            out_tokens.append(np.concatenate(parts))
+    sizes = ends - starts
+    out_text = np.empty(len(starts), dtype=object)
+    out_tokens = np.empty(len(starts), dtype=object)
+    single = sizes == 1
+    # fast path: single-line messages (the common case) — no Python loop
+    s_idx = starts[single]
+    out_text[single] = texts[s_idx]
+    out_tokens[single] = toks[s_idx]
+    # slow path: only genuinely multi-line messages assemble in a loop
+    for k in np.flatnonzero(~single):
+        s, e = starts[k], ends[k]
+        out_text[k] = "\n".join(texts[s:e])
+        parts = []
+        for j in range(s, e):
+            if j > s:
+                parts.append(nl)
+            parts.append(np.asarray(toks[j], dtype=np.int32))
+        out_tokens[k] = np.concatenate(parts)
 
     first = kept.iloc[starts].reset_index(drop=True)
     return pd.DataFrame(
