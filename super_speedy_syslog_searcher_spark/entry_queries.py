@@ -245,21 +245,21 @@ GROUP BY source
 
 def q_pipe_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global merge-sort with stable tie-break (ts, ts_ns, source_order,
-    doc_id, msg_no); rank materialized so the order-insensitive hash still
-    verifies ORDER."""
-    from pyspark.sql.window import Window
+    doc_id, msg_no); the global rank is materialized (scalable
+    offset-broadcast zipWithIndex, no single-partition window) so the
+    driver's order-insensitive hash still verifies ORDER."""
+    from .operators.merge import with_global_rank
 
     # filter FIRST so the repeated jobs below (source-order collect, range
-    # sampling, rank window) re-execute only the small in-range slice; at
-    # production scale the equivalent is ts-partition pruning before sort
+    # sampling, partition-count collect) re-execute only the small
+    # in-range slice; at production scale the equivalent is ts-partition
+    # pruning before the sort
     msgs = parsed_messages(spark, sf_dir).filter(F.dayofmonth("ts") == 5).persist()
-    merged = global_sort(with_source_order(msgs))
-    out = (
+    merged = with_global_rank(global_sort(with_source_order(msgs)))
+    return (
         _with_event_id(merged)
-        .withColumn("rn", F.row_number().over(Window.orderBy(*SORT_KEYS)))
-        .select("rn", "event_id")
+        .select((F.col("rank") + 1).alias("rn"), "event_id")
     )
-    return out
 
 
 SQL_PIPE_MERGE_ORDER = f"""
@@ -423,6 +423,40 @@ FROM events WHERE user_id % 8 = 0
 """
 
 
+def q_pipe_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejects channel: docs with no parseable datetime anywhere land in
+    the rejects table as no_syslines_found (reference
+    FileErrNoSyslinesFound, syslogprocessor.rs:911). Every 10th event is
+    rendered datetime-less."""
+    from .functions.parse import parse_messages_fused
+    from .operators.rejects import doc_rejects
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    line = F.when(
+        F.col("event_id") % 10 == 0,
+        F.concat(F.lit("plain message without any date marker eid="), F.col("event_id")),
+    ).otherwise(_line_expr())
+    docs = (
+        ev.select(_doc_id_expr().alias("doc_id"), _source_expr().alias("source"), line.alias("text"))
+        .withColumn("tokens", encode_text_udf("text"))
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+    )
+    msgs = parse_messages_fused(docs, reference_year=REFERENCE_YEAR)
+    rej = doc_rejects(msgs, docs)
+    return rej.select(
+        F.substring("doc_id", 2, 12).cast("bigint").alias("event_id"),
+        "error_kind",
+        "source",
+    )
+
+
+SQL_PIPE_REJECTS = """
+SELECT event_id, 'no_syslines_found' AS error_kind, 'ev' || (user_id % 8) AS source
+FROM events WHERE event_id % 10 = 0
+"""
+
+
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization over the raw events stream (30-min
     inactivity gap per user) — the window-function face of P2."""
@@ -477,6 +511,7 @@ QUERIES: dict = {
     "pipe_year_rollover": q_pipe_year_rollover,
     "events_sessionize_gap": q_events_sessionize_gap,
     "pipe_output_project": q_pipe_output_project,
+    "pipe_rejects": q_pipe_rejects,
 }
 
 ORACLES: dict = {
@@ -490,4 +525,5 @@ ORACLES: dict = {
     "pipe_year_rollover": SQL_PIPE_YEAR_ROLLOVER,
     "events_sessionize_gap": SQL_EVENTS_SESSIONIZE_GAP,
     "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
+    "pipe_rejects": SQL_PIPE_REJECTS,
 }
