@@ -103,11 +103,24 @@ def run_bench(spark, sf_dir: str) -> dict:
         pattern_hit_miss(parsed).collect()
         parsed.unpersist()
 
+    # q6/q7: training-data operators over the documents/embeddings tables
+    def q_dedup():
+        from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
+
+        EQD.q_dedup_minhash_lsh(spark, sf_dir).count()
+
+    def q_ann():
+        from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
+
+        EQD.q_ann_cosine_topk(spark, sf_dir).count()
+
     timed("e2e_parse_enrich_route_agg", q_e2e)
     timed("parse_only", q_parse)
     timed("dt_filter_agg", q_filter)
     timed("merge_sort", q_merge)
     timed("summary_rollup", q_summary)
+    timed("dedup_minhash_lsh", q_dedup)
+    timed("ann_cosine_topk", q_ann)
 
     e2e = timings["e2e_parse_enrich_route_agg"]
     return {

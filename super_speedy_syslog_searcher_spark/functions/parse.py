@@ -92,7 +92,10 @@ def _convert_matches(
     reference_year: int | None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Matched rows → (utc_ns int64 epoch, ns_rem int16, ok bool)."""
-    gd = pd.DataFrame([m.groupdict() for m in matches])
+    # build group columns directly (m.group(name) is a C-level call);
+    # per-match groupdict() would allocate a dict per row
+    names = [g for g in matches[0].re.groupindex if g != "dt"]
+    gd = pd.DataFrame({g: [m.group(g) for m in matches] for g in names}, dtype=object)
     n = len(gd)
     ok = pd.Series(True, index=gd.index)
 
@@ -189,10 +192,12 @@ def parse_series(
         idx = np.flatnonzero(row_mask)
         if len(idx) == 0:
             return
-        sliced = text.iloc[idx]
+        sliced = text.iloc[idx].tolist()
         if pat.slice_lo or pat.slice_hi < 4096:
-            sliced = sliced.str.slice(pat.slice_lo, pat.slice_hi)
-        matches = [rx.search(s) for s in sliced]
+            lo, hi = pat.slice_lo, pat.slice_hi
+            sliced = [s[lo:hi] for s in sliced]
+        search = rx.search
+        matches = [search(s) for s in sliced]
         hit_rows = [i for i, m in zip(idx, matches) if m is not None]
         hit_matches = [m for m in matches if m is not None]
         if not hit_rows:
