@@ -30,10 +30,10 @@ from pyspark.sql import functions as F
 from .functions.codec import encode_text_udf, explode_lines
 from .functions.parse import parse_lines, vote_lines_from_docs
 from .operators.enrich import enrich
-from .operators.merge import SORT_KEYS, global_sort, with_source_order
+from .operators.merge import global_sort, with_source_order
 from .operators.route import sink_counts
 from .operators.sessionize import sessionize
-from .operators.summary import pattern_hit_miss, source_summary
+from .operators.summary import source_summary
 from .operators.yearfix import infer_years
 
 REFERENCE_YEAR = 2024  # events corpus is Jan 2024
@@ -42,7 +42,7 @@ REFERENCE_YEAR = 2024  # events corpus is Jan 2024
 US_EXACT_FAMS = (0, 1, 4)
 
 # expected winning DTPD pattern per family (table order = dispatch order;
-# verified by tests/test_entry_queries.py)
+# pinned by tests/test_entry_contract.py)
 FAMILY_PATTERN_ID = {0: 5, 1: 2, 2: 18, 3: 13, 4: 16, 5: 14, 6: 8, 7: 10}
 
 # deterministic enrichment rows for the 8 rendered sources; mirrored

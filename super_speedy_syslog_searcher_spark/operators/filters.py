@@ -70,14 +70,20 @@ _SECONDS = {"w": 7 * 86400, "d": 86400, "h": 3600, "m": 60, "s": 1}
 
 # accepted absolute forms (subset of the reference's 76 — each optional
 # fractional part and tz handled by post-processing, so the list stays short)
+# (fmt, date_only, exact_len) — exact_len disambiguates the compact
+# separator-less forms (strptime would let %M/%S swallow short digits)
 _ABS_FORMS = [
-    ("%Y%m%dT%H%M%S", False),
-    ("%Y-%m-%d %H:%M:%S", False),
-    ("%Y-%m-%dT%H:%M:%S", False),
-    ("%Y/%m/%d %H:%M:%S", False),
-    ("%Y-%m-%d", True),
-    ("%Y/%m/%d", True),
-    ("%Y%m%d", True),
+    ("%Y%m%dT%H%M%S", False, 15),
+    ("%Y-%m-%d %H:%M:%S", False, None),
+    ("%Y-%m-%dT%H:%M:%S", False, None),
+    ("%Y/%m/%d %H:%M:%S", False, None),
+    ("%Y%m%dT%H%M", False, 13),
+    ("%Y-%m-%d %H:%M", False, None),
+    ("%Y-%m-%dT%H:%M", False, None),
+    ("%Y/%m/%d %H:%M", False, None),
+    ("%Y-%m-%d", True, None),
+    ("%Y/%m/%d", True, None),
+    ("%Y%m%d", True, 8),
 ]
 
 
@@ -123,7 +129,9 @@ def parse_dt_filter(
         if mfrac:
             frac_us = int(mfrac.group(1).ljust(9, "0")[:6])
             body = body[: mfrac.start()]
-        for fmt, _date_only in _ABS_FORMS:
+        for fmt, _date_only, exact_len in _ABS_FORMS:
+            if exact_len is not None and len(body) != exact_len:
+                continue
             try:
                 # date-only forms get midnight implicitly (s4.rs:444-448)
                 return datetime.strptime(body, fmt), frac_us
