@@ -321,8 +321,8 @@ WITH per AS (
          CASE WHEN event_type = 'error' THEN 3 ELSE 1 END AS nl
   FROM events
 )
-SELECT source, sum(nl) AS lines_processed, count(*) AS lines_with_dt,
-       0 AS lines_dropped, count(*) AS syslines
+SELECT source, CAST(sum(nl) AS BIGINT) AS lines_processed, count(*) AS lines_with_dt,
+       CAST(0 AS BIGINT) AS lines_dropped, count(*) AS syslines
 FROM per GROUP BY ROLLUP (source)
 """
 
@@ -457,6 +457,40 @@ FROM events WHERE event_id % 10 = 0
 """
 
 
+def q_pipe_tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TZ normalization roundtrip: every event rendered in a DIFFERENT
+    numeric utc-offset (−02:00 … +02:00 by event_id); parse must resolve
+    each back to the same UTC instant (reference normalizes every message
+    to a fixed offset, datetime.rs:132; tz capture groups :1880-1902)."""
+    from .functions.parse import parse_messages_fused
+
+    _utc(spark)
+    ev = _events(spark, sf_dir)
+    off = (F.col("event_id") % 5) - 2
+    local_ts = F.col("ts") + F.make_dt_interval(hours=off)
+    tzs = F.concat(
+        F.when(off < 0, F.lit("-")).otherwise(F.lit("+")),
+        F.lpad(F.abs(off).cast("string"), 2, "0"),
+        F.lit("00"),
+    )
+    line = F.concat(
+        F.date_format(local_ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), tzs,
+        F.lit(" host app: "), F.col("event_type"), F.lit(" eid="), F.col("event_id"),
+    )
+    docs = (
+        ev.select(_doc_id_expr().alias("doc_id"), _source_expr().alias("source"), line.alias("text"))
+        .withColumn("tokens", encode_text_udf("text"))
+        .select("doc_id", "tokens", F.size("tokens").alias("n_tok"), "source")
+    )
+    msgs = parse_messages_fused(docs, reference_year=REFERENCE_YEAR, lock_patterns=False)
+    return _with_event_id(msgs).select("event_id", "ts")
+
+
+SQL_PIPE_TZ_NORMALIZE = """
+SELECT event_id, ts FROM events
+"""
+
+
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization over the raw events stream (30-min
     inactivity gap per user) — the window-function face of P2."""
@@ -512,6 +546,7 @@ QUERIES: dict = {
     "events_sessionize_gap": q_events_sessionize_gap,
     "pipe_output_project": q_pipe_output_project,
     "pipe_rejects": q_pipe_rejects,
+    "pipe_tz_normalize": q_pipe_tz_normalize,
 }
 
 ORACLES: dict = {
@@ -526,4 +561,5 @@ ORACLES: dict = {
     "events_sessionize_gap": SQL_EVENTS_SESSIONIZE_GAP,
     "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
     "pipe_rejects": SQL_PIPE_REJECTS,
+    "pipe_tz_normalize": SQL_PIPE_TZ_NORMALIZE,
 }

@@ -51,8 +51,8 @@ def quality_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Per-doc curation metrics + a simple keep/drop flag."""
     out = df.select(
         F.col(id_col),
-        F.length(text_col).alias("n_chars"),
-        n_words_col(text_col).alias("n_words"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+        n_words_col(text_col).cast("bigint").alias("n_words"),
         avg_word_len_col(text_col).alias("avg_word_len"),
         stop_ratio_col(text_col).alias("stop_ratio"),
         punct_ratio_col(text_col).alias("punct_ratio"),
@@ -78,15 +78,15 @@ def langid(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Dat
 
 def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Whitespace token count + BPE-ish regex token count."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
-    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+")).cast("bigint")
+    bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0)).cast("bigint")
     return df.select(F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens"))
 
 
 def content_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Canonical content hash: lowercase, collapse whitespace, md5."""
     norm = F.lower(F.regexp_replace(F.col(text_col), "\\s+", " "))
-    return df.select(F.col(id_col), F.md5(norm.cast("binary")).alias("fp"), F.length(norm).alias("norm_len"))
+    return df.select(F.col(id_col), F.md5(norm.cast("binary")).alias("fp"), F.length(norm).cast("bigint").alias("norm_len"))
 
 
 def make_winnow_udf(k: int = 5, window: int = 8):
