@@ -491,6 +491,39 @@ SELECT event_id, ts FROM events
 """
 
 
+def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of the pipeline: readStream over the tokenized
+    corpus → foreachBatch(parse→enrich→route append) with checkpointed
+    batches → per-sink counts from the committed sink. Expected output is
+    identical to the batch path (pipe_enrich_sinks) — the per-batch work
+    IS the batch pipeline."""
+    import shutil
+    import tempfile
+
+    from .operators.route import sink_counts_from_path
+    from .streaming.pipeline import stream_pipeline
+
+    _utc(spark)
+    work = tempfile.mkdtemp(prefix="s4spark_stream_q_")
+    try:
+        docs_dir, out_dir, ckpt = f"{work}/docs", f"{work}/out", f"{work}/ckpt"
+        rendered_docs(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(docs_dir)
+        q = stream_pipeline(
+            spark, docs_dir, out_dir, ckpt, enrichment_df(spark),
+            reference_year=REFERENCE_YEAR,
+        )
+        q.awaitTermination(600)
+        counts = (
+            sink_counts_from_path(spark, out_dir)
+            .select("sink_key", "messages", "lines", "dt_first", "dt_last")
+        )
+        # materialize before the temp dir disappears
+        rows = counts.collect()
+        return spark.createDataFrame(rows, counts.schema)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization over the raw events stream (30-min
     inactivity gap per user) — the window-function face of P2."""
@@ -547,6 +580,7 @@ QUERIES: dict = {
     "pipe_output_project": q_pipe_output_project,
     "pipe_rejects": q_pipe_rejects,
     "pipe_tz_normalize": q_pipe_tz_normalize,
+    "stream_enrich_sinks": q_stream_enrich_sinks,
 }
 
 ORACLES: dict = {
@@ -562,4 +596,5 @@ ORACLES: dict = {
     "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
     "pipe_rejects": SQL_PIPE_REJECTS,
     "pipe_tz_normalize": SQL_PIPE_TZ_NORMALIZE,
+    "stream_enrich_sinks": SQL_PIPE_ENRICH_SINKS,
 }

@@ -229,3 +229,26 @@ class TestBinaryFormats:
         assert [r["record_id"] for r in out] == [2, 1, 3]
         summ = evtx_summary(evtx_ordered(df)).collect()[0]
         assert summ["events_accepted"] == 3 and summ["out_of_order"] == 1
+
+
+class TestLayoutElection:
+    def test_mixed_layouts_elected_per_source(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+            UTMP32,
+            UTMPX,
+            decode_fixedstruct,
+            elect_layouts,
+            pack_records,
+        )
+
+        rows = []
+        for i in range(12):
+            rows.append(("dx", "big.src", i, bytearray(pack_records(UTMPX, 2, 100 + i, f"ux{i}", 1000 + i, 0))))
+            rows.append(("dy", "small.src", i, bytearray(pack_records(UTMP32, 3, 200 + i, f"uy{i}", 2000 + i, 0))))
+        df = spark.createDataFrame(rows, "doc_id string, source string, record_no int, record binary")
+        elected = elect_layouts(df, doc_sample_mod=1)
+        assert elected == {"big.src": "utmpx", "small.src": "utmp32"}
+        decoded = decode_fixedstruct(df, layout_by_source=elected)
+        got = {(r["source"], r["record_no"]): r for r in decoded.collect()}
+        assert got[("big.src", 3)]["ut_user"] == "ux3" and got[("big.src", 3)]["ut_pid"] == 103
+        assert got[("small.src", 3)]["ut_user"] == "uy3" and got[("small.src", 3)]["ut_pid"] == 203
