@@ -377,6 +377,7 @@ def parse_messages_fused(
     lock_patterns: bool = True,
     sample_lines_per_doc: int = 8,
     vote_doc_sample_mod: int = 20,
+    locked_map: dict[str, int] | None = None,
 ) -> DataFrame:
     """Fully-fused docs → MESSAGES: token split + datetime parse +
     sessionization in ONE mapInPandas stage, ZERO shuffles.
@@ -394,13 +395,14 @@ def parse_messages_fused(
     from ..operators.sessionize import MESSAGES_SCHEMA, _emit_messages
     from .codec import split_docs_batch
 
-    locked_map: dict[str, int] = {}
-    if lock_patterns:
-        locked_map = vote_patterns(
-            vote_lines_from_docs(docs, doc_sample_mod=vote_doc_sample_mod),
-            sample_lines_per_doc=sample_lines_per_doc,
-            default_tz=default_tz, doc_sample_mod=1,
-        )
+    if locked_map is None:
+        locked_map = {}
+        if lock_patterns:
+            locked_map = vote_patterns(
+                vote_lines_from_docs(docs, doc_sample_mod=vote_doc_sample_mod),
+                sample_lines_per_doc=sample_lines_per_doc,
+                default_tz=default_tz, doc_sample_mod=1,
+            )
     tz_min = offset_str_to_minutes(default_tz)
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
