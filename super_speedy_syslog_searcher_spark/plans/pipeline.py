@@ -109,7 +109,11 @@ def run_pipeline(
 # --------------------------------------------------------------------------
 # checkpoint / resume + lineage (M10)
 # --------------------------------------------------------------------------
-MANIFEST_SCHEMA = "source string, n_messages long, dt_first timestamp, dt_last timestamp, completed_at double, run_id string"
+MANIFEST_SCHEMA = (
+    "source string, n_messages long, dt_first timestamp, dt_last timestamp, "
+    "n_docs long, n_input_files long, n_partitions long, "
+    "patterns_used array<int>, completed_at double, run_id string"
+)
 
 
 def _manifest_path(checkpoint_dir: str) -> str:
@@ -154,14 +158,31 @@ def run_pipeline_resumable(
         F.count("*").alias("n_messages"),
         F.min("ts").alias("dt_first"),
         F.max("ts").alias("dt_last"),
+        F.array_distinct(F.collect_set("pattern_id")).alias("patterns_used"),
+    )
+    # per-partition/file provenance from the INPUT side (north_star:
+    # "per-partition lineage and metrics — files/partitions processed");
+    # non-deterministic exprs must be projected before aggregation
+    doc_agg = (
+        todo.withColumn("_file", F.input_file_name())
+        .withColumn("_pid", F.spark_partition_id())
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("_file").alias("n_input_files"),
+            F.countDistinct("_pid").alias("n_partitions"),
+        )
     )
     lineage = (
         todo.select("source")
         .distinct()
         .join(msg_agg, "source", "left")
+        .join(doc_agg, "source", "left")
         .withColumn("n_messages", F.coalesce(F.col("n_messages"), F.lit(0)))
+        .withColumn("patterns_used", F.coalesce(F.col("patterns_used"), F.array().cast("array<int>")))
         .withColumn("completed_at", F.lit(time.time()))
         .withColumn("run_id", F.lit(run_id))
+        .select(*[c.split(" ")[0] for c in MANIFEST_SCHEMA.replace("\n", "").split(", ")])
     )
     # materialize BEFORE appending: the lineage plan reads the manifest it
     # is about to extend (lazy re-scan would anti-join away its own rows)
