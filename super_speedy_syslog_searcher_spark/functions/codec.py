@@ -75,6 +75,10 @@ def decode_tokens_udf(tokens: pd.Series) -> pd.Series:
     if lengths.sum() == 0:
         return pd.Series([""] * len(tokens), index=tokens.index)
     flat = np.concatenate([np.asarray(t, dtype=np.uint32) for t in tokens])
+    invalid = (flat > 0x10FFFF) | ((flat >= 0xD800) & (flat <= 0xDFFF))
+    if invalid.any():
+        flat = flat.copy()
+        flat[invalid] = 0xFFFD  # malformed tokens → replacement char
     # one bulk decode: uint32 codepoints viewed as UTF-32LE text
     all_text = flat.tobytes().decode("utf-32-le")
     # np.cumsum gives the split offsets in characters == tokens
@@ -122,7 +126,16 @@ def split_docs_batch(doc_ids, sources, tokens) -> pd.DataFrame:
     idx = np.arange(len(line_starts))
     line_no = idx - np.maximum.accumulate(np.where(first_of_doc, idx, 0))
 
-    all_text = flat.astype(np.uint32, copy=False).tobytes().decode("utf-32-le")
+    # malformed tokens (negative, surrogate, > U+10FFFF) must not kill the
+    # task at corpus scale: decode a sanitized copy (U+FFFD replacement),
+    # while line_tokens slices keep the ORIGINAL values (the token-array
+    # invariant is about provenance, not printability)
+    u = flat.astype(np.uint32, copy=False)
+    invalid = (u > 0x10FFFF) | ((u >= 0xD800) & (u <= 0xDFFF))
+    if invalid.any():
+        u = u.copy()
+        u[invalid] = 0xFFFD
+    all_text = u.tobytes().decode("utf-32-le")
     texts = [all_text[s:e] for s, e in zip(line_starts.tolist(), line_ends.tolist())]
     toks = [flat[s:e] for s, e in zip(line_starts.tolist(), line_ends.tolist())]
     ids = np.asarray(doc_ids, dtype=object)

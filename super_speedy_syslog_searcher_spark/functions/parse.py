@@ -192,10 +192,17 @@ def parse_series(
         idx = np.flatnonzero(row_mask)
         if len(idx) == 0:
             return
-        sliced = text.iloc[idx].tolist()
+        series = text.iloc[idx]
         if pat.slice_lo or pat.slice_hi < 4096:
-            lo, hi = pat.slice_lo, pat.slice_hi
-            sliced = [s[lo:hi] for s in sliced]
+            series = series.str.slice(pat.slice_lo, pat.slice_hi)
+        if pat.prefilter is not None and len(idx) > 32:
+            # ezcheck-style cheap rejection before the full regex
+            keep = series.str.contains(pat.prefilter, regex=pat.prefilter_regex, na=False).to_numpy()
+            if not keep.any():
+                return
+            idx = idx[keep]
+            series = series[keep]
+        sliced = series.tolist()
         search = rx.search
         matches = [search(s) for s in sliced]
         hit_rows = [i for i, m in zip(idx, matches) if m is not None]

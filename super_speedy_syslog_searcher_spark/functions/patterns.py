@@ -80,6 +80,13 @@ class DTPD:
     has_year: bool = True  # False → dummy-year fill + year-inference eligible
     epoch: bool = False  # 'epoch' group = seconds (+ optional 'frac')
     mjd: bool = False  # 'mjd' + 'sod_i'/'sod_f' groups (NTP statistics)
+    # cheap rejection before the full regex (≙ ezcheck, reference
+    # syslinereader.rs:1077-1187): a LITERAL the line must contain (memchr
+    # -fast via pandas str.contains(regex=False)), or a tiny regex when
+    # prefilter_regex=True. Mostly valuable for UNANCHORED patterns whose
+    # full regex would otherwise scan every byte of every line.
+    prefilter: str | None = None
+    prefilter_regex: bool = False
     # embedded test cases: (line, dt_beg, dt_end, iso_utc_microseconds, ns_rem)
     # expected values assume default tz +00:00 and default year 1972
     test_cases: tuple = field(default_factory=tuple)
@@ -241,6 +248,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=r"^type=[A-Z_]+ msg=audit\((?P<dt>(?P<epoch>\d{9,11})\.(?P<frac>\d{1,9})):\d+\)",
         slice_lo=0,
         slice_hi=80,
+        prefilter="audit(",
         epoch=True,
         test_cases=(("type=USER_LOGIN msg=audit(1609459200.123:456): pid=1337", 26, 40, "2021-01-01T00:00:00.123000", 0),),
     ),
@@ -268,6 +276,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"\[(?P<dt>{DAY}/{MONTHb}/{YEAR}:{HOUR}:{MIN}:{SEC} ?{TZNUM})\]",
         slice_lo=0,
         slice_hi=96,
+        prefilter="/",
         test_cases=(
             ('192.168.0.115 - - [08/Oct/2022:22:26:35 +0000] "GET / HTTP/1.1" 404 0 "-"', 19, 45, "2022-10-08T22:26:35.000000", 0),
         ),
@@ -303,6 +312,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?:^|[^A-Za-z])(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun) (?P<dt>{MONTHb} {DAYe} {HOUR}:{MIN}:{SEC}(?: {TZNAME})? {YEAR})(?:[^\d]|$)",
         slice_lo=0,
         slice_hi=96,
+        prefilter="(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun) ", prefilter_regex=True,
         test_cases=(
             ("Sat Oct 03 11:26:12 2020 0 192.168.0.8 0 /var/log/proftpd/xferlog b _ o r root ftp", 4, 24, "2020-10-03T11:26:12.000000", 0),
             ("Mon Dec 5 21:01:12 PST 2016 try umount root [1] times", 4, 27, "2016-12-06T05:01:12.000000", 0),
@@ -339,6 +349,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?P<dt>{YEAR}-{MONTHm}-{DAY} {HOUR}:{MIN}:{SEC}:(?P<frac>\d{{3}}){TZNUM})",
         slice_lo=0,
         slice_hi=96,
+        prefilter="-", 
         test_cases=(
             ("{5F45546A-691D-4519-810C-9B159EA7A24F}  2022-10-12 09:26:44:980-0700    1       181", 40, 68, "2022-10-12T16:26:44.980000", 0),
         ),
@@ -349,6 +360,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"\"(?:@?timestamp|time|datetime|date|ts)\"\s*:\s*\"(?P<dt>{YEAR}-{MONTHm}-{DAY}[T ]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})? ?{TZNUM}?)\"",
         slice_lo=0,
         slice_hi=1024,
+        prefilter="\"",
         test_cases=(
             ('{"level":"INFO","message":"Started","timestamp":"2024-04-08T21:55:48.726Z"}', 49, 73, "2024-04-08T21:55:48.726000", 0),
             ('{"ts": "2024-04-08 21:55:48"}', 8, 27, "2024-04-08T21:55:48.000000", 0),
@@ -372,6 +384,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?:^|[^\d])(?P<dt>{YEAR}-{MONTHm}-{DAY}[T ]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})? ?(?:{TZNUM}|{TZNAME}))(?:[^\d]|$)",
         slice_lo=0,
         slice_hi=1024,
+        prefilter="-",
         test_cases=(("CONNECT at 2023-06-15 10:20:30 UTC done", 11, 34, "2023-06-15T10:20:30.000000", 0),),
     ),
     DTPD(
@@ -379,6 +392,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?:^|[^\d])(?P<dt>{YEAR}-{MONTHm}-{DAY}[T ]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)",
         slice_lo=0,
         slice_hi=1024,
+        prefilter="-",
         test_cases=(("pid 42 started on 2021-07-04 12:00:01 ok", 18, 37, "2021-07-04T12:00:01.000000", 0),),
     ),
     DTPD(
@@ -386,6 +400,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?:^|[^\d])(?P<dt>{YEAR}/{MONTHm}/{DAY}[ T]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)",
         slice_lo=0,
         slice_hi=1024,
+        prefilter="/",
         test_cases=(("session opened 2019/05/06 07:08:09 for user root", 15, 34, "2019-05-06T07:08:09.000000", 0),),
     ),
 ]

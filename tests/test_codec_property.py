@@ -62,3 +62,15 @@ def test_encode_is_codepoints(t):
     enc = encode_text(t)
     assert len(enc) == len(t)
     assert "".join(chr(c) for c in enc) == t
+
+
+def test_malformed_tokens_do_not_crash():
+    """Invalid codepoints (negative / surrogate / out of range) decode to
+    U+FFFD in text while line token slices keep the ORIGINAL values."""
+    bad = np.array([72, 105, -5, 0xD800, 0x7FFFFFFF, 10, 65], dtype=np.int32)
+    pdf = split_docs_batch(
+        np.array(["d1"], dtype=object), np.array(["s"], dtype=object), [bad]
+    )
+    assert list(pdf["line_no"]) == [0, 1]
+    assert pdf["text"].iloc[0] == "Hi���"
+    assert list(pdf["line_tokens"].iloc[0]) == [72, 105, -5, 0xD800, 0x7FFFFFFF]
