@@ -215,10 +215,14 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
     # -- 'Mon DD YYYY HH:MM:SS' / dmesg-with-year family (datetime.rs:3899 region)
     DTPD(
         name="bdy_hms",
-        regex=rf"^(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,? )?(?P<dt>{MONTHb} {DAYe},? {YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)",
+        regex=rf"^(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,? )?(?P<dt>{MONTHb} {DAYe},? {YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?(?: ?{TZNUM})?)",
         slice_lo=0,
         slice_hi=48,
-        test_cases=(("January 01 2020 22:00:00 host app: msg", 0, 24, "2020-01-01T22:00:00.000000", 0),),
+        test_cases=(
+            ("January 01 2020 22:00:00 host app: msg", 0, 24, "2020-01-01T22:00:00.000000", 0),
+            ("Tue, Jun 28 2022 01:51:12 +0000", 5, 31, "2022-06-28T01:51:12.000000", 0),
+            ("Tue, Jun 28 2022 01:51:12 -0700", 5, 31, "2022-06-28T08:51:12.000000", 0),
+        ),
     ),
     # -- RFC 3164 syslog, no year, optional <pri> (datetime.rs:2793+; year logic
     #    /root/reference/src/readers/syslogprocessor.rs:604)
@@ -376,6 +380,19 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         has_year=False,
         test_cases=(
             ('{"logTime": "0226/052726", "correlationVector":"C3BF38D097234ED3A46F33A1C497BF65"}', 13, 24, "1972-02-26T05:27:26.000000", 0),
+        ),
+    ),
+    # -- '[LEVEL] Y-m-d H:M:S ±tz' (bracketed level word then rfc3339;
+    #    reference family near datetime.rs:3030-3040)
+    DTPD(
+        name="level_rfc3339",
+        regex=rf"^[\[\(]?(?:ERROR|WARNING|WARN|INFO|VERBOSE|TRACE|DEBUG|NOTICE|FATAL|CRITICAL|error|warning|warn|info|verbose|trace|debug|notice)[\]\)]?:? (?P<dt>{YEAR}-{MONTHm}-{DAY}[T ]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?(?: ?{TZNUM})?)(?:[^\d]|$)",
+        slice_lo=0,
+        slice_hi=64,
+        test_cases=(
+            ("[ERROR] 2000-01-02 12:33:01 -1200 1", 8, 33, "2000-01-03T00:33:01.000000", 0),
+            ("[VERBOSE] 2000-01-02T12:33:04 -1030 4444", 10, 35, "2000-01-02T23:03:04.000000", 0),
+            ("INFO: 2021-03-04 05:06:07 service ready", 6, 25, "2021-03-04T05:06:07.000000", 0),
         ),
     ),
     # -- general unanchored fallbacks, first 1024 chars (datetime.rs:4590)
