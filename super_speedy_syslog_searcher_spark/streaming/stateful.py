@@ -1,0 +1,128 @@
+"""Stateful streaming sessionization — ``applyInPandasWithState``.
+
+For line-grained streams (lines of a doc arrive across micro-batches —
+the tail -f shape), message assembly needs per-doc state: the OPEN
+message (datetime line + continuations seen so far) stays in the state
+store until the next datetime line closes it, exactly like the
+reference's in-flight Sysline during its sequential scan
+(/root/reference/src/readers/syslinereader.rs:1976-2192 — line-with-dt A
+accumulates until the next line-with-dt B).
+
+State per doc_id: (msg_count, open message fields + token array). A
+processing-time timeout flushes docs that stop sending lines — the
+stream analogue of EOF closing the last sysline.
+
+Scale notes: state size = one open message per active doc; eviction by
+timeout bounds it (the drop-ahead discipline, M4). The grouping shuffle
+is on doc_id — same key as the batch sessionizer.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+MESSAGES_OUT_SCHEMA = (
+    "doc_id string, source string, msg_no int, ts timestamp, ts_ns int, "
+    "dt_beg int, dt_end int, pattern_id int, text string, "
+    "tokens array<int>, n_lines int, n_chars long"
+)
+
+# state: counters + the open message, tokens flattened with newline seps
+STATE_SCHEMA = (
+    "msg_count int, source string, open_ts timestamp, open_ts_ns int, "
+    "open_dt_beg int, open_dt_end int, open_pattern_id int, "
+    "open_text string, open_tokens array<int>, open_n_lines int"
+)
+
+NEWLINE_TOKEN = 10
+
+
+def _emit(doc_id, source, msg_no, st) -> dict:
+    return {
+        "doc_id": doc_id, "source": source, "msg_no": msg_no,
+        "ts": st["ts"], "ts_ns": st["ts_ns"], "dt_beg": st["dt_beg"],
+        "dt_end": st["dt_end"], "pattern_id": st["pattern_id"],
+        "text": st["text"], "tokens": st["tokens"],
+        "n_lines": st["n_lines"], "n_chars": len(st["text"]),
+    }
+
+
+def sessionize_stateful(parsed_lines_stream: DataFrame, timeout_ms: int = 60_000) -> DataFrame:
+    """Streaming parsed lines (doc_id, source, line_no, line_tokens, text,
+    ts, ts_ns, dt_beg, dt_end, pattern_id) → messages stream.
+
+    A datetime line opens a message; datetime-less lines append; the next
+    datetime line (or state timeout) emits the closed message.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        doc_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                (cnt, src, ts, ts_ns, dt_beg, dt_end, pid, text, tokens, n_lines) = state.get
+                state.remove()
+                if ts is not None:
+                    yield pd.DataFrame([
+                        _emit(doc_id, src, cnt + 1, {
+                            "ts": ts, "ts_ns": ts_ns, "dt_beg": dt_beg, "dt_end": dt_end,
+                            "pattern_id": pid, "text": text, "tokens": list(tokens),
+                            "n_lines": n_lines,
+                        })
+                    ])
+            return
+
+        if state.exists:
+            (cnt, source, o_ts, o_ts_ns, o_beg, o_end, o_pid, o_text, o_tokens, o_nl) = state.get
+            open_msg = None if o_ts is None else {
+                "ts": o_ts, "ts_ns": o_ts_ns, "dt_beg": o_beg, "dt_end": o_end,
+                "pattern_id": o_pid, "text": o_text, "tokens": list(o_tokens), "n_lines": o_nl,
+            }
+        else:
+            cnt, open_msg = 0, None
+
+        out = []
+        if not state.exists:
+            source = ""
+        for pdf in pdfs:
+            pdf = pdf.sort_values("line_no")
+            for row in pdf.itertuples(index=False):
+                source = row.source
+                has_dt = pd.notna(row.ts)
+                if has_dt:
+                    if open_msg is not None:
+                        cnt += 1
+                        out.append(_emit(doc_id, source, cnt, open_msg))
+                    open_msg = {
+                        "ts": row.ts, "ts_ns": int(row.ts_ns), "dt_beg": int(row.dt_beg),
+                        "dt_end": int(row.dt_end), "pattern_id": int(row.pattern_id),
+                        "text": row.text, "tokens": list(row.line_tokens), "n_lines": 1,
+                    }
+                elif open_msg is not None:
+                    open_msg["text"] += "\n" + row.text
+                    open_msg["tokens"] = open_msg["tokens"] + [NEWLINE_TOKEN] + list(row.line_tokens)
+                    open_msg["n_lines"] += 1
+                # leading datetime-less lines belong to no message (dropped)
+
+        if open_msg is None:
+            state.update((cnt, source, None, 0, -1, -1, -1, "", [], 0))
+        else:
+            state.update((
+                cnt, source, open_msg["ts"], open_msg["ts_ns"], open_msg["dt_beg"],
+                open_msg["dt_end"], open_msg["pattern_id"], open_msg["text"],
+                open_msg["tokens"], open_msg["n_lines"],
+            ))
+        state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    return parsed_lines_stream.groupBy("doc_id").applyInPandasWithState(
+        fn,
+        outputStructType=MESSAGES_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

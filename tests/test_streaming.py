@@ -81,3 +81,69 @@ def test_windowed_counts_and_late_metric(spark, corpus):
     assert sum(r["messages"] for r in counts) == msgs.count()
     late = late_rows_metric(msgs).collect()
     assert all(r["late_rows"] == 0 for r in late)  # generator is monotonic per doc
+
+
+def test_stateful_sessionize_matches_batch(spark, corpus, tmp_path):
+    """applyInPandasWithState sessionizer over a two-batch line stream must
+    emit exactly the batch sessionizer's messages (a year-2099 sentinel dt
+    line closes each doc's final message)."""
+    from super_speedy_syslog_searcher_spark.functions.codec import explode_lines
+    from super_speedy_syslog_searcher_spark.functions.parse import parse_lines
+    from super_speedy_syslog_searcher_spark.operators.sessionize import sessionize
+    from super_speedy_syslog_searcher_spark.streaming.stateful import sessionize_stateful
+
+    docs_pdf, _, _ = corpus
+    docs = spark.createDataFrame(
+        docs_pdf.head(20), schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    parsed = parse_lines(explode_lines(docs), reference_year=2023, lock_patterns=False)
+    # sentinel line closes every doc's last open message
+    sentinel = (
+        docs.select("doc_id", "source")
+        .distinct()
+        .select(
+            "doc_id", "source",
+            F.lit(10_000_000).alias("line_no"),
+            F.array().cast("array<int>").alias("line_tokens"),
+            F.lit("2099-01-01 00:00:00 sentinel close").alias("text"),
+            F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+            F.lit(0).alias("ts_ns"), F.lit(0).alias("dt_beg"),
+            F.lit(19).alias("dt_end"), F.lit(7).alias("pattern_id"),
+        )
+    )
+    lines = parsed.select(sentinel.columns).unionByName(sentinel)
+
+    # two-batch replay: split lines by doc hash into two parquet files
+    in_dir = str(tmp_path / "lines_stream")
+    lines.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    lines.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    stream = (
+        spark.readStream.schema(lines.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    out = sessionize_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_msgs")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["doc_id"], r["msg_no"], r["ts"], r["text"])
+        for r in spark.sql(
+            "select * from stateful_msgs where year(ts) < 2099"
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["msg_no"], r["ts"], r["text"])
+        for r in sessionize(parsed).collect()
+    }
+    assert got == want
