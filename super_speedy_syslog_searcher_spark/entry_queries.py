@@ -532,9 +532,11 @@ def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    # microsecond precision on BOTH sides (oracle uses epoch_us) so the
+    # gap>30min boundary decision cannot flip on sub-second timestamps
+    epoch = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = epoch - F.lag(epoch).over(w)
-    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    newsess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("sess_no", F.sum(newsess).over(w))
     return (
         sess.groupBy("user_id", "sess_no")
@@ -548,7 +550,7 @@ SQL_EVENTS_SESSIONIZE_GAP = """
 WITH g AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                   OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800 * 1000000
               THEN 1 ELSE 0 END AS ns
   FROM events
 ), s AS (

@@ -118,10 +118,37 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming ≤ 3 pairs (no SQL oracle — hash not expressible;
-    property: every exact-copy pair (d, d+100000), d<25, must appear with
-    hamming 0. Checked by tests/test_dedup.py)."""
+    """SimHash Hamming ≤ 3 pairs. The simhash is md5-60-bit based
+    (operators/dedup.py:word_hashes_col) precisely so the whole operator
+    — word hash, bit-majority, 4×15-bit banding, popcount verify — is
+    reproducible in the DuckDB oracle below, bit for bit."""
     return simhash_pairs(_docs2(spark, sf_dir), max_hamming=3)
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH {SQL_DOCS2},
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs2),
+h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hw FROM w),
+bits AS (
+  SELECT doc_id, b, SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) AS bs
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+  FROM bits GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS key
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) AS bb
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.sh AS sha, r.sh AS shb
+  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+)
+SELECT a, b, bit_count(xor(sha, shb)) AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -187,9 +214,19 @@ FROM documents
 
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (rows-only check — rolling
-    hash is not ANSI-SQL-expressible; covered by unit tests)."""
+    hash is not ANSI-SQL-expressible; covered by unit tests).
+
+    Output is exploded to scalar ``(doc_id, fp, n_fp)`` rows so the
+    driver's pandas canonicalization can sort/hash it (array columns are
+    unhashable there); the array-valued operator face stays in
+    :func:`make_winnow_udf`."""
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", make_winnow_udf()(F.col("text")).alias("fps"), F.size(make_winnow_udf()(F.col("text"))).alias("n_fp"))
+    fps = d.select("doc_id", make_winnow_udf()(F.col("text")).alias("fps"))
+    return fps.select(
+        "doc_id",
+        F.explode("fps").alias("fp"),
+        F.size("fps").cast("bigint").alias("n_fp"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -217,11 +254,56 @@ SELECT query_id, rank, neighbor_id FROM (
 
 
 def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (rows-only: approximate recall by design;
-    tests assert recall ≥ 0.6 vs the exact query)."""
+    """Sign-LSH bucketed ANN. Deterministic given the seeded hyperplanes,
+    so the DuckDB oracle replicates the bucketing with the SAME plane
+    values inlined as literals (see _ann_lsh_oracle_sql) — a full
+    row-equality check, not just a recall property."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 10)
     return cosine_topk_lsh(e, q, k=5)
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4, k: int = 5) -> str:
+    """Build the DuckDB twin of cosine_topk_lsh: same plane tables (same
+    seed), bucket = Σ sign·2^(p-1-i), bucket-join candidates, exact cosine
+    rank. Plane literals are emitted at full float64 precision (%.17g) so
+    both engines compute identical sign bits."""
+    from .operators.similarity import ann_tables
+
+    tables = ann_tables(dim, n_planes, n_tables)
+
+    def bucket_expr(vcol: str, planes) -> str:
+        terms = []
+        for i, row in enumerate(planes):
+            lits = ", ".join("%.17g" % x for x in row)
+            w = 1 << (n_planes - 1 - i)
+            terms.append(
+                f"CASE WHEN list_dot_product({vcol}, [{lits}]) >= 0 THEN {w} ELSE 0 END"
+            )
+        return " + ".join(terms)
+
+    def side(name: str, idc: str, vcol: str, where: str) -> str:
+        arms = [
+            f"SELECT vec_id AS {idc}, embedding::DOUBLE[] AS {vcol}, {t} AS t, "
+            f"{bucket_expr('embedding::DOUBLE[]', tables[t])} AS bk FROM embeddings{where}"
+            for t in range(n_tables)
+        ]
+        return f"{name} AS (\n" + "\nUNION ALL ".join(arms) + "\n)"
+
+    return f"""
+WITH {side('cb', 'neighbor_id', 'cv', '')},
+{side('qb', 'query_id', 'qv', ' WHERE vec_id < 10')},
+cand AS (
+  SELECT DISTINCT query_id, qv, neighbor_id, cv
+  FROM cb JOIN qb USING (t, bk) WHERE neighbor_id != query_id
+),
+s AS (SELECT query_id, neighbor_id, list_cosine_similarity(qv, cv) AS sim FROM cand)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= {k}
+"""
 
 
 def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,11 +364,13 @@ ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_JACCARD_BODY,
     "dedup_minhash_lsh": _SQL_JACCARD_BODY,
+    "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
     "embed_cosine_dup": SQL_EMBED_COSINE_DUP,
     "multimodal_extract": SQL_MULTIMODAL_EXTRACT,
 }

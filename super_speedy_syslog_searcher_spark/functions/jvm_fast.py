@@ -69,8 +69,20 @@ FAST_NAMES = set(JVM_FAST)
 
 
 def decode_tokens_col(tokens_col) -> Column:
-    """array<int32> codepoints → string, pure JVM (transform + char)."""
+    """array<int32> codepoints → string, pure JVM (transform + char).
+
+    CORRECT ONLY FOR ASCII (codepoints 1..127): Spark defines char(n) as
+    chr(n % 256), so any codepoint ≥ 256 would silently decode to the
+    wrong character (and shift locate()-based dt offsets). Callers must
+    gate on :func:`ascii_only_col` before trusting this decode."""
     return F.concat_ws("", F.transform(tokens_col, lambda c: F.char(c)))
+
+
+def ascii_only_col(tokens_col) -> Column:
+    """True iff every token is a plain ASCII codepoint (1..127) — the
+    range where transform+char decode provably round-trips. Non-ASCII
+    docs take the Python lane (correct UTF-32 decode there)."""
+    return F.forall(tokens_col, lambda t: (t >= 1) & (t <= 127))
 
 
 def parse_messages_hybrid(
@@ -114,7 +126,11 @@ def parse_messages_hybrid(
     for s, name in sorted(fast_sources.items()):
         name_expr = (F.when(F.col("source") == s, name) if name_expr is None
                      else name_expr.when(F.col("source") == s, name))
-    eligible = name_expr.isNotNull() & ~F.array_contains("tokens", F.lit(10))
+    eligible = (
+        name_expr.isNotNull()
+        & ~F.array_contains("tokens", F.lit(10))
+        & ascii_only_col(F.col("tokens"))
+    )
 
     text = decode_tokens_col(F.col("tokens"))
     with_cols = (

@@ -112,45 +112,65 @@ _MERSENNE = (1 << 61) - 1
 
 def _perm_params(k: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64)
-    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64)
+    a = rng.randint(1, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=k, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _gram_hashes(text: str, n: int) -> np.ndarray:
-    words = text.split(" ")
-    if len(words) < n:
-        return np.array([], dtype=np.uint64)
-    grams = {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
-    # deterministic 64-bit FNV-1a per gram (no PYTHONHASHSEED dependence)
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in g.encode():
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return out
+def gram_hashes_col(text_col: str, n: int = 3) -> Column:
+    """array<long> of 64-bit hashes of the doc's distinct word n-grams —
+    pure JVM (transform + xxhash64), zero Python string work. This is the
+    100-TB hot path: gram construction + hashing stay in whole-stage
+    codegen; only the k-permutation min-reduction (pure numpy) crosses to
+    Python."""
+    grams = F.array_distinct(word_ngrams_col(text_col, n))
+    return F.transform(grams, lambda g: F.xxhash64(g))
 
 
-def make_minhash_udf(k: int = 256, n: int = 3, seed: int = 42):
-    """Arrow-batched UDF: text → array<long> of k min-hashes."""
+def _flatten_segments(arrays: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Series-of-int-lists → (flat int64 array, segment offsets, lengths).
+
+    Offsets index segment STARTS for np.{minimum,add}.reduceat; zero-length
+    segments are the caller's to mask (reduceat misreads them)."""
+    lists = [np.asarray(x if x is not None else [], dtype=np.int64) for x in arrays]
+    lens = np.array([len(x) for x in lists], dtype=np.int64)
+    flat = np.concatenate(lists) if lists else np.empty(0, dtype=np.int64)
+    offsets = np.concatenate([[0], np.cumsum(lens)[:-1]]) if len(lens) else np.empty(0, dtype=np.int64)
+    return flat, offsets, lens
+
+
+def make_minhash_sig_udf(k: int = 256, seed: int = 42, perm_chunk: int = 16):
+    """Arrow-batched UDF: array<long> gram hashes → array<long> k-slot
+    MinHash signature. Fully vectorized: the whole Arrow batch is
+    flattened once, each chunk of permutations is one (chunk × n_grams)
+    universal-hash matrix, and per-doc minima come from
+    np.minimum.reduceat — NO per-doc / per-gram / per-char Python loops
+    (the round-1 kernel hashed each shingle character-by-character; that
+    cost 3× the whole e2e pipeline at sf0.1)."""
     a, b = _perm_params(k, seed)
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _minhash(text: pd.Series) -> pd.Series:
-        out = []
-        for t in text:
-            gh = _gram_hashes(t or "", n)
-            if len(gh) == 0:
-                out.append([0] * k)
-                continue
-            # (a*h + b) mod p, min over grams, vectorized over k × grams
-            hv = (gh % np.uint64(_MERSENNE)).astype(np.int64)
-            m = (a[:, None] * hv[None, :] + b[:, None]) % _MERSENNE
-            out.append(m.min(axis=1).tolist())
-        return pd.Series(out)
+    def _sig(hashes: pd.Series) -> pd.Series:
+        n_docs = len(hashes)
+        flat, offsets, lens = _flatten_segments(hashes)
+        sig = np.zeros((n_docs, k), dtype=np.int64)
+        nonempty = lens > 0
+        if flat.size and nonempty.any():
+            hv = (flat.view(np.uint64)) % np.uint64(_MERSENNE)
+            ne_off = offsets[nonempty]
+            err = np.seterr(over="ignore")  # uint64 wraparound is the modulus
+            try:
+                for c0 in range(0, k, perm_chunk):
+                    ac = a[c0 : c0 + perm_chunk, None]
+                    bc = b[c0 : c0 + perm_chunk, None]
+                    m = ((ac * hv[None, :] + bc) % np.uint64(_MERSENNE)).astype(np.int64)
+                    mins = np.minimum.reduceat(m, ne_off, axis=1)
+                    sig[nonempty, c0 : c0 + m.shape[0]] = mins.T
+            finally:
+                np.seterr(**err)
+        return pd.Series(list(sig))
 
-    return _minhash
+    return _sig
 
 
 def lsh_candidate_pairs(
@@ -167,7 +187,10 @@ def lsh_candidate_pairs(
     Bucket join only — never a cross join.
     """
     r = k // bands
-    sig = df.select(F.col(id_col).alias("id"), make_minhash_udf(k=k, n=n)(F.col(text_col)).alias("sig"))
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        make_minhash_sig_udf(k=k)(gram_hashes_col(text_col, n)).alias("sig"),
+    )
     banded = (
         sig.select("id", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"), "sig")
         .withColumn("bucket", F.xxhash64(F.col("band"), F.slice("sig", F.col("band") * r + 1, r).cast("string")))
@@ -216,31 +239,51 @@ def minhash_lsh_dedup_pairs(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def make_simhash_udf(seed: int = 42):
-    """text → 64-bit simhash (long) over FNV-hashed words."""
+SIMHASH_BITS = 60  # 15 hex chars of md5 → fits signed BIGINT in any engine
+
+
+def word_hashes_col(text_col: str) -> Column:
+    """array<long> of 60-bit md5-derived hashes, one per word occurrence
+    (multiset — simhash weights repeated words). Pure JVM, and — unlike
+    xxhash64 — reproducible in ANSI SQL (DuckDB:
+    CAST('0x' || substr(md5(w),1,15) AS BIGINT)), so the whole simhash
+    operator is oracle-checkable end to end."""
+    words = F.split(F.col(text_col), " ")
+    return F.transform(
+        words,
+        lambda w: F.conv(F.substring(F.md5(F.encode(w, "UTF-8")), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def make_simhash_udf():
+    """array<long> word hashes → 60-bit simhash (long).
+
+    Vectorized over the whole Arrow batch: one add.reduceat per bit
+    position (60 passes over the flat hash array — each a single numpy
+    kernel, no per-doc/per-word/per-char Python). Bit rule: majority vote
+    strictly positive → 1 (ties → 0), identical to the SQL oracle."""
 
     @F.pandas_udf(T.LongType())
-    def _simhash(text: pd.Series) -> pd.Series:
-        out = np.zeros(len(text), dtype=np.int64)
-        for i, t in enumerate(text):
-            words = (t or "").split(" ")
-            if not words:
-                continue
-            hs = np.empty(len(words), dtype=np.uint64)
-            for wi, w in enumerate(words):
-                h = np.uint64(0xCBF29CE484222325)
-                for ch in w.encode():
-                    h = np.uint64((int(h) ^ ch) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-                hs[wi] = h
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int32)
-            vote = (2 * bits - 1).sum(axis=0)
-            sh = np.uint64(0)
-            for bpos in np.flatnonzero(vote > 0):
-                sh |= np.uint64(1) << np.uint64(bpos)
-            out[i] = np.int64(sh.astype(np.int64))
+    def _simhash(hashes: pd.Series) -> pd.Series:
+        n_docs = len(hashes)
+        flat, offsets, lens = _flatten_segments(hashes)
+        out = np.zeros(n_docs, dtype=np.int64)
+        nonempty = lens > 0
+        if flat.size and nonempty.any():
+            ne_off = offsets[nonempty]
+            votes = np.empty((int(nonempty.sum()), SIMHASH_BITS), dtype=np.int64)
+            for bit in range(SIMHASH_BITS):
+                pm = (2 * ((flat >> bit) & 1) - 1).astype(np.int64)
+                votes[:, bit] = np.add.reduceat(pm, ne_off)
+            sh = ((votes > 0).astype(np.int64) << np.arange(SIMHASH_BITS, dtype=np.int64)).sum(axis=1)
+            out[nonempty] = sh
         return pd.Series(out)
 
     return _simhash
+
+
+def simhash_col(text_col: str) -> Column:
+    return make_simhash_udf()(word_hashes_col(text_col))
 
 
 def simhash_pairs(
@@ -251,14 +294,14 @@ def simhash_pairs(
 ) -> DataFrame:
     """Pairs (a < b) with simhash Hamming distance ≤ max_hamming.
 
-    Candidate generation by 4×16-bit band equality (any pair within
-    Hamming ≤ 3 of a 64-bit key shares ≥1 exact 16-bit quarter — pigeonhole),
-    then exact popcount verify. No cross join.
+    Candidate generation by 4×15-bit band equality (any pair within
+    Hamming ≤ 3 of a 60-bit key shares ≥1 exact 15-bit quarter —
+    pigeonhole), then exact popcount verify. No cross join.
     """
-    sh = df.select(F.col(id_col).alias("id"), make_simhash_udf()(F.col(text_col)).alias("sh"))
+    sh = df.select(F.col(id_col).alias("id"), simhash_col(text_col).alias("sh"))
     bands = sh.select(
         "id", "sh", F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band")
-    ).withColumn("key", F.concat_ws(":", "band", F.expr("shiftrightunsigned(sh, band * 16) & 65535")))
+    ).withColumn("key", F.concat_ws(":", "band", F.expr("shiftrightunsigned(sh, band * 15) & 32767")))
     a = bands.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "key")
     b = bands.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "key")
     cand = a.join(b, "key").filter(F.col("a") < F.col("b")).select("a", "b", "sha", "shb").distinct()

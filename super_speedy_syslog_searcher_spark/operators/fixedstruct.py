@@ -74,6 +74,18 @@ def _batch_view(payloads: list[bytes], layout: Layout) -> np.ndarray | None:
     return np.frombuffer(b"".join(ok), dtype=np.uint8).reshape(len(ok), layout.size)
 
 
+def _masked_view(payloads: list[bytes | None], layout: Layout) -> tuple[np.ndarray, np.ndarray]:
+    """(ok_mask, matrix-of-ok-records). Wrong-size / None records are
+    excluded from the matrix but keep their position in the mask, so a
+    single truncated record never corrupts its siblings (the reference
+    skips only the bad record — fixedstructreader.rs:174-232)."""
+    ok = np.array([p is not None and len(p) == layout.size for p in payloads], dtype=bool)
+    good = [p for p, o in zip(payloads, ok) if o]
+    if not good:
+        return ok, np.empty((0, layout.size), dtype=np.uint8)
+    return ok, np.frombuffer(b"".join(good), dtype=np.uint8).reshape(len(good), layout.size)
+
+
 def _decode_matrix(m: np.ndarray, layout: Layout) -> dict[str, np.ndarray]:
     w = layout.tv_width
     tv_dtype = "<i8" if w == 8 else "<i4"
@@ -159,42 +171,39 @@ def decode_fixedstruct(
             for src, g in pdf.groupby("source", sort=False):
                 layout = LAYOUT_BY_NAME.get(layout_by_source.get(src, "utmpx"), UTMPX)
                 payloads = [bytes(p) if p is not None else None for p in g[payload_col]]
-                m = _batch_view(payloads, layout)
-                if m is None:
-                    # ragged batch: per-record fallback (rare path)
-                    rows = []
-                    for p in payloads:
-                        ok = p is not None and len(p) == layout.size
-                        rows.append(ok)
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "doc_id": g["doc_id"], "source": g["source"],
-                                "record_no": g["record_no"],
-                                "ut_type": 0, "ut_pid": 0, "ut_user": "",
-                                "ts": pd.NaT, "valid": rows,
-                            }
-                        )
-                    )
-                    continue
-                d = _decode_matrix(m, layout)
-                null_rec = (m == 0).all(axis=1) | (m == 0xFF).all(axis=1)
-                users = []
-                for row in d["user_bytes"]:
-                    nz = row.tobytes().split(b"\x00", 1)[0]
-                    users.append(nz.decode("ascii", "replace"))
-                ts = pd.to_datetime(d["tv_sec"] * 1_000_000 + d["tv_usec"], unit="us", utc=True)
+                n = len(payloads)
+                ok, m = _masked_view(payloads, layout)
+                # defaults for wrong-size / None records (valid=false)
+                ut_type = np.zeros(n, dtype="int32")
+                ut_pid = np.zeros(n, dtype="int32")
+                users = [""] * n
+                ts = pd.Series([pd.NaT] * n, dtype="datetime64[ns, UTC]")
+                valid = ok.copy()
+                if len(m):
+                    d = _decode_matrix(m, layout)
+                    null_rec = (m == 0).all(axis=1) | (m == 0xFF).all(axis=1)
+                    ut_type[ok] = d["ut_type"].astype("int32")
+                    ut_pid[ok] = d["ut_pid"].astype("int32")
+                    decoded_users = [
+                        row.tobytes().split(b"\x00", 1)[0].decode("ascii", "replace")
+                        for row in d["user_bytes"]
+                    ]
+                    for pos, u in zip(np.flatnonzero(ok), decoded_users):
+                        users[pos] = u
+                    ok_ts = pd.to_datetime(d["tv_sec"] * 1_000_000 + d["tv_usec"], unit="us", utc=True)
+                    ts.iloc[np.flatnonzero(ok)] = ok_ts
+                    valid[ok] = ~null_rec
                 frames.append(
                     pd.DataFrame(
                         {
                             "doc_id": g["doc_id"].to_numpy(),
                             "source": g["source"].to_numpy(),
                             "record_no": g["record_no"].to_numpy(),
-                            "ut_type": d["ut_type"].astype("int32"),
-                            "ut_pid": d["ut_pid"].astype("int32"),
+                            "ut_type": ut_type,
+                            "ut_pid": ut_pid,
                             "ut_user": users,
                             "ts": ts,
-                            "valid": ~null_rec,
+                            "valid": valid,
                         }
                     )
                 )

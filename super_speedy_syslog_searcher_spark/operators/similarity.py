@@ -15,8 +15,11 @@ bitwise-reproducible (and comparable against the DuckDB oracle).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -24,6 +27,60 @@ def dot_col(a, b) -> Column:
     """Σ aᵢ·bᵢ in double, sequential fold (deterministic)."""
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# deterministic hyperplanes (shared by the Spark queries AND the SQL-oracle
+# generator, so both sides bucket identically)
+# ---------------------------------------------------------------------------
+def dup_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).randn(n_planes, dim)
+
+
+def ann_tables(dim: int, n_planes: int = 6, n_tables: int = 4, seed: int = 7) -> list[np.ndarray]:
+    rng = np.random.RandomState(seed)
+    return [rng.randn(n_planes, dim) for _ in range(n_tables)]
+
+
+def make_signbucket_udf(planes: np.ndarray):
+    """array<float> vec → sign-LSH bucket int for one plane table.
+
+    One float64 matmul per Arrow batch (plane matrix in the closure) —
+    replaces the round-1 inlined ``F.lit`` expression trees, whose size
+    grew with 16×dim and would blow Catalyst codegen limits at real
+    embedding dims (768+). Bit order: plane 0 = MSB (matches the
+    fold ``bits*2 + s``)."""
+    pl = planes.astype(np.float64)
+    weights = (1 << np.arange(pl.shape[0] - 1, -1, -1, dtype=np.int64))
+
+    @F.pandas_udf(T.IntegerType())
+    def _bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (V @ pl.T) >= 0
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return _bucket
+
+
+def make_multitable_bucket_udf(tables: list[np.ndarray]):
+    """array<float> vec → array<int> of buckets, one per LSH table — a
+    single stacked matmul for all tables."""
+    stacked = np.concatenate([t.astype(np.float64) for t in tables], axis=0)
+    p = tables[0].shape[0]
+    weights = (1 << np.arange(p - 1, -1, -1, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = ((V @ stacked.T) >= 0).reshape(len(V), len(tables), p)
+        buckets = (signs @ weights).astype("int32")
+        return pd.Series(list(buckets))
+
+    return _buckets
 
 
 def norm_col(a) -> Column:
@@ -73,27 +130,17 @@ def cosine_dup_pairs(
     For the near-exact threshold regime the candidate space is pruned with
     sign-LSH buckets (16 hyperplanes ⇒ near-identical vectors share the
     full sign pattern); each bucket is tiny so the within-bucket pair join
-    is bounded. Deterministic hyperplanes (seeded, broadcast as literals).
+    is bounded. Deterministic hyperplanes (seeded, matmul'd per Arrow
+    batch in the bucket UDF — codegen-safe at any dim).
     """
-    import numpy as np
-
     dim_row = vecs.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         return vecs.sparkSession.createDataFrame([], "a long, b long")
     dim = dim_row["d"]
-    rng = np.random.RandomState(42)
-    planes = rng.randn(16, dim)
-
-    def sign_bits(vc) -> Column:
-        bits = None
-        for i in range(planes.shape[0]):
-            arr = F.array(*[F.lit(float(x)) for x in planes[i]])
-            s = F.when(dot_col(vc, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
-            bits = s if bits is None else bits * 2 + s
-        return bits
+    bucket_udf = make_signbucket_udf(dup_planes(dim))
 
     b = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", sign_bits(F.col("v"))
+        "bucket", bucket_udf(F.col("v"))
     )
     l = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
     r = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
@@ -122,33 +169,19 @@ def cosine_topk_lsh(
     Output schema matches ``cosine_topk`` (ranks may differ where recall
     misses — that is the accuracy/cost dial).
     """
-    import numpy as np
-
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         return corpus.sparkSession.createDataFrame([], "query_id long, rank int, neighbor_id long")
     dim = dim_row["d"]
-    rng = np.random.RandomState(7)
-
-    def table_bucket(vc, planes) -> Column:
-        bits = None
-        for i in range(planes.shape[0]):
-            arr = F.array(*[F.lit(float(x)) for x in planes[i]])
-            s = F.when(dot_col(vc, arr) >= 0, F.lit(1)).otherwise(F.lit(0))
-            bits = s if bits is None else bits * 2 + s
-        return bits
-
-    tables = [rng.randn(n_planes, dim) for _ in range(n_tables)]
+    buckets_udf = make_multitable_bucket_udf(ann_tables(dim, n_planes, n_tables))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cb = c.select(
-        "neighbor_id", "cv",
-        F.explode(F.array(*[F.struct(F.lit(t).alias("t"), table_bucket(F.col("cv"), tables[t]).alias("bk")) for t in range(n_tables)])).alias("tb"),
-    ).select("neighbor_id", "cv", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
-    qb = q.select(
-        "query_id", "qv",
-        F.explode(F.array(*[F.struct(F.lit(t).alias("t"), table_bucket(F.col("qv"), tables[t]).alias("bk")) for t in range(n_tables)])).alias("tb"),
-    ).select("query_id", "qv", F.col("tb.t").alias("t"), F.col("tb.bk").alias("bk"))
+    cb = c.withColumn("_bks", buckets_udf(F.col("cv"))).select(
+        "neighbor_id", "cv", F.posexplode("_bks").alias("t", "bk")
+    )
+    qb = q.withColumn("_bks", buckets_udf(F.col("qv"))).select(
+        "query_id", "qv", F.posexplode("_bks").alias("t", "bk")
+    )
     cand = cb.join(F.broadcast(qb), ["t", "bk"]).filter(F.col("neighbor_id") != F.col("query_id"))
     cand = cand.select("query_id", "qv", "neighbor_id", "cv").distinct()
     scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))

@@ -38,6 +38,22 @@ DOCS_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
 
 WATERMARK = "25 hours"  # = BACKWARDS_TIME_JUMP_MEANS_NEW_YEAR (yearfix.py)
 
+_DURATION_UNITS = {
+    "second": 1, "seconds": 1, "sec": 1, "secs": 1, "s": 1,
+    "minute": 60, "minutes": 60, "min": 60, "mins": 60, "m": 60,
+    "hour": 3600, "hours": 3600, "h": 3600,
+    "day": 86400, "days": 86400, "d": 86400,
+}
+
+
+def parse_duration_seconds(spec: str) -> int:
+    """'25 hours' / '90 minutes' / '30 seconds' → seconds. Explicit unit
+    table — never assumes hours."""
+    parts = spec.strip().split()
+    if len(parts) != 2 or parts[1].lower() not in _DURATION_UNITS:
+        raise ValueError(f"unsupported duration spec: {spec!r}")
+    return int(parts[0]) * _DURATION_UNITS[parts[1].lower()]
+
 
 def read_docs_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     reader = spark.readStream.schema(DOCS_SCHEMA)
@@ -97,8 +113,12 @@ def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFra
     reference counts out-of-order, evtxreader.rs:260)."""
     from pyspark.sql.window import Window
 
-    secs = int(watermark.split()[0]) * 3600
-    w = Window.partitionBy("source").orderBy("msg_no").rowsBetween(Window.unboundedPreceding, 0)
+    secs = parse_duration_seconds(watermark)
+    # running max ordered by (doc_id, msg_no): doc_id carries the file/batch
+    # arrival order of the rendered corpus, msg_no orders within a doc —
+    # together a deterministic arrival order per source (msg_no alone is a
+    # per-doc index and would make the late count tie-order dependent)
+    w = Window.partitionBy("source").orderBy("doc_id", "msg_no").rowsBetween(Window.unboundedPreceding, 0)
     high = F.max("ts").over(w)
     return (
         messages.withColumn("_late", (F.unix_timestamp(high) - F.unix_timestamp("ts") > secs).cast("int"))

@@ -65,11 +65,36 @@ class TestSimhash:
         assert pairs.get((1, 4)) == 0
 
     def test_deterministic(self, spark, small_docs):
-        from super_speedy_syslog_searcher_spark.operators.dedup import make_simhash_udf
+        from super_speedy_syslog_searcher_spark.operators.dedup import simhash_col
 
-        a = small_docs.select(make_simhash_udf()(F.col("text")).alias("h")).collect()
-        b = small_docs.select(make_simhash_udf()(F.col("text")).alias("h")).collect()
+        a = small_docs.select(simhash_col("text").alias("h")).collect()
+        b = small_docs.select(simhash_col("text").alias("h")).collect()
         assert [r["h"] for r in a] == [r["h"] for r in b]
+
+    def test_simhash_matches_sql_oracle(self, spark, small_docs):
+        """The md5-60-bit simhash must be bit-identical to the DuckDB SQL
+        formulation (the driver-oracle contract)."""
+        import duckdb
+
+        from super_speedy_syslog_searcher_spark.operators.dedup import simhash_col
+
+        got = {r["doc_id"]: r["h"] for r in small_docs.select("doc_id", simhash_col("text").alias("h")).collect()}
+        pdf = small_docs.select("doc_id", "text").toPandas()
+        con = duckdb.connect()
+        con.register("docs", pdf)
+        sql = """
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+        h AS (SELECT doc_id, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS hw FROM w),
+        bits AS (
+          SELECT doc_id, b, SUM(CASE WHEN (hw >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) AS bs
+          GROUP BY doc_id, b
+        )
+        SELECT doc_id, SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+        FROM bits GROUP BY doc_id
+        """
+        want = {int(r[0]): int(r[1]) for r in con.execute(sql).fetchall()}
+        assert got == want
 
 
 class TestSimilarity:
@@ -201,6 +226,33 @@ class TestBinaryFormats:
         assert not got[99]["valid"]
         ranked = time_ordered(decoded).orderBy("rec_rank").collect()
         assert [r["record_no"] for r in ranked] == [1, 2, 0]  # time order
+
+    def test_truncated_record_does_not_corrupt_siblings(self, spark):
+        """A single wrong-size record must be the ONLY one marked invalid;
+        correctly-sized siblings decode normally (the round-1 ragged-batch
+        fallback zeroed the whole group)."""
+        from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+            UTMPX,
+            decode_fixedstruct,
+            pack_records,
+            time_ordered,
+        )
+
+        good0 = pack_records(UTMPX, 7, 11, "alice", 100, 0)
+        good1 = pack_records(UTMPX, 7, 12, "bob", 200, 0)
+        truncated = good0[:17]  # classic truncated-tail utmp record
+        rows = [
+            ("d1", "s1", 0, bytearray(good0)),
+            ("d1", "s1", 1, bytearray(truncated)),
+            ("d1", "s1", 2, bytearray(good1)),
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, source string, record_no int, record binary")
+        got = {r["record_no"]: r for r in decode_fixedstruct(df, layout_by_source={"s1": "utmpx"}).collect()}
+        assert got[0]["valid"] and got[0]["ut_user"] == "alice" and got[0]["ut_pid"] == 11
+        assert got[2]["valid"] and got[2]["ut_user"] == "bob" and got[2]["ut_pid"] == 12
+        assert not got[1]["valid"] and got[1]["ts"] is None
+        ranked = time_ordered(decode_fixedstruct(df, layout_by_source={"s1": "utmpx"}))
+        assert [r["record_no"] for r in ranked.orderBy("rec_rank").collect()] == [0, 2]
 
     def test_journal_precedence(self, spark):
         from super_speedy_syslog_searcher_spark.operators.journal import parse_journal_export
