@@ -43,7 +43,7 @@ US_EXACT_FAMS = (0, 1, 4)
 
 # expected winning DTPD pattern per family (table order = dispatch order;
 # pinned by tests/test_entry_contract.py)
-FAMILY_PATTERN_ID = {0: 5, 1: 2, 2: 18, 3: 13, 4: 16, 5: 14, 6: 8, 7: 10}
+FAMILY_PATTERN_ID = {0: 9, 1: 2, 2: 4, 3: 23, 4: 39, 5: 18, 6: 13, 7: 24}
 
 # deterministic enrichment rows for the 8 rendered sources; mirrored
 # literally in the oracle SQL (CASE) — facility/severity by family index

@@ -48,19 +48,19 @@ def _ymd_slash(dt: Column) -> Column:
 # exactly (e.g. it only admits ≤6 fractional digits).
 JVM_FAST: dict = {
     "rfc3339_num_tz": (
-        r"^(?:<\d{1,3}> ?)?(\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})? ?(?:[+-]\d{2}:?(?:\d{2})?|Z))(?:[^\d]|$)",
+        r"^(?:<\d{1,3}> ?)?((?:1969|19[7-9]\d|20\d\d)-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})? ?(?:[+-]\d{2}:?(?:\d{2})?|Z))(?:[^\d]|$)",
         lambda dt: _iso(F.regexp_replace(dt, ",", ".")),
     ),
     "rfc3339": (
-        r"^(?:<\d{1,3}> ?)?(\d{4}-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})?)(?:[^\d,\.]|[\.,]\D|$)",
+        r"^(?:<\d{1,3}> ?)?((?:1969|19[7-9]\d|20\d\d)-\d{1,2}-\d{1,2}[T ]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})?)(?:[^\d,\.]|[\.,]\D|$)",
         lambda dt: _iso(F.regexp_replace(dt, ",", ".")),
     ),
     "bracketed_ymd": (
-        r"^[\[\(\{<](\d{4}/\d{1,2}/\d{1,2}[ T]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})?)(?:[,\.\| \t][^\]\)\}>]{0,20})?[\]\)\}>]",
+        r"^[\[\(\{<]((?:1969|19[7-9]\d|20\d\d)/\d{1,2}/\d{1,2}[ T]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})?)(?:[,\.\| \t][^\]\)\}>]{0,20})?[\]\)\}>]",
         lambda dt: _ymd_slash(F.regexp_replace(dt, ",", ".")),
     ),
     "word_tab_ymd": (
-        r"^[\w\-\.]{1,16}\t(\d{4}/\d{1,2}/\d{1,2}[ T]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})?)",
+        r"^[\w\-\.]{1,16}\t((?:1969|19[7-9]\d|20\d\d)/\d{1,2}/\d{1,2}[ T]\d{1,2}:\d{2}:\d{2}(?:[\.,]\d{1,6})?)",
         lambda dt: _ymd_slash(F.regexp_replace(dt, ",", ".")),
     ),
 }

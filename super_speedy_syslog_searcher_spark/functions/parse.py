@@ -133,6 +133,8 @@ def _convert_matches(
     hour = gd["hour"].astype("int64")
     minute = gd["minute"].astype("int64")
     second = gd["second"].astype("int64") if "second" in gd.columns else pd.Series(0, index=gd.index)
+    # leap second (CGP_SECOND allows 60, datetime.rs:1805) → clamp
+    second = second.clip(upper=59)
 
     ns = _frac_to_ns(gd["frac"]) if "frac" in gd.columns else pd.Series(0, index=gd.index, dtype="int64")
     tz_min, tz_ok = _tz_minutes(gd, default_tz_minutes)

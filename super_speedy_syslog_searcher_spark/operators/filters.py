@@ -68,8 +68,15 @@ _REL_RE = re.compile(r"^(?P<at>@?)(?P<sign>[+-])(?P<body>(?:\d+[wdhms])+)$")
 _REL_PART = re.compile(r"(\d+)([wdhms])")
 _SECONDS = {"w": 7 * 86400, "d": 86400, "h": 3600, "m": 60, "s": 1}
 
-# accepted absolute forms (subset of the reference's 76 — each optional
-# fractional part and tz handled by post-processing, so the list stays short)
+# accepted absolute forms — the reference's CLI_FILTER_PATTERNS
+# (s4.rs:286-389) factorized: its 76 entries are exactly
+#   {4 time-ful base shapes} × {no frac | .%3f | .%6f}
+#     × {none | %z | %:z | %#z | %Z, attached or space-separated}
+#   + {3 date-only shapes} + epoch "+%s"
+# which this grammar reproduces with the fractional/tz handled as
+# post-processing steps gated on the SAME rules the table encodes:
+# fractional is EXACTLY 3 or 6 digits and only on time-ful forms; tz only
+# on time-ful forms; date-only forms take neither (has_tz=false rows).
 # (fmt, date_only, exact_len) — exact_len disambiguates the compact
 # separator-less forms (strptime would let %M/%S swallow short digits)
 _ABS_FORMS = [
@@ -77,10 +84,12 @@ _ABS_FORMS = [
     ("%Y-%m-%d %H:%M:%S", False, None),
     ("%Y-%m-%dT%H:%M:%S", False, None),
     ("%Y/%m/%d %H:%M:%S", False, None),
+    # engine extensions beyond the reference table: minute precision
     ("%Y%m%dT%H%M", False, 13),
     ("%Y-%m-%d %H:%M", False, None),
     ("%Y-%m-%dT%H:%M", False, None),
     ("%Y/%m/%d %H:%M", False, None),
+    # date-only (midnight; no tz, no fractional — reference rows 73-75)
     ("%Y-%m-%d", True, None),
     ("%Y/%m/%d", True, None),
     ("%Y%m%d", True, 8),
@@ -123,18 +132,24 @@ def parse_dt_filter(
     if re.match(r"^\+\d{9,11}(\.\d+)?$", s):  # epoch +%s
         return datetime.fromtimestamp(float(s[1:]), tz=timezone.utc)
 
-    def _try_abs(body: str) -> tuple[datetime, int] | None:
+    def _try_abs(body: str) -> tuple[datetime, int, bool] | None:
         frac_us = 0
-        mfrac = re.search(r"\.(\d{1,9})$", body)
+        # fractional is EXACTLY .%3f or .%6f in the reference table — and
+        # only on time-ful forms (checked below via date_only)
+        mfrac = re.search(r"\.(\d{3}|\d{6})$", body)
+        had_frac = False
         if mfrac:
-            frac_us = int(mfrac.group(1).ljust(9, "0")[:6])
+            frac_us = int(mfrac.group(1).ljust(6, "0"))
             body = body[: mfrac.start()]
-        for fmt, _date_only, exact_len in _ABS_FORMS:
+            had_frac = True
+        for fmt, date_only, exact_len in _ABS_FORMS:
             if exact_len is not None and len(body) != exact_len:
                 continue
+            if date_only and had_frac:
+                continue  # reference date-only rows carry no fractional
             try:
                 # date-only forms get midnight implicitly (s4.rs:444-448)
-                return datetime.strptime(body, fmt), frac_us
+                return datetime.strptime(body, fmt), frac_us, date_only
             except ValueError:
                 continue
         return None
@@ -143,15 +158,17 @@ def parse_dt_filter(
     hit = _try_abs(s)
     tz_min = None
     if hit is None:
-        # 2) split off a trailing tz: numeric ±HH[:MM] / ±HHMM / ±HH / Z ...
+        # 2) split off a trailing tz: numeric ±HH[:MM] / ±HHMM / ±HH / Z,
+        #    attached or space-separated (%z/%:z/%#z rows) ...
         mnum = re.search(r"\s*([+-]\d{2}:?\d{2}|[+-]\d{2}|Z)$", s)
         if mnum:
             hit = _try_abs(s[: mnum.start()].strip())
             if hit is not None:
                 tz_min = offset_str_to_minutes(mnum.group(1))
         if hit is None:
-            # ... or a named abbreviation (ambiguous → REJECT, README.md:424)
-            mname = re.search(r"\s([A-Za-z]{2,5})$", s)
+            # ... or a named abbreviation, space-separated or attached
+            # after digits (%Z rows; ambiguous → REJECT, README.md:424)
+            mname = re.search(r"(?:\s|(?<=\d))([A-Za-z]{2,5})$", s)
             if mname:
                 hit = _try_abs(s[: mname.start()].strip())
                 if hit is not None:
@@ -161,9 +178,13 @@ def parse_dt_filter(
                             raise ValueError(f"ambiguous timezone name in filter: {mname.group(1)!r}")
                         raise ValueError(f"unknown timezone name in filter: {mname.group(1)!r}")
                     tz_min = offset_str_to_minutes(off)
+        if hit is not None and hit[2]:
+            # reference date-only rows have has_tz=false: '2022-01-01 PST'
+            # is not an accepted form
+            raise ValueError(f"date-only filter cannot carry a timezone: {s!r}")
     if hit is None:
         raise ValueError(f"unrecognized datetime filter: {s!r}")
-    dt, frac_us = hit
+    dt, frac_us, _date_only = hit
     offset = tz_min if tz_min is not None else default_min
     dt = dt.replace(microsecond=frac_us, tzinfo=timezone(timedelta(minutes=offset)))
     return dt.astimezone(timezone.utc)

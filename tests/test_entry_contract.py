@@ -17,12 +17,12 @@ def test_family_pattern_ids_pin_table_order():
     expected_names = {
         0: "rfc3339_num_tz",
         1: "bracketed_ymd",
-        2: "apache_clf",
+        2: "bracketed_bdY_tz",  # CLF lines match the d/Mon/YYYY bracket family (ref 46-54)
         3: "rfc3164_noyear",
         4: "epoch_frac",
         5: "windows_mdy",
         6: "word_tab_ymd",
-        7: "rfc2822_num_tz",
+        7: "wd_dby_hms_tz",  # RFC 2822 — weekday now inside the dt span (CGN_DAYa)
     }
     for fam, pid in FAMILY_PATTERN_ID.items():
         assert DATETIME_PARSE_DATAS[pid].name == expected_names[fam], (

@@ -79,7 +79,11 @@ def test_dt_pass_filters_scalar():
 def test_parse_dt_filter_forms():
     assert parse_dt_filter("20000101T002000") == datetime(2000, 1, 1, 0, 20, tzinfo=UTC)
     assert parse_dt_filter("2000-01-01 00:20:00") == datetime(2000, 1, 1, 0, 20, tzinfo=UTC)
-    assert parse_dt_filter("2000-01-01T00:20:00.5") == datetime(2000, 1, 1, 0, 20, 0, 500000, tzinfo=UTC)
+    # fractional must be exactly %3f or %6f (reference table rows)
+    assert parse_dt_filter("2000-01-01T00:20:00.500") == datetime(2000, 1, 1, 0, 20, 0, 500000, tzinfo=UTC)
+    assert parse_dt_filter("2000-01-01T00:20:00.500000") == datetime(2000, 1, 1, 0, 20, 0, 500000, tzinfo=UTC)
+    with pytest.raises(ValueError):
+        parse_dt_filter("2000-01-01T00:20:00.5")
     # date-only → midnight appended (s4.rs:444-448)
     assert parse_dt_filter("2000-01-01") == datetime(2000, 1, 1, tzinfo=UTC)
     # epoch +%s
@@ -181,3 +185,72 @@ def test_checkpoint_resume(spark, tmp_path):
     )
     m3 = run_pipeline_resumable(both, lookup, cfg, out, ckpt, run_id="r3")
     assert not m3["skipped"] and m3["n_new_sources"] == 1
+
+
+def test_cli_filter_grammar_all_76_reference_forms():
+    """Table-driven sweep over every CLI_FILTER_PATTERNS entry
+    (/root/reference/src/bin/s4.rs:286-389): render a sample value in each
+    of the 76 accepted forms and assert the parsed UTC instant."""
+    from datetime import datetime, timezone
+
+    from super_speedy_syslog_searcher_spark.operators.filters import parse_dt_filter
+
+    base = dict(date="2022-07-18", time="19:34:46")
+    wall_utc = datetime(2022, 7, 18, 19, 34, 46, tzinfo=timezone.utc)
+    fracs = [("", 0), (".123", 123000), (".123456", 123456)]
+    # (tz_text, offset_minutes) per tz style; None style = default tz (+00)
+    tzs = {"z": ("+0130", 90), "zc": ("+01:30", 90), "zp": ("+01", 60), "Z": ("PST", -480)}
+
+    cases = []  # (filter_string, expected_utc)
+
+    def add(s, off_min, frac_us):
+        expected = wall_utc.replace(microsecond=frac_us) - __import__("datetime").timedelta(minutes=off_min)
+        cases.append((s, expected))
+
+    compact_dt = base["date"].replace("-", "") + "T" + base["time"].replace(":", "")
+    dash_sp = f"{base['date']} {base['time']}"
+    dash_t = f"{base['date']}T{base['time']}"
+    slash_sp = f"{base['date'].replace('-', '/')} {base['time']}"
+
+    for f_txt, f_us in fracs:
+        add(compact_dt + f_txt, 0, f_us)                      # rows 1-3
+        for style in ("z", "zc", "zp", "Z"):
+            t, off = tzs[style]
+            add(compact_dt + f_txt + t, off, f_us)            # rows 4-15 (attached)
+        add(dash_sp + f_txt, 0, f_us)                         # rows 16-18
+        for style in ("z", "zc", "zp", "Z"):
+            t, off = tzs[style]
+            add(dash_sp + f_txt + " " + t, off, f_us)         # rows 19-30 (spaced)
+        add(dash_t + f_txt, 0, f_us)                          # rows 31-33
+        for style in ("z", "zc", "zp", "Z"):
+            t, off = tzs[style]
+            add(dash_t + f_txt + t, off, f_us)                # T-form attached
+            add(dash_t + f_txt + " " + t, off, f_us)          # T-form spaced
+        add(slash_sp + f_txt, 0, f_us)                        # rows 58-60
+        for style in ("z", "zc", "zp", "Z"):
+            t, off = tzs[style]
+            add(slash_sp + f_txt + " " + t, off, f_us)        # rows 61-72 (spaced)
+
+    # date-only rows 73-75 (midnight, default tz, no frac/tz allowed)
+    for d in ("20220718", "2022-07-18", "2022/07/18"):
+        cases.append((d, datetime(2022, 7, 18, tzinfo=timezone.utc)))
+    # epoch row 76
+    cases.append(("+1658172886", datetime.fromtimestamp(1658172886, tz=timezone.utc)))
+
+    assert len(cases) >= 76
+    for s, expected in cases:
+        got = parse_dt_filter(s)
+        assert got == expected, f"{s!r}: {got} != {expected}"
+
+    # rejection parity: forms the reference table does NOT contain
+    import pytest
+
+    for bad in (
+        "2022-07-18 PST",          # date-only rows have has_tz=false
+        "2022-07-18.123",          # ... and no fractional
+        "2022-07-18 19:34:46.12",  # fractional must be %3f or %6f
+        "2022-07-18 19:34:46 IST",  # ambiguous named tz → reject
+        "bogus",
+    ):
+        with pytest.raises(ValueError):
+            parse_dt_filter(bad)

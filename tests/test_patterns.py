@@ -87,3 +87,92 @@ def test_locked_pattern_fast_path():
     res = parse_series(lines, locked=locked)
     assert pd.notna(res.iloc[0]["ts"]) and pd.notna(res.iloc[1]["ts"])
     assert res.iloc[1]["ts"] == pd.Timestamp("2022-10-08 22:26:35", tz="UTC")
+
+
+def test_tzmap_matches_reference_map():
+    """Table-driven: the repo map must agree with the reference's
+    MAP_TZZ_TO_TZz (datetime.rs:1984-2503) on every abbreviation —
+    including which ones are AMBIGUOUS."""
+    import re
+    from pathlib import Path
+
+    from super_speedy_syslog_searcher_spark.functions.tzmap import (
+        AMBIGUOUS,
+        TZ_ABBREV_TO_OFFSET,
+    )
+
+    ref = Path("/root/reference/src/data/datetime.rs")
+    if not ref.exists():
+        import pytest
+
+        pytest.skip("reference tree not present")
+    src = ref.read_text()
+    body = src[src.index("pub static MAP_TZZ_TO_TZz") :]
+    body = body[: body.index("};")]
+    want: dict[str, str] = {}
+    for k, v in re.findall(r'^\s*"([^"]+)" => "([^"]*)",', body, re.M):
+        want.setdefault(k.upper(), v)
+    want["AZOST"] = "+00:00"  # lowercase row is "-00:00"
+    assert len(want) >= 190
+    assert set(TZ_ABBREV_TO_OFFSET) == set(want)
+    for k, v in want.items():
+        got = TZ_ABBREV_TO_OFFSET[k]
+        assert got == (AMBIGUOUS if v == "" else v), k
+
+
+# ---------------------------------------------------------------------------
+# full reference-case matrix (≙ test_DATETIME_PARSE_DATAS, 801 cases)
+# ---------------------------------------------------------------------------
+# The reference's embedded cases are PER-ENTRY assertions; its sweep lines
+# sometimes carry a parseable tz while sitting under a no-tz entry. Under
+# FULL-TABLE dispatch (what this engine and the reference's runtime both
+# do) an earlier tz-bearing entry wins, so the tz IS applied. Those cases
+# are value-checked against the tz-applied instant instead.
+FULL_DISPATCH_TZ_OVERRIDES = {
+    "warning: Sat Jan 31 2000 08:45:55 -09:00 warning:‼": -9 * 3600,
+    "blarg: Tue. Jun 28 2022 01:51:12 WST": 8 * 3600,
+    "RSYSLOG Tue Jun 2 2022 01:51:12 YAKT": 9 * 3600,
+    "RSYSLOG Tue Jun 28 2022 01:51:12 YEKT FOOBAR": 5 * 3600,
+    "messg: Tue. Jun 28 01:51:12 2022 WST": 8 * 3600,
+    "MESSAGE Tue Jun 2 01:51:12 2022 YAKT": 9 * 3600,
+    "MESSAGE Tue Jun 28 01:51:12 2022 YEKT FOOBAR": 5 * 3600,
+}
+
+
+def test_reference_case_matrix():
+    """Every embedded test case from the reference's 173-entry table
+    (tests/data/ref_dtpd_cases.json, extracted from
+    /root/reference/src/data/datetime.rs by tools/extract_ref_cases.py)
+    must parse to the expected instant with byte-exact dt offsets."""
+    import json
+    from pathlib import Path
+
+    cases = json.loads((Path(__file__).parent / "data" / "ref_dtpd_cases.json").read_text())
+    lines = pd.Series([c["line"] for c in cases])
+    out = parse_series(lines)  # default tz +00:00, dummy year 1972
+    failures = []
+    for i, c in enumerate(cases):
+        line = c["line"]
+        ts = out["ts"].iloc[i]
+        if pd.isna(ts):
+            failures.append((i, line[:60], "no parse"))
+            continue
+        y, mo, d, H, M, S, ns = c["ymdhmsn"]
+        off = FULL_DISPATCH_TZ_OVERRIDES.get(line, c["tz_offset_secs"] or 0)
+        want_ns = (
+            pd.Timestamp(year=y, month=mo, day=d, hour=H, minute=M, second=S, tz="UTC")
+            - pd.Timedelta(seconds=off)
+        ).value + ns
+        got_ns = ts.value // 1000 * 1000 + int(out["ts_ns"].iloc[i])
+        if got_ns != want_ns:
+            failures.append((i, line[:60], f"value {got_ns} != {want_ns}"))
+            continue
+        if line not in FULL_DISPATCH_TZ_OVERRIDES:
+            gb = int(out["dt_beg"].iloc[i])
+            ge = int(out["dt_end"].iloc[i])
+            # engine keeps CHAR offsets; reference counts BYTES
+            gb_b, ge_b = len(line[:gb].encode()), len(line[:ge].encode())
+            if (gb_b, ge_b) != (c["dt_beg"], c["dt_end"]):
+                failures.append((i, line[:60], f"span ({gb_b},{ge_b}) != ({c['dt_beg']},{c['dt_end']})"))
+    assert not failures, f"{len(failures)} of {len(cases)} failed: {failures[:10]}"
+    assert len(cases) >= 790

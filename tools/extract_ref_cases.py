@@ -106,6 +106,10 @@ def extract(src: str) -> list[dict]:
     for m in CASE_RE.finditer(src):
         if m.start() < table_start:
             continue
+        # skip commented-out cases (the reference keeps a few disabled)
+        line_start = src.rfind("\n", 0, m.start()) + 1
+        if src[line_start : m.start()].lstrip().startswith("//"):
+            continue
         beg, end = int(m.group(1)), int(m.group(2))
         tzname = m.group(3)
         ytok = m.group(4)
@@ -152,7 +156,11 @@ def report(cases: list[dict]) -> None:
         got_us = ts.value // 1000 + int(out["ts_ns"].iloc[i]) // 1000 * 0
         got_total = ts.value // 1000 * 1000 + int(out["ts_ns"].iloc[i])
         want_total = want_us * 1000 + ns % 1000
-        span_ok = (int(out["dt_beg"].iloc[i]) == c["dt_beg"]) and (int(out["dt_end"].iloc[i]) == c["dt_end"])
+        line = c["line"]
+        gb, ge = int(out["dt_beg"].iloc[i]), int(out["dt_end"].iloc[i])
+        # engine offsets are CHAR offsets; the reference counts BYTES
+        gb_b, ge_b = len(line[:gb].encode()), len(line[:ge].encode())
+        span_ok = (gb_b == c["dt_beg"]) and (ge_b == c["dt_end"])
         val_ok = got_total == want_total
         if val_ok and span_ok:
             n_ok += 1
