@@ -11,6 +11,7 @@ derivable in pure SQL.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -344,6 +345,71 @@ FROM documents
 """
 
 
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec path end-to-end: deterministic PNG/GIF/BMP/JPEG/WAV/MP4
+    payloads are built from doc_id, then parsed back by the pure-Python
+    header codecs (operators/multimodal.py real_decode). The oracle
+    recomputes the expected metadata from doc_id arithmetic — so a codec
+    bug (wrong offset, wrong endianness) breaks the hash match."""
+    import pandas as pd
+
+    from .operators.multimodal import (
+        build_bmp,
+        build_gif,
+        build_jpeg,
+        build_mp4,
+        build_png,
+        build_wav,
+        extract_media_meta,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+
+    @F.pandas_udf("binary")
+    def _payload(doc_id: pd.Series) -> pd.Series:
+        out = []
+        for did in doc_id:
+            did = int(did)
+            fmt = did % 6
+            w, h = did % 100 + 1, did % 50 + 1
+            dur = (did % 300 + 1) * 100
+            if fmt == 0:
+                out.append(build_png(w, h))
+            elif fmt == 1:
+                out.append(build_gif(w, h))
+            elif fmt == 2:
+                out.append(build_bmp(w, h))
+            elif fmt == 3:
+                out.append(build_jpeg(w, h))
+            elif fmt == 4:
+                out.append(build_wav(dur))
+            else:
+                out.append(build_mp4(dur))
+        return pd.Series(out)
+
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(*[F.lit(k) for k in ("image", "image", "image", "image", "audio", "video")]),
+            (F.col("doc_id") % 6 + 1).cast("int"),
+        ).alias("kind"),
+        _payload(F.col("doc_id")).alias("payload"),
+    )
+    meta = extract_media_meta(media, decoder="real")
+    return meta.select("media_id", "kind", "width", "height", "duration_ms", "ok")
+
+
+SQL_MULTIMODAL_REAL_DECODE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+  CASE WHEN doc_id % 6 <= 3 THEN 'image' WHEN doc_id % 6 = 4 THEN 'audio' ELSE 'video' END AS kind,
+  CAST(CASE WHEN doc_id % 6 <= 3 THEN doc_id % 100 + 1 END AS INT) AS width,
+  CAST(CASE WHEN doc_id % 6 <= 3 THEN doc_id % 50 + 1 END AS INT) AS height,
+  CAST(CASE WHEN doc_id % 6 >= 4 THEN (doc_id % 300 + 1) * 100 END AS BIGINT) AS duration_ms,
+  TRUE AS ok
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -358,6 +424,7 @@ QUERIES = {
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "embed_cosine_dup": q_embed_cosine_dup,
     "multimodal_extract": q_multimodal_extract,
+    "multimodal_real_decode": q_multimodal_real_decode,
 }
 
 ORACLES = {
@@ -373,4 +440,5 @@ ORACLES = {
     "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
     "embed_cosine_dup": SQL_EMBED_COSINE_DUP,
     "multimodal_extract": SQL_MULTIMODAL_EXTRACT,
+    "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
 }

@@ -30,39 +30,68 @@ from pyspark.sql import types as T
 
 @dataclass(frozen=True)
 class Layout:
-    """One fixed-struct layout variant (≙ FixedStructType)."""
+    """One fixed-struct layout variant (≙ FixedStructType).
+
+    Fields that a variant lacks (lastlog/acct/utmp have no ut_type or
+    ut_pid; several have no tv_usec) are ``None`` — decode emits 0/'' for
+    them, mirroring the reference's per-variant field access
+    (fixedstruct.rs entry_to_* per module)."""
 
     name: str
     size: int
-    off_type: int
-    off_pid: int
-    off_user: int
+    off_user: int  # user-ish field: ut_user / ut_name / ll_line / ac_comm
     user_len: int
-    off_tv_sec: int
-    off_tv_usec: int
-    tv_width: int  # 8 (int64) or 4 (int32)
+    off_tv_sec: int  # ut_tv.tv_sec / ll_time / ut_time / ac_btime
+    sec_width: int  # 4 or 8 (little-endian signed)
+    off_tv_usec: int | None = None
+    usec_width: int = 8
+    off_type: int | None = None  # ut_type (2 bytes) where present
+    off_pid: int | None = None  # ut_pid (4 bytes) where present
 
 
-# utmpx-like (linux_x86 shape, fixedstruct.rs:511-527): type@0(+pad2),
-# pid@4, line@8[16], id@24[8], user@32[32], host@64[128], tv@192/200
-UTMPX = Layout("utmpx", 208, 0, 4, 32, 32, 192, 200, 8)
-# compact utmp32-like variant
-UTMP32 = Layout("utmp32", 48, 0, 4, 16, 8, 40, 44, 4)
-
-LAYOUTS = [UTMPX, UTMP32]
+# All 16 reference variants; offsets/sizes from the struct layout tables
+# embedded in /root/reference/src/data/fixedstruct.rs (each module's
+# `assertcp_eq!` offset assertions; enum at :161-242, sizes at :246-265).
+LAYOUTS = [
+    Layout("freebsd_x8664_utmpx", 280, 36, 32, 8, 8, 16, 8, 0, 32),
+    Layout("linux_arm64_lastlog", 296, 8, 32, 0, 8),
+    Layout("linux_arm64_utmpx", 400, 44, 32, 344, 8, 352, 8, 0, 4),
+    Layout("linux_x86_acct", 64, 36, 17, 8, 4),
+    Layout("linux_x86_acct_v3", 64, 48, 16, 24, 4, None, 8, None, 16),
+    Layout("linux_x86_lastlog", 292, 4, 32, 0, 4),
+    Layout("linux_x86_utmpx", 384, 44, 32, 340, 4, 344, 4, 0, 4),
+    Layout("netbsd_x8632_acct", 56, 0, 16, 24, 8),
+    Layout("netbsd_x8632_lastlogx", 428, 12, 32, 0, 8, 8, 4),
+    Layout("netbsd_x8632_utmpx", 516, 0, 32, 464, 8, 472, 4, 326, 328),
+    Layout("netbsd_x8664_lastlog", 32, 8, 8, 0, 8),
+    Layout("netbsd_x8664_lastlogx", 432, 16, 32, 0, 8, 8, 4),
+    Layout("netbsd_x8664_utmp", 40, 8, 8, 32, 8),
+    Layout("netbsd_x8664_utmpx", 520, 0, 32, 464, 8, 472, 4, 326, 328),
+    Layout("openbsd_x86_lastlog", 272, 8, 8, 0, 8),
+    Layout("openbsd_x86_utmp", 304, 8, 32, 296, 8),
+]
 LAYOUT_BY_NAME = {l.name: l for l in LAYOUTS}
+
+# historical aliases (round-1 synthetic names) → real reference layouts
+UTMPX = LAYOUT_BY_NAME["linux_x86_utmpx"]
+UTMP32 = LAYOUT_BY_NAME["linux_x86_acct_v3"]
 
 
 def pack_records(layout: Layout, ut_type: int, pid: int, user: str, tv_sec: int, tv_usec: int) -> bytes:
-    """Build one record (corpus/test construction only)."""
+    """Build one record (corpus/test construction only). Fields the
+    layout lacks are silently dropped."""
     buf = bytearray(layout.size)
-    buf[layout.off_type : layout.off_type + 2] = int(ut_type).to_bytes(2, "little", signed=True)
-    buf[layout.off_pid : layout.off_pid + 4] = int(pid).to_bytes(4, "little", signed=True)
+    if layout.off_type is not None:
+        buf[layout.off_type : layout.off_type + 2] = int(ut_type).to_bytes(2, "little", signed=True)
+    if layout.off_pid is not None:
+        buf[layout.off_pid : layout.off_pid + 4] = int(pid).to_bytes(4, "little", signed=True)
     ub = user.encode()[: layout.user_len]
     buf[layout.off_user : layout.off_user + len(ub)] = ub
-    w = layout.tv_width
+    w = layout.sec_width
     buf[layout.off_tv_sec : layout.off_tv_sec + w] = int(tv_sec).to_bytes(w, "little", signed=True)
-    buf[layout.off_tv_usec : layout.off_tv_usec + w] = int(tv_usec).to_bytes(w, "little", signed=True)
+    if layout.off_tv_usec is not None:
+        wu = layout.usec_width
+        buf[layout.off_tv_usec : layout.off_tv_usec + wu] = int(tv_usec).to_bytes(wu, "little", signed=True)
     return bytes(buf)
 
 
@@ -86,25 +115,38 @@ def _masked_view(payloads: list[bytes | None], layout: Layout) -> tuple[np.ndarr
     return ok, np.frombuffer(b"".join(good), dtype=np.uint8).reshape(len(good), layout.size)
 
 
+def _read_ints(m: np.ndarray, off: int, width: int) -> np.ndarray:
+    dt = {2: "<i2", 4: "<i4", 8: "<i8"}[width]
+    return m[:, off : off + width].copy().view(dt)[:, 0].astype(np.int64)
+
+
 def _decode_matrix(m: np.ndarray, layout: Layout) -> dict[str, np.ndarray]:
-    w = layout.tv_width
-    tv_dtype = "<i8" if w == 8 else "<i4"
+    n = len(m)
+    zeros = np.zeros(n, dtype=np.int64)
     return {
-        "ut_type": m[:, layout.off_type : layout.off_type + 2].copy().view("<i2")[:, 0],
-        "ut_pid": m[:, layout.off_pid : layout.off_pid + 4].copy().view("<i4")[:, 0],
+        "ut_type": _read_ints(m, layout.off_type, 2) if layout.off_type is not None else zeros,
+        "ut_pid": _read_ints(m, layout.off_pid, 4) if layout.off_pid is not None else zeros,
         "user_bytes": m[:, layout.off_user : layout.off_user + layout.user_len],
-        "tv_sec": m[:, layout.off_tv_sec : layout.off_tv_sec + w].copy().view(tv_dtype)[:, 0].astype(np.int64),
-        "tv_usec": m[:, layout.off_tv_usec : layout.off_tv_usec + w].copy().view(tv_dtype)[:, 0].astype(np.int64),
+        "tv_sec": _read_ints(m, layout.off_tv_sec, layout.sec_width),
+        "tv_usec": (
+            _read_ints(m, layout.off_tv_usec, layout.usec_width)
+            if layout.off_tv_usec is not None
+            else zeros
+        ),
     }
 
 
 def score_layout(m: np.ndarray, layout: Layout) -> int:
     """Plausibility score (≙ score_fixedstruct, fixedstructreader.rs:964):
-    +1 per record for sane ut_type, sane epoch, printable user field."""
+    +1 per record for sane ut_type (where the layout has one), sane epoch,
+    plausible µs, printable user field."""
     d = _decode_matrix(m, layout)
     s = 0
-    s += int(((d["ut_type"] >= 0) & (d["ut_type"] <= 10)).sum())
+    if layout.off_type is not None:
+        s += int(((d["ut_type"] >= 0) & (d["ut_type"] <= 10)).sum())
     s += int(((d["tv_sec"] > 0) & (d["tv_sec"] < 4102444800)).sum())  # < 2100
+    if layout.off_tv_usec is not None:
+        s += int(((d["tv_usec"] >= 0) & (d["tv_usec"] < 1_000_000)).sum())
     ub = d["user_bytes"]
     printable = ((ub == 0) | ((ub >= 0x20) & (ub < 0x7F))).all(axis=1)
     s += int(printable.sum())
@@ -169,7 +211,7 @@ def decode_fixedstruct(
         for pdf in batches:
             frames = []
             for src, g in pdf.groupby("source", sort=False):
-                layout = LAYOUT_BY_NAME.get(layout_by_source.get(src, "utmpx"), UTMPX)
+                layout = LAYOUT_BY_NAME.get(layout_by_source.get(src, UTMPX.name), UTMPX)
                 payloads = [bytes(p) if p is not None else None for p in g[payload_col]]
                 n = len(payloads)
                 ok, m = _masked_view(payloads, layout)

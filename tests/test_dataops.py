@@ -284,6 +284,43 @@ class TestBinaryFormats:
 
 
 class TestLayoutElection:
+    def test_all_16_reference_layouts_roundtrip(self, spark):
+        """Every reference FixedStructType variant (fixedstruct.rs:161-242)
+        packs and decodes; election recovers each source's layout."""
+        from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+            LAYOUTS,
+            decode_fixedstruct,
+            elect_layouts,
+            pack_records,
+        )
+
+        assert len(LAYOUTS) == 16
+        rows = []
+        for layout in LAYOUTS:
+            for i in range(8):
+                rows.append(
+                    (f"d_{layout.name}", f"src.{layout.name}", i,
+                     bytearray(pack_records(layout, 7, 500 + i, f"u{i}", 1700000000 + i, 42)))
+                )
+        df = spark.createDataFrame(rows, "doc_id string, source string, record_no int, record binary")
+        elected = elect_layouts(df, doc_sample_mod=1)
+        # size-distinct layouts must elect exactly themselves; the two
+        # 64-byte acct variants disambiguate by score (epoch position)
+        for layout in LAYOUTS:
+            assert elected[f"src.{layout.name}"] == layout.name, layout.name
+        decoded = decode_fixedstruct(df, layout_by_source=elected)
+        got = {(r["source"], r["record_no"]): r for r in decoded.collect()}
+        for layout in LAYOUTS:
+            r = got[(f"src.{layout.name}", 3)]
+            assert r["valid"], layout.name
+            assert r["ut_user"] == "u3", layout.name
+            assert int(r["ts"].timestamp()) == 1700000003, layout.name
+            if layout.off_pid is not None:
+                assert r["ut_pid"] == 503, layout.name
+            if layout.off_type is not None:
+                assert r["ut_type"] == 7, layout.name
+
+
     def test_mixed_layouts_elected_per_source(self, spark):
         from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
             UTMP32,
@@ -299,8 +336,46 @@ class TestLayoutElection:
             rows.append(("dy", "small.src", i, bytearray(pack_records(UTMP32, 3, 200 + i, f"uy{i}", 2000 + i, 0))))
         df = spark.createDataFrame(rows, "doc_id string, source string, record_no int, record binary")
         elected = elect_layouts(df, doc_sample_mod=1)
-        assert elected == {"big.src": "utmpx", "small.src": "utmp32"}
+        assert elected == {"big.src": "linux_x86_utmpx", "small.src": "linux_x86_acct_v3"}
         decoded = decode_fixedstruct(df, layout_by_source=elected)
         got = {(r["source"], r["record_no"]): r for r in decoded.collect()}
         assert got[("big.src", 3)]["ut_user"] == "ux3" and got[("big.src", 3)]["ut_pid"] == 103
         assert got[("small.src", 3)]["ut_user"] == "uy3" and got[("small.src", 3)]["ut_pid"] == 203
+
+
+class TestRealCodecs:
+    def test_image_headers_parse(self):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import (
+            build_bmp, build_gif, build_jpeg, build_png, parse_image_header,
+        )
+
+        assert parse_image_header(build_png(640, 480)) == (640, 480, "png")
+        assert parse_image_header(build_gif(13, 7)) == (13, 7, "gif")
+        assert parse_image_header(build_bmp(1920, 1080)) == (1920, 1080, "bmp")
+        assert parse_image_header(build_jpeg(320, 200)) == (320, 200, "jpeg")
+        assert parse_image_header(b"notanimage") is None
+        assert parse_image_header(b"") is None
+
+    def test_jpeg_sof_after_other_segments(self):
+        """SOF can follow APP0/quant segments — the scanner must skip them."""
+        from super_speedy_syslog_searcher_spark.operators.multimodal import parse_image_header
+
+        app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+        sof = b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08" + (77).to_bytes(2, "big") + (99).to_bytes(2, "big") + b"\x01\x11\x00"
+        assert parse_image_header(b"\xff\xd8" + app0 + sof + b"\xff\xd9") == (99, 77, "jpeg")
+
+    def test_wav_and_mp4_duration(self):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import (
+            build_mp4, build_wav, parse_mp4_duration_ms, parse_wav_duration_ms,
+        )
+
+        assert parse_wav_duration_ms(build_wav(2500)) == 2500
+        assert parse_mp4_duration_ms(build_mp4(61000)) == 61000
+        assert parse_wav_duration_ms(b"RIFFxxxx") is None
+        assert parse_mp4_duration_ms(b"\x00\x00\x00\x08free") is None
+
+    def test_real_decode_rejects_unknown(self):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import real_decode
+
+        out = real_decode("image", b"garbage here")
+        assert out["ok"] is False and "unknown" in out["error"]
