@@ -114,12 +114,18 @@ def run_bench(spark, sf_dir: str) -> dict:
 
         EQD.q_ann_cosine_topk(spark, sf_dir).count()
 
+    def q_simhash():
+        from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
+
+        EQD.q_dedup_simhash(spark, sf_dir).count()
+
     timed("e2e_parse_enrich_route_agg", q_e2e)
     timed("parse_only", q_parse)
     timed("dt_filter_agg", q_filter)
     timed("merge_sort", q_merge)
     timed("summary_rollup", q_summary)
     timed("dedup_minhash_lsh", q_dedup)
+    timed("dedup_simhash", q_simhash)
     timed("ann_cosine_topk", q_ann)
 
     e2e = timings["e2e_parse_enrich_route_agg"]

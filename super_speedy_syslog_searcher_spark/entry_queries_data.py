@@ -45,6 +45,11 @@ docs2 AS (
 
 def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # the test corpus is a handful of parquet files → 2-3 input splits,
+    # which would starve the 32-thread Python stages downstream; restore
+    # task parallelism up front (a no-op concern at real scale, where the
+    # input splits already saturate the executors)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     exact = d.filter(F.col("doc_id") < 25).select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     near = d.filter((F.col("doc_id") >= 25) & (F.col("doc_id") < 50)).select(
         (F.col("doc_id") + 200000).alias("doc_id"), F.concat(F.col("text"), F.lit(MUT_TAIL)).alias("text")

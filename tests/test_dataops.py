@@ -189,12 +189,18 @@ class TestMultimodal:
         assert got["b"]["duration_ms"] == 30
         assert not got["c"]["ok"] and got["c"]["error"] == "empty payload"
 
-    def test_real_decoder_is_stub(self, spark):
-        from super_speedy_syslog_searcher_spark.operators.multimodal import extract_media_meta
+    def test_real_decoder_parses_and_rejects(self, spark):
+        """The real path parses genuine headers and reports unknown bytes
+        as (ok=false, error) rows — never a thrown task."""
+        from super_speedy_syslog_searcher_spark.operators.multimodal import build_png, extract_media_meta
 
-        df = spark.createDataFrame([("a", "image", bytearray(b"AB"))], "media_id string, kind string, payload binary")
-        row = extract_media_meta(df, decoder="real").collect()[0]
-        assert not row["ok"] and "decoder" in row["error"]
+        df = spark.createDataFrame(
+            [("a", "image", bytearray(b"AB")), ("b", "image", bytearray(build_png(32, 16)))],
+            "media_id string, kind string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in extract_media_meta(df, decoder="real").collect()}
+        assert not rows["a"]["ok"] and "unknown" in rows["a"]["error"]
+        assert rows["b"]["ok"] and rows["b"]["width"] == 32 and rows["b"]["height"] == 16
 
     def test_frame_sampling(self, spark):
         from super_speedy_syslog_searcher_spark.operators.multimodal import frame_sample_stub
