@@ -20,6 +20,13 @@ DuckDB oracle queries either way).
 Reference analogue: one-pattern lock-in exists to cheapen dispatch
 (/root/reference/src/readers/syslinereader.rs:450,1528); this carries the
 idea further by moving the locked pattern's dispatch out of Python.
+
+Measured (round 2, 6M docs, local[16]): the hybrid lane is ~15% SLOWER
+than the fused Python kernel (20.6 s vs 17.4 s) — the per-codepoint
+transform+char token decode and the ascii_only forall scan outweigh the
+regexp win, while the Python kernel's batched Arrow decode amortizes
+better. The hybrid therefore stays a correctness-verified ALTERNATIVE
+(output ≡ fused, tests/test_jvm_fast.py), not the default path.
 """
 
 from __future__ import annotations
