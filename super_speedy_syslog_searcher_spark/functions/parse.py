@@ -188,22 +188,40 @@ def parse_series(
     # ezcheck: two consecutive digits required by every pattern
     candidate = text.str.contains(EZCHECK_RE, regex=True, na=False).to_numpy()
 
-    def _try_pattern(pid: int, row_mask: np.ndarray) -> None:
+    # shared prefilter masks: several entries reuse the same prefilter
+    # (all 7 weekday-led families share one, the 4 dnf families another);
+    # computing each ONCE over the full text per batch turns 11 regex
+    # scans into 2 on the all-miss path. Masks are over the UNSLICED text
+    # — a correct over-approximation of the per-pattern sliced check.
+    _prefilter_masks: dict[tuple[str, bool, bool], np.ndarray] = {}
+    _lowered: list[pd.Series] = []  # lazy one-shot lowercase of the batch
+
+    def _prefilter_mask(pat) -> np.ndarray:
+        key = (pat.prefilter, pat.prefilter_regex, pat.prefilter_lower)
+        m = _prefilter_masks.get(key)
+        if m is None:
+            if pat.prefilter_lower:
+                if not _lowered:
+                    _lowered.append(text.str.lower())
+                hay = _lowered[0]
+            else:
+                hay = text
+            m = hay.str.contains(pat.prefilter, regex=pat.prefilter_regex, na=False).to_numpy()
+            _prefilter_masks[key] = m
+        return m
+
+    def _try_pattern(pid: int, row_mask: np.ndarray, use_prefilter: bool = True) -> None:
         pat = DATETIME_PARSE_DATAS[pid]
         rx = _COMPILED[pid]
+        if use_prefilter and pat.prefilter is not None and row_mask.sum() > 32:
+            # ezcheck-style cheap rejection before the full regex
+            row_mask = row_mask & _prefilter_mask(pat)
         idx = np.flatnonzero(row_mask)
         if len(idx) == 0:
             return
         series = text.iloc[idx]
         if pat.slice_lo or pat.slice_hi < 4096:
             series = series.str.slice(pat.slice_lo, pat.slice_hi)
-        if pat.prefilter is not None and len(idx) > 32:
-            # ezcheck-style cheap rejection before the full regex
-            keep = series.str.contains(pat.prefilter, regex=pat.prefilter_regex, na=False).to_numpy()
-            if not keep.any():
-                return
-            idx = idx[keep]
-            series = series[keep]
         sliced = series.tolist()
         search = rx.search
         matches = [search(s) for s in sliced]
@@ -232,7 +250,9 @@ def parse_series(
         for pid in np.unique(lk):
             if pid < 0 or pid >= len(DATETIME_PARSE_DATAS):
                 continue
-            _try_pattern(int(pid), candidate & ~out_ok & (lk == pid))
+            # locked rows almost always match their pattern — the
+            # prefilter scan would be pure overhead on the hot path
+            _try_pattern(int(pid), candidate & ~out_ok & (lk == pid), use_prefilter=False)
 
     # full-table pass on leftovers
     for pid in range(len(DATETIME_PARSE_DATAS)):

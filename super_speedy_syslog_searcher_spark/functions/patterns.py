@@ -130,6 +130,19 @@ NANPM = r"(?![0-9A-Za-z+\-])"
 NAB = r"(?:^|(?<=[^A-Za-z]))"  # RP_NOALPHAb as lookbehind
 NANB = r"(?:^|(?<=[0-9_\W]))"  # RP_NOALNUMb-ish (non-alpha, non-digit before)
 
+# shared anchored PREFILTERS — parse_series caches each distinct
+# prefilter's row mask per batch, so entries sharing a string cost ONE
+# vectorized scan together (the all-miss path with 52 entries would
+# otherwise run ~30 per-entry Python regex loops; measured 4-8× on
+# digit-bearing no-datetime lines). Each must be a SUPERSET of its
+# entries' accepting prefixes.
+PF_YMD = r"^[\[\(\{<]{0,2}(?:<\d{1,3}> ?)?(?:1969|19[7-9]\d|20\d\d)"
+PF_MONTH_LED = r"^(?:<\d{1,3}> ?)?(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+PF_WD_OR_MONTH = r"^(?:<\d{1,3}> ?)?(?:(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,? )?(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
+PF_MDY = r"^\d{1,2}/\d{1,2}/\d{2}"
+PF_5DIGIT = r"^\d{5}"
+PF_LEVEL = r"^[\[\(]?(?i:debug|info|error|err|trace|warn|verbose|emerg|notice|crit|alert|panic)"
+
 
 @dataclass(frozen=True)
 class DTPD:
@@ -149,6 +162,10 @@ class DTPD:
     # full regex would otherwise scan every byte of every line.
     prefilter: str | None = None
     prefilter_regex: bool = False
+    # match the prefilter against a per-batch LOWERCASED copy of the text
+    # (computed once, shared): python re's (?i:...) alternations scan
+    # ~4× slower than the same lowercase alternation on lowered text
+    prefilter_lower: bool = False
     # embedded test cases: (line, dt_beg, dt_end, iso_utc_microseconds, ns_rem)
     # expected values assume default tz +00:00 and default year 1972
     test_cases: tuple = field(default_factory=tuple)
@@ -164,6 +181,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^{LB}(?P<dt>{YEAR}[/\- ]?{MONTHm}[/\- ]?{DAY}[ T\-:]?{HOUR}:?{MIN}:?{SEC}(?:[\.,]{FRAC})? ?{TZNAME}){RB}",
         slice_lo=0,
         slice_hi=48,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("<2000/01/01 00:00:05.123456789 PST> ../source3/smbd/oplock.c:1340(init_oplocks)", 1, 34, "2000-01-01T08:00:05.123456", 789),
             ("<2000/01/01 00:00:05.123456789pst> ../source3/smbd/oplock.c", 1, 33, "2000-01-01T08:00:05.123456", 789),
@@ -175,6 +193,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^{LB}(?P<dt>{YEAR}[/\- ]?{MONTHm}[/\- ]?{DAY}[ T\-:]?{HOUR}:?{MIN}:?{SEC}(?:[\.,]{FRAC})? ?{TZNUM}){RB}",
         slice_lo=0,
         slice_hi=48,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("(2000/01/01 00:00:02.123 -1100) ../source3/smbd/oplock.c:1340(init_oplocks)", 1, 30, "2000-01-01T11:00:02.123000", 0),
             ("{2000/01/01 00:00:03.123456789 -11:30} x", 1, 37, "2000-01-01T11:30:03.123456", 789),
@@ -186,6 +205,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^{LB}(?P<dt>{YEAR}[/\- ]?{MONTHm}[/\- ]?{DAY}[ T\-:]?{HOUR}:?{MIN}:?{SEC}(?:[\.,]{FRAC})?)(?:[,\.\| \t][^\]\)\}}>]{{0,20}})?{RB}",
         slice_lo=0,
         slice_hi=48,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("[2000/01/01 00:00:01.123] ../source3/smbd/oplock.c:1340(init_oplocks)", 1, 24, "2000-01-01T00:00:01.123000", 0),
             ("[2000/01/01 00:00:01.123456789] x", 1, 30, "2000-01-01T00:00:01.123456", 789),
@@ -200,6 +220,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^{LB}(?P<dt>{DAY}[\- /]{MONTHB}[\- /]{YEAR2} {HOUR}:{MIN}:{SEC}){RB}",
         slice_lo=0,
         slice_hi=24,
+        prefilter=r"^[\[\(\{<]\d", prefilter_regex=True,
         test_cases=(("[22-Feb-17 21:24:20] Section [ALLOWED-CLIENTS] Invalid entry", 1, 19, "2017-02-22T21:24:20.000000", 0),),
     ),
     # -- unanchored bracketed d-Mon-YYYY ± frac ± tz (entries 46-54; the
@@ -233,7 +254,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{LB}(?P<dt>{WDAY} {MONTHB} {DAY}[ \t]+{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})? {YEAR}){RB}",
         slice_lo=0,
         slice_hi=300,
-        prefilter=r"[\[\(\{<](?i:mon|tue|wed|thu|fri|sat|sun)", prefilter_regex=True,
+        prefilter=r"[\[\(\{<](?:mon|tue|wed|thu|fri|sat|sun)", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("[Mon Oct 10 23:56:29.204202 2022] [mpm_event:notice] [pid 11709] AH00489: Apache/2.4.54", 1, 32, "2022-10-10T23:56:29.204202", 0),
             ("[Mon Oct 10 23:56:29 2022] [mpm_event:notice] [pid 11709] AH00489", 1, 25, "2022-10-10T23:56:29.000000", 0),
@@ -259,6 +280,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^\[(?P<dt>{YEAR}[/\-]{MONTHm}[/\-]{DAY}[ T]?{HOUR}:{MIN})\]",
         slice_lo=0,
         slice_hi=24,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("[2018-05-31 12:19] [PACMAN] synchronizing package lists", 1, 17, "2018-05-31T12:19:00.000000", 0),
         ),
@@ -271,6 +293,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{YEAR}[\-/ ]?{MONTHm}[\-/ ]?{DAY}[T \-:]?{HOUR}:?{MIN}:?{SEC}(?:[\.,]{FRAC})? ?{TZNUM}){ND}",
         slice_lo=0,
         slice_hi=56,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("<31>2023-01-06T14:35:00.506282-08:00 (host) (192.168.0.1) [unbound[63893] daemon:debug]", 4, 36, "2023-01-06T22:35:00.506282", 0),
             ("<31>2023-01-06T14:35:00.506282+0800 (host)", 4, 35, "2023-01-06T06:35:00.506282", 0),
@@ -286,6 +309,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{YEAR}[\-/ ]?{MONTHm}[\-/ ]?{DAY}[T \-:]?{HOUR}:?{MIN}:?{SEC}(?:[\.,]{FRAC})? ?{TZNAME})",
         slice_lo=0,
         slice_hi=56,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("2023-01-06 14:35:00.506 PST host app: msg", 0, 27, "2023-01-06T22:35:00.506000", 0),
             ("2023-01-06 14:35:00 UTC host", 0, 23, "2023-01-06T14:35:00.000000", 0),
@@ -298,6 +322,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{YEAR}[\-/ ]?{MONTHm}[\-/ ]?{DAY}[T \-:]?{HOUR}:?{MIN}:?{SEC}(?:[\.,]{FRAC})?)",
         slice_lo=0,
         slice_hi=56,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("2020-01-01 00:20:00.000001 a message", 0, 26, "2020-01-01T00:20:00.000001", 0),
             ("<29>2023-01-01 14:21:13 HOST netifd: Network device 'eth0' link is up", 4, 23, "2023-01-01T14:21:13.000000", 0),
@@ -312,6 +337,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{YEAR}[\-/ ]?{MONTHm}[\-/ ]?{DAY}[ T\-:]?{HOUR}[:\-]?{MIN}[:\-]?{SEC}):(?: |$)",
         slice_lo=0,
         slice_hi=30,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("2017-05-14 04-00-07: up", 0, 19, "2017-05-14T04:00:07.000000", 0),
         ),
@@ -322,6 +348,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^[\w\-\.]{{1,16}}\t(?P<dt>{YEAR}[/\-]{MONTHm}[/\-]{DAY}[ T]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)",
         slice_lo=0,
         slice_hi=48,
+        prefilter="\t", prefilter_regex=False,
         test_cases=(("info\t2018/02/24 02:30:04\tSYSTEM:\t[Local]UPS was plugged in.", 5, 24, "2018-02-24T02:30:04.000000", 0),),
     ),
     # -- apt history / dpkg log: 'Start-Date: Y-m-d  H:M:S', 'Log started:'
@@ -331,6 +358,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:(?i:log) (?i:started|ended)|(?i:start|end)[\- ]?(?i:date)):?\s{{0,2}}(?P<dt>{YEAR}-{MONTHm}-{DAY}[T\s]\s?{HOUR}:{MIN}:{SEC}){NAN}",
         slice_lo=0,
         slice_hi=48,
+        prefilter=r"^(?i:log|start|end)", prefilter_regex=True,
         test_cases=(
             ("Start-Date: 2022-07-18  19:34:46", 12, 32, "2022-07-18T19:34:46.000000", 0),
             ("End-Date: 2022-07-18  19:35:04", 10, 30, "2022-07-18T19:35:04.000000", 0),
@@ -344,7 +372,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NANB}(?i:START|END)[ \t]*:?[ \t]*(?P<dt>{YEAR}[ /\-\\]?{MONTHm}[ /\-\\]?{DAY}[ T\-:_]?{HOUR}:{MIN}:{SEC})(?: (?i:AM|PM))?{ND}",
         slice_lo=0,
         slice_hi=1024,
-        prefilter=r"(?i:start|end)", prefilter_regex=True,
+        prefilter=r"(?:start|end)", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             (r"59805625 (9340) - exe\logging.cpp:0841: --- START 2023\2\22 4:05:07 AM ---1", 50, 67, "2023-02-22T04:05:07.000000", 0),
             (r"59810625 (9340) - exe\logging.cpp:0841: --- END 2023\2\22 4:05:07 PM ---1", 48, 65, "2023-02-22T04:05:07.000000", 0),
@@ -357,7 +385,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?i:started|finished)(?: (?i:on))?:? (?P<dt>{WDAY} {MONTHB} {DAY} {HOUR}:{MIN}:{SEC} {YEAR}){ND}",
         slice_lo=0,
         slice_hi=140,
-        prefilter=r"(?i:started|finished)", prefilter_regex=True,
+        prefilter=r"(?:started|finished)", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("Started On Thu Sep 10 10:08:35 2020", 11, 35, "2020-09-10T10:08:35.000000", 0),
             ("Microsoft Windows Malicious Software Removal Tool Finished On Tue Nov 01 17:17:42 2022", 62, 86, "2022-11-01T17:17:42.000000", 0),
@@ -369,6 +397,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{MONTHm}/{DAY}/{YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)[: ]",
         slice_lo=0,
         slice_hi=32,
+        prefilter=PF_MDY, prefilter_regex=True,
         test_cases=(("03/18/2021 19:15:16: COMSETUP: === Microsoft COM+ Setup Started ===", 0, 19, "2021-03-18T19:15:16.000000", 0),),
     ),
     DTPD(
@@ -376,6 +405,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{MONTHm}/{DAY}/{YEAR2} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)[: ]",
         slice_lo=0,
         slice_hi=32,
+        prefilter=PF_MDY, prefilter_regex=True,
         test_cases=(("11/01/19 20:03:40: infinst: Installed file C:\\WINDOWS\\inf\\oem2.inf", 0, 17, "2019-11-01T20:03:40.000000", 0),),
     ),
     # -- syslog month-name with TRAILING year (entries 16-23, 27-31):
@@ -386,6 +416,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{MONTHB} +{DAY} {HOUR}:{MIN}:{SEC} +{YEAR} ?(?:{TZNUM}|{TZNAME})){ND}",
         slice_lo=0,
         slice_hi=44,
+        prefilter=PF_MONTH_LED, prefilter_regex=True,
         test_cases=(
             ("<14>Jan  1 15:00:36 2023 -02:00 HOST dropbear[23732]: Exit (root)", 4, 31, "2023-01-01T17:00:36.000000", 0),
             ("<14>Jan  1 15:00:36 2023 WGST HOST dropbear[23732]: Exit (root)", 4, 29, "2023-01-01T17:00:36.000000", 0),
@@ -397,6 +428,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{MONTHB} +{DAY} {HOUR}:{MIN}:{SEC} +(?:{TZNUM}|{TZNAME}) +{YEAR}){ND}",
         slice_lo=0,
         slice_hi=44,
+        prefilter=PF_MONTH_LED, prefilter_regex=True,
         test_cases=(
             ("<14>Jan  1 15:00:36 -02:00 2023 HOST dropbear[23732]: Exit (root)", 4, 31, "2023-01-01T17:00:36.000000", 0),
             ("<14>Jan  1 15:00:36 WGST 2023 HOST dropbear[23732]: Exit (root)", 4, 29, "2023-01-01T17:00:36.000000", 0),
@@ -407,6 +439,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{MONTHB} +{DAY} {HOUR}:{MIN}:{SEC} +{YEAR}){NAN}",
         slice_lo=0,
         slice_hi=40,
+        prefilter=PF_MONTH_LED, prefilter_regex=True,
         test_cases=(
             ("<14>Jan  1 15:00:36 2023 HOST dropbear[23732]: Exit (root): Disconnect received", 4, 24, "2023-01-01T15:00:36.000000", 0),
             ("September 03 08:10:29 2000:hostname1 kernel: [1013319.252568]", 0, 26, "2000-09-03T08:10:29.000000", 0),
@@ -419,6 +452,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{MONTHB} +{DAY} {HOUR}:{MIN}:{SEC} ?(?:{TZNUM}|{TZNAME})){NA}",
         slice_lo=0,
         slice_hi=40,
+        prefilter=PF_MONTH_LED, prefilter_regex=True,
         has_year=False,
         test_cases=(
             ("September 03 08:10:29 PWT hostname1 kernel: [1013319.252568] device vethb356a02 entered", 0, 25, "1972-09-02T23:10:29.000000", 0),
@@ -432,6 +466,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:{PRI} ?)?(?P<dt>{MONTHB} +{DAY} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?)(?:[^\d]|$)",
         slice_lo=0,
         slice_hi=40,
+        prefilter=PF_MONTH_LED, prefilter_regex=True,
         has_year=False,
         test_cases=(
             ("<14>Jan  1 15:00:36 HOST dropbear[23732]: Exit (root): Disconnect received", 4, 19, "1972-01-01T15:00:36.000000", 0),
@@ -448,7 +483,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:(?i:date): ?)?(?P<dt>{WDAY},? {DAY} {MONTHB},?{B12}{YEAR},?{B12}{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?{B12}(?:{TZNUM}|{TZNAME})){ND}",
         slice_lo=0,
         slice_hi=64,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("Mon, 28 Jun 2022 01:51:12 +1230", 0, 31, "2022-06-27T13:21:12.000000", 0),
             ("Date:\tMon, 28 Jun 2022 01:51:12 +01:30 a", 6, 38, "2022-06-28T00:21:12.000000", 0),
@@ -462,7 +497,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:(?i:date): ?)?(?P<dt>{WDAY},? {DAY} {MONTHB},?{B12}{YEAR},?{B12}{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?){NAN}",
         slice_lo=0,
         slice_hi=64,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("Wed 1 Jan 2020 22:00:00 message", 0, 23, "2020-01-01T22:00:00.000000", 0),
         ),
@@ -474,7 +509,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:{LEVELS}:?[ \t]*)?(?P<dt>{WDAY},?{B12}{MONTHB} {DAY},?{B12}{YEAR},?{B12}{HOUR}:{MIN}:{SEC}[ \t]{{0,2}}(?:{TZNUM}|{TZNAME})){ND}",
         slice_lo=0,
         slice_hi=1024,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("TRACE:\tSat Jan 01 2000 08:45:55 +09:00 TRACE: \u21e5 \u00d71\u203c", 7, 38, "1999-12-31T23:45:55.000000", 0),
             ("mon Jun 28 2022 01:51:12 +1230", 0, 30, "2022-06-27T13:21:12.000000", 0),
@@ -487,7 +522,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:{LEVELS}:?[ \t]*)?(?P<dt>{WDAY},?{B12}{MONTHB} {DAY},?{B12}{YEAR},?{B12}{HOUR}:{MIN}:{SEC}){ND}",
         slice_lo=0,
         slice_hi=1024,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("TRACE:\tSat Jan 31 2000 08:45:55 TRACE: \u21e5 \u00d71\u203c", 7, 31, "2000-01-31T08:45:55.000000", 0),
             ("LOGGR Tuesday, Jun 28 2022 01:51:12 ", 6, 35, "2022-06-28T01:51:12.000000", 0),
@@ -500,7 +535,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?P<dt>{WDAY},?{B12}{MONTHB}[ /\-] ?{DAY} {HOUR}:{MIN}:{SEC}{B12}(?:{TZNUM}|{TZNAME}){B12}{YEAR}){NAN}",
         slice_lo=0,
         slice_hi=96,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("Mon Dec 5 21:01:12 PST 2016 try umount root [1] times", 0, 27, "2016-12-06T05:01:12.000000", 0),
             ("Mon Dec 5 21:01:12 -0000 2016 try umount root [1] times", 0, 29, "2016-12-05T21:01:12.000000", 0),
@@ -514,7 +549,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?P<dt>{WDAY},?{B12}{MONTHB}[ /\-] ?{DAY} {HOUR}:{MIN}:{SEC}{B12}{YEAR}{B12}(?:{TZNUM}|{TZNAME})){ND}",
         slice_lo=0,
         slice_hi=1024,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("ERROR: apport (pid 9) Thu Feb 27 00:33:59 2020 -07:00: called for pid 8581", 22, 53, "2020-02-27T07:33:59.000000", 0),
             ("Mon Dec 5 21:01:12 2016 PST try umount root [1] times", 0, 27, "2016-12-06T05:01:12.000000", 0),
@@ -525,7 +560,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?P<dt>{WDAY},?{B12}{MONTHB}[ /\-] ?{DAY} {HOUR}:{MIN}:{SEC} {YEAR}){NAN}",
         slice_lo=0,
         slice_hi=1024,
-        prefilter=r"(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,?[ \t]", prefilter_regex=True,
+        prefilter=r"(?:mon|tue|wed|thu|fri|sat|sun)[a-z]*\.?,?[ \t]", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("Sat Oct 03 11:26:12 2020 0 192.168.0.8 0 /var/log/proftpd/xferlog b _ o r root ftp", 0, 24, "2020-10-03T11:26:12.000000", 0),
             ("ERROR: apport (pid 5009) Thu Aug  4 00:30:28 2022: called for pid 1549", 25, 49, "2022-08-04T00:30:28.000000", 0),
@@ -537,6 +572,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{YEAR}{B12}{MONTHB}{B12}{DAY}{B12}{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?{B12}(?:{TZNUM}|{TZNAME})){NAN}",
         slice_lo=0,
         slice_hi=40,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("2023 Aug 31 20:01:05 UTC [ERROR] dev-disk-a error 0x08320105", 0, 24, "2023-08-31T20:01:05.000000", 0),
             ("2023 Aug 31 20:01:05 -00:00 [ERROR] dev-disk-a error 0x08320105", 0, 27, "2023-08-31T20:01:05.000000", 0),
@@ -547,6 +583,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{YEAR}{B12}{MONTHB}{B12}{DAY}{B12}{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?){NAN}",
         slice_lo=0,
         slice_hi=32,
+        prefilter=PF_YMD, prefilter_regex=True,
         test_cases=(
             ("2023 Aug 31 20:01:05 [ERROR] dev-disk-a error 0x08320105", 0, 20, "2023-08-31T20:01:05.000000", 0),
         ),
@@ -557,6 +594,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?:(?:Mon|Tue|Wed|Thu|Fri|Sat|Sun)[a-z]*,? )?(?P<dt>{MONTHB} {DAY},? {YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?(?: ?{TZNUM})?)",
         slice_lo=0,
         slice_hi=48,
+        prefilter=PF_WD_OR_MONTH, prefilter_regex=True,
         test_cases=(
             ("January 01 2020 22:00:00 host app: msg", 0, 24, "2020-01-01T22:00:00.000000", 0),
             ("Aug 28 2022 01:51:12 +0000 log opened", 0, 26, "2022-08-28T01:51:12.000000", 0),
@@ -569,7 +607,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:{LEVELS}[ \t]*:?[ \t]*)?(?P<dt>{MONTHB}[\- /]{DAY}[ T\-:_]?{HOUR}:{MIN}:{SEC} {YEAR} (?:{TZNUM}|{TZNAME})){NAN}",
         slice_lo=0,
         slice_hi=400,
-        prefilter=r"[A-Za-z]{3,9}\.?[\- /] ?\d{1,2}[ T\-:_]?\d{1,2}:\d\d:", prefilter_regex=True,
+        prefilter=r"[a-z]{3,9}\.?[\- /] ?\d{1,2}[ t\-:_]?\d{1,2}:\d\d:", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("INFO Jun-16 14:09:58 2000 PDT === Started libdnf-0.31.0 ===", 5, 29, "2000-06-16T21:09:58.000000", 0),
             ("____ Jun-16 14:09:58 2000 -07:00 === Started libdnf-0.31.0 ===", 5, 32, "2000-06-16T21:09:58.000000", 0),
@@ -580,7 +618,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:{LEVELS}[ \t]*:?[ \t]*)?(?P<dt>{MONTHB}[\- /]{DAY}[ T\-:_]?{HOUR}:{MIN}:{SEC} (?:{TZNUM}|{TZNAME}) {YEAR}){NAN}",
         slice_lo=0,
         slice_hi=400,
-        prefilter=r"[A-Za-z]{3,9}\.?[\- /] ?\d{1,2}[ T\-:_]?\d{1,2}:\d\d:", prefilter_regex=True,
+        prefilter=r"[a-z]{3,9}\.?[\- /] ?\d{1,2}[ t\-:_]?\d{1,2}:\d\d:", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("____ Jun-16 14:09:58 PDT 2000 === Started libdnf-0.31.0 ===", 5, 29, "2000-06-16T21:09:58.000000", 0),
             ("INFO Jun-16 14:09:58 -07:00 2000 === Started libdnf-0.31.0 ===", 5, 32, "2000-06-16T21:09:58.000000", 0),
@@ -591,7 +629,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{NAB}(?:{LEVELS}[ \t]*:?[ \t]*)?(?P<dt>{MONTHB}[\- /]{DAY}[ T\-:_]?{HOUR}:{MIN}:{SEC} {YEAR}){NAN}",
         slice_lo=0,
         slice_hi=400,
-        prefilter=r"[A-Za-z]{3,9}\.?[\- /] ?\d{1,2}[ T\-:_]?\d{1,2}:\d\d:", prefilter_regex=True,
+        prefilter=r"[a-z]{3,9}\.?[\- /] ?\d{1,2}[ t\-:_]?\d{1,2}:\d\d:", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("INFO Jun-16 14:09:58 2000 === Started libdnf-0.31.0 ===", 5, 25, "2000-06-16T14:09:58.000000", 0),
         ),
@@ -602,7 +640,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         slice_lo=0,
         slice_hi=400,
         has_year=False,
-        prefilter=r"[A-Za-z]{3,9}\.?[\-/] ?\d{1,2}[ T\-:_]?\d{1,2}:\d\d:", prefilter_regex=True,
+        prefilter=r"[a-z]{3,9}\.?[\-/] ?\d{1,2}[ t\-:_]?\d{1,2}:\d\d:", prefilter_regex=True, prefilter_lower=True,
         test_cases=(
             ("INFO Jun-16 14:09:58 === Started libdnf-0.31.0 ===", 5, 20, "1972-06-16T14:09:58.000000", 0),
         ),
@@ -624,6 +662,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=r"^(?P<dt>(?P<epoch>9\d{8}|[12]\d{9})[\.,](?P<frac>\d{3}(?:\d{3})?(?:\d{3})?))(?:\s)",
         slice_lo=0,
         slice_hi=29,
+        prefilter=PF_5DIGIT, prefilter_regex=True,
         epoch=True,
         test_cases=(("1609459200.000123 read(3, \"...\", 1024) = 512", 0, 17, "2021-01-01T00:00:00.000123", 0),),
     ),
@@ -633,6 +672,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=r"^(?P<dt>(?P<epoch>9\d{8}|[12]\d{9}))(?:\s)",
         slice_lo=0,
         slice_hi=19,
+        prefilter=PF_5DIGIT, prefilter_regex=True,
         epoch=True,
         test_cases=(("1609459200 boot event", 0, 10, "2021-01-01T00:00:00.000000", 0),),
     ),
@@ -642,6 +682,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{DAY}-{MONTHB}-{YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?){NANPM}",
         slice_lo=0,
         slice_hi=32,
+        prefilter=r"^\d{1,2}-(?i:[a-z])", prefilter_regex=True,
         test_cases=(
             ("08-Feb-2023 12:12:09.827 INFO [main] org.apache.coyote.AbstractProtocol.init", 0, 24, "2023-02-08T12:12:09.827000", 0),
         ),
@@ -653,6 +694,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=r"^(?P<dt>(?P<mjd>\d{5}) (?P<sod_i>\d{1,5})\.(?P<sod_f>\d{1,6}))\s",
         slice_lo=0,
         slice_hi=16,
+        prefilter=PF_5DIGIT, prefilter_regex=True,
         mjd=True,
         test_cases=(
             ("59955 725.605 -0.002167105 47.876 0.012528010 1.558579 9", 0, 13, "2023-01-11T00:12:05.605000", 0),
@@ -665,7 +707,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?P<dt>{YEAR}-{MONTHm}-{DAY} {HOUR}:{MIN}:{SEC}:(?P<frac>\d{{3}}) ?{TZNUM})",
         slice_lo=0,
         slice_hi=96,
-        prefilter="-",
+        prefilter=r"(?:19|20)\d\d-\d{1,2}-\d{1,2} \d{1,2}:\d\d:\d\d:", prefilter_regex=True,
         test_cases=(
             ("{5F45546A-691D-4519-810C-9B159EA7A24F}  2022-10-12 09:26:44:980-0700    1       181", 40, 68, "2022-10-12T16:26:44.980000", 0),
         ),
@@ -700,7 +742,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         slice_lo=0,
         slice_hi=512,
         has_year=False,
-        prefilter=r"(?i:logtime)", prefilter_regex=True,
+        prefilter="logtime", prefilter_lower=True,
         test_cases=(
             ('{"logTime": "0226/052726", "correlationVector":"C3BF38D097234ED3A46F33A1C497BF65"}', 13, 24, "1972-02-26T05:27:26.000000", 0),
         ),
@@ -712,6 +754,7 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^[\[\(]?{LEVELS}[\]\)]?:? (?P<dt>{YEAR}-{MONTHm}-{DAY}[T ]{HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?(?: ?{TZNUM})?)(?:[^\d]|$)",
         slice_lo=0,
         slice_hi=64,
+        prefilter=PF_LEVEL, prefilter_regex=True,
         test_cases=(
             ("[ERROR] 2000-01-02 12:33:01 -1200 1", 8, 33, "2000-01-03T00:33:01.000000", 0),
             ("[VERBOSE] 2000-01-02T12:33:04 -1030 4444", 10, 35, "2000-01-02T23:03:04.000000", 0),
