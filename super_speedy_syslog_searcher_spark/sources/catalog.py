@@ -29,8 +29,77 @@ UNPARSABLE = "unparsable"
 COMPRESSION_SUFFIXES = (".gz", ".bz2", ".lz4", ".xz", ".tar")
 ROTATION_RE = re.compile(r"(\.\d+|\.old|~)$")
 FIXEDSTRUCT_NAMES = ("utmp", "utmpx", "wtmp", "wtmpx", "btmp", "btmpx", "lastlog", "lastlogx", "acct", "pacct")
-# abridged skiplist of known non-log extensions (reference ~:480)
-UNPARSABLE_EXTS = (".jpg", ".png", ".gif", ".pdf", ".zip", ".so", ".bin", ".mp3", ".mp4", ".db")
+# the reference's full skiplist of known non-log extensions
+# (filepreprocessor.rs:481-546) + a couple of obvious additions (db, pdf)
+UNPARSABLE_EXTS = (
+    ".7z",
+    ".a",
+    ".aac",
+    ".aux",
+    ".avi",
+    ".bat",
+    ".bin",
+    ".bmp",
+    ".bz",
+    ".c",
+    ".cat",
+    ".class",
+    ".cmd",
+    ".cpp",
+    ".db",
+    ".diagpkg",
+    ".dll",
+    ".ear",
+    ".exe",
+    ".flac",
+    ".flv",
+    ".gif",
+    ".h",
+    ".hpp",
+    ".htm",
+    ".html",
+    ".ico",
+    ".jar",
+    ".java",
+    ".jpeg",
+    ".jpg",
+    ".lib",
+    ".m4b",
+    ".m4p",
+    ".m4r",
+    ".m4v",
+    ".mkv",
+    ".mov",
+    ".mp3",
+    ".mp4",
+    ".msi",
+    ".mui",
+    ".o",
+    ".ogg",
+    ".opus",
+    ".pdf",
+    ".pl",
+    ".png",
+    ".ps1",
+    ".psd1",
+    ".py",
+    ".rb",
+    ".sh",
+    ".so",
+    ".svg",
+    ".sys",
+    ".tgz",
+    ".tif",
+    ".tiff",
+    ".ttf",
+    ".war",
+    ".wav",
+    ".webm",
+    ".webp",
+    ".wma",
+    ".wmv",
+    ".zip",
+)
 
 
 def guess_filetype(name: str, unparseable_are_text: bool = False) -> str:
@@ -74,7 +143,7 @@ def filetype_col(source_col: Column, unparseable_are_text: bool = False) -> Colu
         .when(base.rlike(r"\.journal$"), JOURNAL)
         .when(base.isin(fixed_names) | stem.isin(fixed_names), FIXEDSTRUCT)
         .when(
-            base.rlike(r"\.(jpg|png|gif|pdf|zip|so|bin|mp3|mp4|db)$"),
+            base.rlike(r"\.(7z|a|aac|aux|avi|bat|bin|bmp|bz|c|cat|class|cmd|cpp|db|diagpkg|dll|ear|exe|flac|flv|gif|h|hpp|htm|html|ico|jar|java|jpeg|jpg|lib|m4b|m4p|m4r|m4v|mkv|mov|mp3|mp4|msi|mui|o|ogg|opus|pdf|pl|png|ps1|psd1|py|rb|sh|so|svg|sys|tgz|tif|tiff|ttf|war|wav|webm|webp|wma|wmv|zip)$"),
             TEXT if unparseable_are_text else UNPARSABLE,
         )
         .otherwise(TEXT)

@@ -254,3 +254,28 @@ def test_cli_filter_grammar_all_76_reference_forms():
     ):
         with pytest.raises(ValueError):
             parse_dt_filter(bad)
+
+
+def test_filetype_full_reference_skiplist():
+    """The skiplist mirrors the reference's non-log extension set
+    (filepreprocessor.rs:481-546)."""
+    from super_speedy_syslog_searcher_spark.sources.catalog import (
+        UNPARSABLE_EXTS,
+        guess_filetype,
+    )
+
+    assert len(UNPARSABLE_EXTS) >= 65
+    for name, want in (
+        ("core.7z", "unparsable"),
+        ("setup.exe", "unparsable"),
+        ("lib.so.1", "unparsable"),  # rotation suffix stripped first
+        ("notes.py", "unparsable"),
+        ("index.html", "unparsable"),
+        ("messages.1.gz", "text"),
+        ("pacct.2", "fixedstruct"),
+        ("wtmpx", "fixedstruct"),
+        ("system.journal", "journal"),
+        ("Security.evtx", "evtx"),
+    ):
+        assert guess_filetype(name) == want, name
+    assert guess_filetype("setup.exe", unparseable_are_text=True) == "text"
