@@ -312,6 +312,65 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
+def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer ANN (operators/similarity.cosine_topk_ivf):
+    corpus partitioned into 16 inverted lists, queries probe their 4
+    nearest lists. Deterministic seeded centroids let the DuckDB oracle
+    replicate assignment + probe + exact rank with literal centroid
+    arrays (see _ann_ivf_oracle_sql)."""
+    from .operators.similarity import cosine_topk_ivf
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 10)
+    return cosine_topk_ivf(e, q, k=5)
+
+
+def _ann_ivf_oracle_sql(dim: int = 64, n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
+    """DuckDB twin of cosine_topk_ivf with the same seeded centroids."""
+    from .operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_lists)
+    rows = ",\n    ".join(
+        "(" + str(i) + ", [" + ", ".join("%.17g" % x for x in cents[i]) + "]::DOUBLE[])"
+        for i in range(n_lists)
+    )
+    return f"""
+WITH cents(cid, cv) AS (VALUES
+    {rows}
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT e.vec_id, c.cid, list_cosine_similarity(e.v, c.cv) AS sim
+  FROM e CROSS JOIN cents c
+),
+cassign AS (SELECT vec_id, arg_max(cid, sim) AS list_id FROM sims GROUP BY vec_id),
+qprobe AS (
+  SELECT vec_id AS query_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+    FROM sims WHERE vec_id < 10
+  ) WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT q.query_id, ca.vec_id AS neighbor_id
+  FROM qprobe q JOIN cassign ca USING (list_id)
+  WHERE ca.vec_id != q.query_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_cosine_similarity(eq.v, en.v) AS sim
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99)
 
@@ -427,6 +486,7 @@ QUERIES = {
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
+    "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "embed_cosine_dup": q_embed_cosine_dup,
     "multimodal_extract": q_multimodal_extract,
     "multimodal_real_decode": q_multimodal_real_decode,
@@ -443,6 +503,7 @@ ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
+    "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),
     "embed_cosine_dup": SQL_EMBED_COSINE_DUP,
     "multimodal_extract": SQL_MULTIMODAL_EXTRACT,
     "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,

@@ -83,6 +83,84 @@ def make_multitable_bucket_udf(tables: list[np.ndarray]):
     return _buckets
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 13) -> np.ndarray:
+    """Deterministic coarse-quantizer centroids.
+
+    Production IVF trains k-means on a corpus sample; here the centroids
+    are seeded unit gaussians — the PLAN shape (assign → partition by
+    list → probe nprobe lists) is identical, and determinism lets the
+    DuckDB oracle replicate the assignment with literal centroid arrays
+    (same trick as the sign-LSH planes)."""
+    rng = np.random.RandomState(seed)
+    c = rng.randn(n_lists, dim)
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def make_ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """array<float> vec → array<int> of the nprobe nearest centroid ids
+    (by cosine). One float64 matmul per Arrow batch."""
+    C = centroids.astype(np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-30)
+        sims = Vn @ C.T
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
+        return pd.Series(list(order))
+
+    return _assign
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their single nearest
+    centroid's inverted list; each query probes its ``nprobe`` nearest
+    lists and scores only those members.
+
+    Scale path: the corpus is hash-partitioned by list id (at rest this
+    is the table's bucketing/partition column, so a probe touches
+    ~corpus·nprobe/n_lists rows); queries are broadcast. Output schema
+    matches ``cosine_topk``; recall is the nprobe/n_lists dial.
+    """
+    dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return corpus.sparkSession.createDataFrame([], "query_id long, rank int, neighbor_id long")
+    cents = ivf_centroids(dim_row["d"], n_lists)
+    c_assign = make_ivf_assign_udf(cents, nprobe=1)
+    q_assign = make_ivf_assign_udf(cents, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(c_assign(F.col(vec_col)), 1).alias("list_id"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(q_assign(F.col(vec_col))).alias("list_id"),
+    )
+    cand = c.join(F.broadcast(q), "list_id").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
 def norm_col(a) -> Column:
     return F.sqrt(dot_col(a, a))
 

@@ -385,3 +385,43 @@ class TestRealCodecs:
 
         out = real_decode("image", b"garbage here")
         assert out["ok"] is False and "unknown" in out["error"]
+
+
+class TestIVF:
+    def test_ivf_recall_vs_exact(self, spark):
+        """IVF with nprobe=4/16 lists must recover most exact top-5
+        neighbors (the nprobe dial trades recall for cost)."""
+        import numpy as np
+
+        from super_speedy_syslog_searcher_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_ivf,
+        )
+
+        rng = np.random.RandomState(5)
+        vecs = rng.randn(200, 16).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(200)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") < 8)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, q, k=5).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk_ivf(df, q, k=5, n_lists=8, nprobe=3).collect()}
+        recall = len(exact & approx) / len(exact)
+        assert recall >= 0.6, recall
+
+    def test_ivf_full_probe_equals_exact(self, spark):
+        """nprobe = n_lists degenerates to the exact search."""
+        import numpy as np
+
+        from super_speedy_syslog_searcher_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_ivf,
+        )
+
+        rng = np.random.RandomState(6)
+        vecs = rng.randn(60, 8).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") < 5)
+        exact = sorted(map(tuple, cosine_topk(df, q, k=5).collect()))
+        full = sorted(map(tuple, cosine_topk_ivf(df, q, k=5, n_lists=4, nprobe=4).collect()))
+        assert exact == full
