@@ -448,12 +448,22 @@ def parse_messages_fused(
     return docs.select("doc_id", "source", "tokens").mapInPandas(_gen, schema=MESSAGES_SCHEMA)
 
 
-def vote_lines_from_docs(docs: DataFrame, doc_sample_mod: int = 20) -> DataFrame:
+def vote_lines_from_docs(
+    docs: DataFrame, doc_sample_mod: int = 20, doc_limit: int = 8192
+) -> DataFrame:
     """Doc-sampled lines for the P9 vote, with the sample cut applied
-    BEFORE the explode UDF so it reaches the scan."""
+    BEFORE the explode UDF so it reaches the scan, and a LIMIT so the
+    scan STOPS once the sample is filled — without it the vote job reads
+    the whole corpus just to keep 1/mod of it (measured 6 s of fixed cost
+    per run at 6M docs; the reference's analogue reads only block zero of
+    each file, syslogprocessor.rs:911). The hash cut keeps the kept docs
+    pseudo-random within the scanned prefix."""
     from .codec import explode_lines
 
-    return explode_lines(docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(doc_sample_mod)) == 0))
+    sample = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(doc_sample_mod)) == 0)
+    if doc_limit:
+        sample = sample.limit(doc_limit)
+    return explode_lines(sample)
 
 
 def parse_lines(

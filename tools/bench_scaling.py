@@ -44,8 +44,7 @@ warm_python_workers(spark)
 best = None
 for r in range(runs):
     t0 = time.time()
-    msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR,
-                                vote_doc_sample_mod=max(20, n // 5000))
+    msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
     enriched = enrich(msgs, EQ.enrichment_df(spark))
     route_write(enriched, out_dir)
     sink_counts_from_path(spark, out_dir).collect()
