@@ -152,46 +152,17 @@ def _flatten_segments(arrays: pd.Series) -> tuple[np.ndarray, np.ndarray, np.nda
     return flat, offsets, lens
 
 
-def make_minhash_sig_udf(k: int = 256, seed: int = 42, perm_chunk: int = 16):
-    """Arrow-batched UDF: array<long> gram hashes → array<long> k-slot
-    MinHash signature. Fully vectorized: the whole Arrow batch is
-    flattened once, each chunk of permutations is one (chunk × n_grams)
-    universal-hash matrix, and per-doc minima come from
-    np.minimum.reduceat — NO per-doc / per-gram / per-char Python loops
-    (the round-1 kernel hashed each shingle character-by-character; that
-    cost 3× the whole e2e pipeline at sf0.1)."""
-    a, b = _perm_params(k, seed)
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(hashes: pd.Series) -> pd.Series:
-        n_docs = len(hashes)
-        flat, offsets, lens = _flatten_segments(hashes)
-        sig = np.zeros((n_docs, k), dtype=np.int64)
-        nonempty = lens > 0
-        if flat.size and nonempty.any():
-            hv = flat.view(np.uint64)
-            ne_off = offsets[nonempty]
-            err = np.seterr(over="ignore")  # uint64 wraparound IS the modulus
-            try:
-                for c0 in range(0, k, perm_chunk):
-                    ac = a[c0 : c0 + perm_chunk, None]
-                    bc = b[c0 : c0 + perm_chunk, None]
-                    m = ac * hv[None, :] + bc  # mod 2^64 by wraparound
-                    mins = np.minimum.reduceat(m, ne_off, axis=1)
-                    sig[nonempty, c0 : c0 + m.shape[0]] = mins.T.view(np.int64)
-            finally:
-                np.seterr(**err)
-        return pd.Series(list(sig))
-
-    return _sig
-
-
 def make_minhash_bands_udf(k: int = 256, bands: int = 64, seed: int = 42):
     """array<long> gram hashes → array<long> of LSH band BUCKETS.
 
-    Folds the banding into the signature UDF so the plan never carries the
-    k-slot signature through an explode: each doc ships exactly ``bands``
-    longs into the bucket join (measured 4-8× less exchange volume than
+    Fully vectorized: the whole Arrow batch is flattened once, each chunk
+    of permutations is one (chunk × n_grams) multiply-add, and per-doc
+    minima come from np.minimum.reduceat — NO per-doc / per-gram /
+    per-char Python loops (the round-1 kernel hashed each shingle
+    character-by-character at 3× the cost of the whole e2e pipeline).
+    Folding the banding in means the plan never carries the k-slot
+    signature through an explode: each doc ships exactly ``bands`` longs
+    into the bucket join (measured 4-8× less exchange volume than
     exploding (band, full-sig) rows and slicing JVM-side)."""
     a, b = _perm_params(k, seed)
     r = k // bands
