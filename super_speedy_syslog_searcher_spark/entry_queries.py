@@ -423,6 +423,53 @@ FROM events WHERE user_id % 8 = 0
 """
 
 
+# SQL mirror of _line_expr(): the exact rendered line per family, used to
+# verify TOKEN-ARRAY EQUALITY (the north_rule's per-row invariant) from
+# first principles — the oracle re-renders each event's line and
+# checksums its codepoints, so any token corruption anywhere in the
+# docs→split→parse→sessionize path breaks the hash.
+_SQL_LINE_EXPR = """
+CASE user_id % 8
+  WHEN 0 THEN strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z host app[' || event_id || ']: ' || event_type
+  WHEN 1 THEN '[' || strftime(ts, '%Y/%m/%d %H:%M:%S.%f') || '] oplock.c:1340 ' || event_type
+  WHEN 2 THEN '192.168.0.1 - - [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "GET /p' || event_id || '" 200 17'
+  WHEN 3 THEN '<14>' || strftime(ts, '%b') || ' ' || lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' || strftime(ts, '%H:%M:%S') || ' host sshd[' || event_id || ']: ' || event_type
+  WHEN 4 THEN CAST(CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS VARCHAR) || '.' || strftime(ts, '%f') || ' read(3, ..., 1024) = 17'
+  WHEN 5 THEN strftime(ts, '%m/%d/%y %H:%M:%S') || ': infinst: ' || event_type
+  WHEN 6 THEN 'info' || chr(9) || strftime(ts, '%Y/%m/%d %H:%M:%S') || chr(9) || 'SYSTEM:' || chr(9) || event_type
+  ELSE strftime(ts, '%a, ') || CAST(day(ts) AS VARCHAR) || strftime(ts, ' %b %Y %H:%M:%S') || ' +0000 ' || event_type
+END || ' eid=' || event_id
+"""
+
+
+def q_pipe_token_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row token-array equality (north_rule / input_hint invariant):
+    every message's token array, after the full docs→split→parse→
+    sessionize path, must equal the original rendering codepoint for
+    codepoint. Checked via (count, sum, position-weighted sum) of the
+    codepoints — the weighted sum catches reorderings plain sums miss."""
+    _utc(spark)
+    msgs = _with_event_id(parsed_messages(spark, sf_dir))
+    return msgs.select(
+        "event_id",
+        F.size("tokens").cast("bigint").alias("n_tok"),
+        F.expr("aggregate(tokens, 0L, (a, t) -> a + CAST(t AS BIGINT))").alias("tok_sum"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)), (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
+        ).alias("tok_wsum"),
+    )
+
+
+SQL_PIPE_TOKEN_EQUALITY = f"""
+WITH lines AS (SELECT event_id, ({_SQL_LINE_EXPR}) AS line FROM events)
+SELECT event_id,
+  CAST(length(line) AS BIGINT) AS n_tok,
+  CAST(list_sum(list_transform(generate_series(1, length(line)), i -> unicode(substr(line, i, 1)))) AS BIGINT) AS tok_sum,
+  CAST(list_sum(list_transform(generate_series(1, length(line)), i -> i * unicode(substr(line, i, 1)))) AS BIGINT) AS tok_wsum
+FROM lines
+"""
+
+
 def q_pipe_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rejects channel: docs with no parseable datetime anywhere land in
     the rejects table as no_syslines_found (reference
@@ -580,6 +627,7 @@ QUERIES: dict = {
     "pipe_year_rollover": q_pipe_year_rollover,
     "events_sessionize_gap": q_events_sessionize_gap,
     "pipe_output_project": q_pipe_output_project,
+    "pipe_token_equality": q_pipe_token_equality,
     "pipe_rejects": q_pipe_rejects,
     "pipe_tz_normalize": q_pipe_tz_normalize,
     "stream_enrich_sinks": q_stream_enrich_sinks,
@@ -596,6 +644,7 @@ ORACLES: dict = {
     "pipe_year_rollover": SQL_PIPE_YEAR_ROLLOVER,
     "events_sessionize_gap": SQL_EVENTS_SESSIONIZE_GAP,
     "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
+    "pipe_token_equality": SQL_PIPE_TOKEN_EQUALITY,
     "pipe_rejects": SQL_PIPE_REJECTS,
     "pipe_tz_normalize": SQL_PIPE_TZ_NORMALIZE,
     "stream_enrich_sinks": SQL_PIPE_ENRICH_SINKS,
