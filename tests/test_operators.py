@@ -279,3 +279,37 @@ def test_filetype_full_reference_skiplist():
     ):
         assert guess_filetype(name) == want, name
     assert guess_filetype("setup.exe", unparseable_are_text=True) == "text"
+
+
+def test_dt_pass_filters_reference_cases():
+    """The reference's dt_pass_filters sweep
+    (src/tests/datetime_tests.rs:982-1048), ported verbatim: ternary
+    range classification is inclusive at BOTH ends."""
+    from datetime import datetime, timedelta, timezone
+
+    from super_speedy_syslog_searcher_spark.operators.filters import (
+        AFTER_RANGE,
+        BEFORE_RANGE,
+        IN_RANGE,
+        dt_pass_filters,
+    )
+
+    tz = timezone(timedelta(hours=-2))  # FixedOffset::west(2h)
+
+    def dtl(s):
+        return datetime.strptime(s, "%Y%m%dT%H%M%S").replace(tzinfo=tz)
+
+    cases = [
+        ("20000101T010105", "20000101T010106", "20000101T010107", IN_RANGE),
+        ("20000101T010107", "20000101T010106", "20000101T010108", BEFORE_RANGE),
+        ("20000101T010101", "20000101T010106", "20000101T010102", AFTER_RANGE),
+        ("20000101T010101", "20000101T010106", None, IN_RANGE),
+        ("20000101T010102", "20000101T010101", None, BEFORE_RANGE),
+        ("20000101T010101", "20000101T010101", None, IN_RANGE),
+        (None, "20000101T010101", "20000101T010106", IN_RANGE),
+        (None, "20000101T010101", "20000101T010100", AFTER_RANGE),
+        (None, "20000101T010101", "20000101T010101", IN_RANGE),
+    ]
+    for a, dt, b, want in cases:
+        got = dt_pass_filters(dtl(dt), dtl(a) if a else None, dtl(b) if b else None)
+        assert got == want, (a, dt, b, got, want)
