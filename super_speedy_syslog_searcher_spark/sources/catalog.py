@@ -27,7 +27,7 @@ JOURNAL = "journal"
 UNPARSABLE = "unparsable"
 
 COMPRESSION_SUFFIXES = (".gz", ".bz2", ".lz4", ".xz", ".tar")
-ROTATION_RE = re.compile(r"(\.\d+|\.old|~)$")
+ROTATION_RE = re.compile(r"(\.\d+|\.old|\.bak|~)$")
 FIXEDSTRUCT_NAMES = ("utmp", "utmpx", "wtmp", "wtmpx", "btmp", "btmpx", "lastlog", "lastlogx", "acct", "pacct")
 # the reference's full skiplist of known non-log extensions
 # (filepreprocessor.rs:481-546) + a couple of obvious additions (db, pdf)
@@ -118,14 +118,19 @@ def guess_filetype(name: str, unparseable_are_text: bool = False) -> str:
             changed = True
     if base.endswith(".evtx"):
         return EVTX
-    if base.endswith(".journal"):
+    if base.endswith(".journal") or base == "journal":
         return JOURNAL
     stem = base.rsplit(".", 1)[0] if "." in base else base
-    if stem in FIXEDSTRUCT_NAMES or base in FIXEDSTRUCT_NAMES:
+    ext = base.rsplit(".", 1)[-1] if "." in base else ""
+    if stem in FIXEDSTRUCT_NAMES or base in FIXEDSTRUCT_NAMES or ext in FIXEDSTRUCT_NAMES:
         return FIXEDSTRUCT
-    for ext in UNPARSABLE_EXTS:
-        if base.endswith(ext):
+    for suf in UNPARSABLE_EXTS:
+        if base.endswith(suf):
             return TEXT if unparseable_are_text else UNPARSABLE
+    # punctuation-only names ('-', '..', '~', '?') are not files the
+    # engine can type (filepreprocessor_tests.rs sweep)
+    if not base or all(c in "-~.?" for c in base):
+        return TEXT if unparseable_are_text else UNPARSABLE
     return TEXT
 
 
@@ -135,16 +140,21 @@ def filetype_col(source_col: Column, unparseable_are_text: bool = False) -> Colu
     # strip (repeatedly enough for practical cases: 2 passes) rotation+compression
     for _ in range(2):
         base = F.regexp_replace(base, r"(\.gz|\.bz2|\.lz4|\.xz|\.tar)$", "")
-        base = F.regexp_replace(base, r"(\.\d+|\.old|~)$", "")
+        base = F.regexp_replace(base, r"(\.\d+|\.old|\.bak|~)$", "")
     stem = F.regexp_replace(base, r"\.[^.]*$", "")
     fixed_names = list(FIXEDSTRUCT_NAMES)
+    fixed_ext = "|".join(FIXEDSTRUCT_NAMES)
     return (
         F.when(base.rlike(r"\.evtx$"), EVTX)
-        .when(base.rlike(r"\.journal$"), JOURNAL)
-        .when(base.isin(fixed_names) | stem.isin(fixed_names), FIXEDSTRUCT)
+        .when(base.rlike(r"\.journal$") | (base == "journal"), JOURNAL)
+        .when(
+            base.isin(fixed_names) | stem.isin(fixed_names) | base.rlike(rf"\.({fixed_ext})$"),
+            FIXEDSTRUCT,
+        )
         .when(
             base.rlike(r"\.(7z|a|aac|aux|avi|bat|bin|bmp|bz|c|cat|class|cmd|cpp|db|diagpkg|dll|ear|exe|flac|flv|gif|h|hpp|htm|html|ico|jar|java|jpeg|jpg|lib|m4b|m4p|m4r|m4v|mkv|mov|mp3|mp4|msi|mui|o|ogg|opus|pdf|pl|png|ps1|psd1|py|rb|sh|so|svg|sys|tgz|tif|tiff|ttf|war|wav|webm|webp|wma|wmv|zip)$"),
             TEXT if unparseable_are_text else UNPARSABLE,
         )
+        .when(base.rlike(r"^[-~.?]*$"), TEXT if unparseable_are_text else UNPARSABLE)
         .otherwise(TEXT)
     )

@@ -313,3 +313,45 @@ def test_dt_pass_filters_reference_cases():
     for a, dt, b, want in cases:
         got = dt_pass_filters(dtl(dt), dtl(a) if a else None, dtl(b) if b else None)
         assert got == want, (a, dt, b, got, want)
+
+
+def test_filetype_reference_sweep_295_cases():
+    """Run the reference's entire path_to_filetype test sweep
+    (src/tests/filepreprocessor_tests.rs #[test_case] table) against
+    guess_filetype — 295 names covering rotation/compression stripping,
+    fixedstruct names and extensions, journal/evtx, the skiplist, the
+    unparseable_are_text flag, and punctuation-only names."""
+    import re
+    from pathlib import Path
+
+    from super_speedy_syslog_searcher_spark.sources.catalog import guess_filetype
+
+    ref = Path("/root/reference/src/tests/filepreprocessor_tests.rs")
+    if not ref.exists():
+        pytest.skip("reference tree not present")
+    src = ref.read_text()
+    cases = re.findall(
+        r'#\[test_case\("((?:[^"\\]|\\.)*)",\s*(FT\w+),\s*(true|false)(?:;[^\]]*)?\)\]', src
+    )
+    assert len(cases) >= 290
+
+    def cat(ft: str) -> str:
+        if "UNPARSABLE" in ft:
+            return "unparsable"
+        if "EVTX" in ft:
+            return "evtx"
+        if "JOURNAL" in ft:
+            return "journal"
+        if any(k in ft for k in ("UTMP", "LASTLOG", "ACCT")):
+            return "fixedstruct"
+        return "text"
+
+    failures = []
+    for name, ft, flag in cases:
+        want = cat(ft)
+        if flag == "true" and want == "unparsable":
+            want = "text"  # reference maps unparseable→text under the flag
+        got = guess_filetype(name, unparseable_are_text=(flag == "true"))
+        if got != want:
+            failures.append((name, ft, flag, want, got))
+    assert not failures, failures[:10]
