@@ -425,3 +425,55 @@ class TestIVF:
         exact = sorted(map(tuple, cosine_topk(df, q, k=5).collect()))
         full = sorted(map(tuple, cosine_topk_ivf(df, q, k=5, n_lists=4, nprobe=4).collect()))
         assert exact == full
+
+
+def test_layout_offsets_match_reference_assertions():
+    """Every Layout's size and modeled field offsets must equal the
+    reference's compile-time assertions (fixedstruct.rs assertcp_eq!)."""
+    import re
+    from pathlib import Path
+
+    import pytest
+
+    from super_speedy_syslog_searcher_spark.operators.fixedstruct import LAYOUTS
+
+    ref = Path("/root/reference/src/data/fixedstruct.rs")
+    if not ref.exists():
+        pytest.skip("reference tree not present")
+    src = ref.read_text()
+    mods = sorted(((m.group(1), m.start()) for m in re.finditer(r"pub mod (\w+) \{", src)), key=lambda kv: kv[1])
+    bounds = mods + [("_end", len(src))]
+    per_mod = {name: src[lo:hi] for (name, lo), (_, hi) in zip(bounds, bounds[1:])}
+    name_map = {
+        "freebsd_x8664_utmpx": ("freebsd_x8664", "utmpx", "UTMPX"),
+        "linux_arm64_lastlog": ("linux_arm64aarch64", "lastlog", "LASTLOG"),
+        "linux_arm64_utmpx": ("linux_arm64aarch64", "utmpx", "UTMPX"),
+        "linux_x86_acct": ("linux_x86", "acct", "ACCT"),
+        "linux_x86_acct_v3": ("linux_x86", "acct_v3", "ACCT_V3"),
+        "linux_x86_lastlog": ("linux_x86", "lastlog", "LASTLOG"),
+        "linux_x86_utmpx": ("linux_x86", "utmpx", "UTMPX"),
+        "netbsd_x8632_acct": ("netbsd_x8632", "acct", "ACCT"),
+        "netbsd_x8632_lastlogx": ("netbsd_x8632", "lastlogx", "LASTLOGX"),
+        "netbsd_x8632_utmpx": ("netbsd_x8632", "utmpx", "UTMPX"),
+        "netbsd_x8664_lastlog": ("netbsd_x8664", "lastlog", "LASTLOG"),
+        "netbsd_x8664_lastlogx": ("netbsd_x8664", "lastlogx", "LASTLOGX"),
+        "netbsd_x8664_utmp": ("netbsd_x8664", "utmp", "UTMP"),
+        "netbsd_x8664_utmpx": ("netbsd_x8664", "utmpx", "UTMPX"),
+        "openbsd_x86_lastlog": ("openbsd_x86", "lastlog", "LASTLOG"),
+        "openbsd_x86_utmp": ("openbsd_x86", "utmp", "UTMP"),
+    }
+    bad = []
+    for lay in LAYOUTS:
+        mod, struct, sc = name_map[lay.name]
+        body = per_mod[mod]
+        m = re.search(rf"assertcp_eq!\({sc}_SZ, (\d+)\);", body)
+        assert m, lay.name
+        if int(m.group(1)) != lay.size:
+            bad.append((lay.name, "size", int(m.group(1)), lay.size))
+        for field, want in (("ut_type", lay.off_type), ("ut_pid", lay.off_pid)):
+            if want is None:
+                continue
+            mm = re.search(rf"assertcp_eq!\(offset_of!\({struct}, {field}\), (\d+)\);", body)
+            if mm and int(mm.group(1)) != want:
+                bad.append((lay.name, field, int(mm.group(1)), want))
+    assert not bad, bad
