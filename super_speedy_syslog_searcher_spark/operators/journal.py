@@ -67,3 +67,72 @@ def render_journal_entry(ts_usec, source_ts_usec=None, extra: dict[str, object] 
     for k, v in (extra or {}).items():
         parts.append(F.concat(F.lit(f"{k}="), v.cast("string")))
     return F.concat_ws("\n", *parts)
+
+
+def parse_journal_export_binary(docs: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """(doc_id, source, payload binary) → entry rows, like
+    :func:`parse_journal_export` but over the RAW export stream, which
+    may carry binary-valued fields: ``KEY\\n<uint64-le length><bytes>\\n``
+    (the format journalctl -o export emits for fields with embedded
+    newlines or non-UTF-8 bytes). Binary values are decoded
+    UTF-8-with-replacement into the same ``map<string,string>`` — the
+    reference's get_data also lossily stringifies for display
+    (journalreader.rs export path).
+
+    A pandas UDF walks the bytes (a JVM split on newline would tear
+    binary values apart); entries stay one output row each.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    out_schema = (
+        "doc_id string, source string, entry_no int, fields map<string,string>, "
+        "ts timestamp, n_fields int"
+    )
+
+    def _parse_stream(buf: bytes) -> list[dict]:
+        entries, fields, i, n = [], {}, 0, len(buf)
+        while i <= n:
+            nl = buf.find(b"\n", i)
+            line = buf[i : nl if nl >= 0 else n]
+            if not line:  # blank line (or EOF) closes the entry
+                if fields:
+                    entries.append(fields)
+                    fields = {}
+                if nl < 0:
+                    break
+                i = nl + 1
+                if i >= n:
+                    break
+                continue
+            if b"=" in line:
+                k, _, v = line.partition(b"=")
+                fields[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
+                i = (nl + 1) if nl >= 0 else n + 1
+            else:
+                # binary field: name \n <uint64 le size> <data> \n
+                key = line.decode("utf-8", "replace")
+                j = (nl + 1) if nl >= 0 else n
+                size = int.from_bytes(buf[j : j + 8], "little")
+                data = buf[j + 8 : j + 8 + size]
+                fields[key] = data.decode("utf-8", "replace")
+                i = j + 8 + size + 1  # trailing newline after the data
+        if fields:
+            entries.append(fields)
+        return entries
+
+    def _gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, source, payload in zip(pdf["doc_id"], pdf["source"], pdf[payload_col]):
+                buf = bytes(payload) if payload is not None else b""
+                for no, fields in enumerate(_parse_stream(buf)):
+                    usec = fields.get(SOURCE_REALTIME, fields.get(REALTIME))
+                    ts = pd.to_datetime(int(usec), unit="us", utc=True) if usec and usec.isdigit() else pd.NaT
+                    rows.append({
+                        "doc_id": doc_id, "source": source, "entry_no": no,
+                        "fields": fields, "ts": ts, "n_fields": len(fields),
+                    })
+            yield pd.DataFrame(rows, columns=["doc_id", "source", "entry_no", "fields", "ts", "n_fields"])
+
+    return docs.select("doc_id", "source", payload_col).mapInPandas(_gen, schema=out_schema)

@@ -477,3 +477,36 @@ def test_layout_offsets_match_reference_assertions():
             if mm and int(mm.group(1)) != want:
                 bad.append((lay.name, field, int(mm.group(1)), want))
     assert not bad, bad
+
+
+def test_journal_binary_export_fields(spark):
+    """The raw export stream may carry binary-valued fields
+    (KEY\\n<le64 len><bytes>\\n) — e.g. MESSAGE with embedded newlines.
+    The binary parser must keep them whole and apply the same
+    _SOURCE_REALTIME precedence."""
+    from super_speedy_syslog_searcher_spark.operators.journal import (
+        parse_journal_export_binary,
+    )
+
+    msg = b"line one\nline two"
+    entry1 = (
+        b"__REALTIME_TIMESTAMP=1000000\n"
+        b"MESSAGE\n" + len(msg).to_bytes(8, "little") + msg + b"\n"
+        b"UNIT=ssh.service\n"
+    )
+    entry2 = (
+        b"__REALTIME_TIMESTAMP=2000000\n"
+        b"_SOURCE_REALTIME_TIMESTAMP=2500000\n"
+        b"MESSAGE=plain\n"
+    )
+    payload = entry1 + b"\n" + entry2
+    df = spark.createDataFrame(
+        [("d", "s", bytearray(payload))], "doc_id string, source string, payload binary"
+    )
+    got = parse_journal_export_binary(df).orderBy("entry_no").collect()
+    assert len(got) == 2
+    assert got[0]["fields"]["MESSAGE"] == "line one\nline two"
+    assert got[0]["fields"]["UNIT"] == "ssh.service"
+    assert got[0]["ts"].timestamp() == 1.0
+    assert got[1]["ts"].timestamp() == 2.5  # source realtime wins
+    assert got[1]["n_fields"] == 3
