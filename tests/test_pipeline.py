@@ -116,3 +116,38 @@ def test_explode_lines_roundtrip(spark, corpus):
     for doc_id, grp in lines.groupby("doc_id"):
         orig = decode_tokens_array(docs_pd[docs_pd["doc_id"] == doc_id]["tokens"].iloc[0])
         assert "\n".join(grp["text"]) == orig
+
+
+def test_sessionize_edge_shapes(spark):
+    """Sysline-assembly edges mirrored from the reference's sequential
+    scan semantics (syslinereader.rs:1976-2192): consecutive datetime
+    lines each close the previous message; trailing continuations attach
+    to the last message; a doc of only continuations yields nothing."""
+    from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
+    from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs_text = {
+        "consec": "2024-01-05T10:00:00Z a\n2024-01-05T10:00:01Z b\n2024-01-05T10:00:02Z c",
+        "trailing": "2024-01-05T10:00:00Z head\n  at alpha\n  at beta",
+        "contonly": "  no datetime here\n  nor here",
+        "interleaved": "lead junk\n2024-01-05T10:00:00Z x\n  cont\n2024-01-05T10:00:05Z y",
+    }
+    df = spark.createDataFrame(
+        [(k, "srcE", v) for k, v in docs_text.items()], "doc_id string, source string, text string"
+    ).withColumn("tokens", encode_text_udf("text")).select(
+        "doc_id", "tokens", F.size("tokens").alias("n_tok"), "source"
+    )
+    msgs = parse_messages_fused(df, reference_year=2024, lock_patterns=False)
+    got = {}
+    for r in msgs.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    assert len(got.get("consec", [])) == 3
+    assert [m["n_lines"] for m in sorted(got["consec"], key=lambda r: r["msg_no"])] == [1, 1, 1]
+    tr = got["trailing"]
+    assert len(tr) == 1 and tr[0]["n_lines"] == 3 and tr[0]["text"].endswith("at beta")
+    assert "contonly" not in got  # no sysline — lands in the rejects channel
+    il = sorted(got["interleaved"], key=lambda r: r["msg_no"])
+    assert [m["n_lines"] for m in il] == [2, 1]
+    assert il[0]["text"].startswith("2024-01-05T10:00:00Z x")
