@@ -209,11 +209,17 @@ def lsh_candidate_pairs(
     Bucket join only — never a cross join; the join key is (band_no,
     bucket) so buckets from different bands never collide.
     """
-    banded = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(gram_hashes_col(text_col, n))).alias(
-            "band", "bucket"
-        ),
+    # docs with no n-grams (fewer than n words) would all share the
+    # all-zero signature and therefore EVERY band bucket — at corpus
+    # scale that is a quadratic candidate blowup among short docs, for
+    # pairs the exact-Jaccard verify would discard anyway. Drop them
+    # before banding.
+    hashed = df.select(
+        F.col(id_col).alias("id"), gram_hashes_col(text_col, n).alias("gh")
+    ).filter(F.size("gh") > 0)
+    banded = hashed.select(
+        "id",
+        F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias("band", "bucket"),
     )
     a = banded.select(F.col("id").alias("a"), "band", "bucket")
     b = banded.select(F.col("id").alias("b"), "band", "bucket")

@@ -510,3 +510,15 @@ def test_journal_binary_export_fields(spark):
     assert got[0]["ts"].timestamp() == 1.0
     assert got[1]["ts"].timestamp() == 2.5  # source realtime wins
     assert got[1]["n_fields"] == 3
+
+
+def test_lsh_short_docs_produce_no_candidate_blowup(spark):
+    """Docs with fewer than n words share no shingles — they must NOT
+    pair with each other via degenerate all-zero signatures (at corpus
+    scale that would be a quadratic skew bomb among short docs)."""
+    from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs
+
+    rows = [(i, "hi") for i in range(40)] + [(100, "a b c d e f g"), (101, "a b c d e f g")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = lsh_candidate_pairs(df).collect()
+    assert {(r["a"], r["b"]) for r in pairs} == {(100, 101)}
