@@ -2,12 +2,12 @@
 
 Media rides as an opaque ``binary`` column plus typed metadata; the
 Spark-side plumbing — schema, Arrow batching, ``mapInPandas`` signature,
-partition sizing — is real and tested. The actual codec work (JPEG
-decode, resampling, frame extraction) needs libraries absent from this
-container, so each extractor dispatches to a decoder registry where the
-real decoders raise ``NotImplementedError`` and a deterministic fake
-decoder (header-derived pseudo-metadata) stands in for tests; swapping in
-a real decoder is a one-function change, the plan shape is identical.
+partition sizing — is real and tested. Each extractor dispatches to a
+decoder registry: the REAL path parses genuine container headers in
+pure Python (PNG/GIF/BMP/JPEG dimensions, WAV and MP4 durations — no
+imaging/av library needed for metadata), while pixel/sample decode
+(which would need PIL/libav, absent here) stays out of scope. A
+deterministic fake decoder remains for plumbing tests.
 
 Scale notes: media batches are bounded by bytes not rows
 (``media_repartition`` targets ~64 MB of payload per task), and metadata
@@ -224,8 +224,10 @@ def extract_media_meta(
                 }
                 try:
                     base.update(decode(kind, bytes(payload) if payload is not None else b""))
-                except NotImplementedError as e:
-                    base["error"] = str(e)
+                except Exception as e:  # rejects-channel doctrine: a bad
+                    # payload becomes an (ok=false, error) ROW, never a
+                    # thrown task that kills the whole partition
+                    base["error"] = f"{type(e).__name__}: {e}"
                 rows.append(base)
             out = pd.DataFrame(rows)
             for c, dt in (("n_bytes", "int64"), ("header_byte", "Int32"), ("width", "Int32"),
