@@ -9,8 +9,10 @@
   multiple tables (OR-amplification).
 * cosine near-dup pairs — all pairs ≥ τ via the same bucket trick.
 
-All arithmetic in DOUBLE with a fixed left-to-right fold so results are
-bitwise-reproducible (and comparable against the DuckDB oracle).
+Scoring arithmetic is DOUBLE with a fixed left-to-right fold so results
+are bitwise-reproducible (and comparable against the DuckDB oracle);
+bucket/centroid assignment runs as one float64 matmul per Arrow batch
+with the plane/centroid values mirrored into the oracle SQL as literals.
 """
 
 from __future__ import annotations
