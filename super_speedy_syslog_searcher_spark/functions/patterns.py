@@ -139,7 +139,7 @@ NANB = r"(?:^|(?<=[0-9_\W]))"  # RP_NOALNUMb-ish (non-alpha, non-digit before)
 PF_YMD = r"^[\[\(\{<]{0,2}(?:<\d{1,3}> ?)?(?:1969|19[7-9]\d|20\d\d)"
 PF_MONTH_LED = r"^(?:<\d{1,3}> ?)?(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
 PF_WD_OR_MONTH = r"^(?:<\d{1,3}> ?)?(?:(?i:mon|tue|wed|thu|fri|sat|sun)[A-Za-z]*\.?,? )?(?i:jan|feb|mar|apr|may|jun|jul|aug|sep|oct|nov|dec)"
-PF_MDY = r"^\d{1,2}/\d{1,2}/\d{2}"
+PF_MDY = r"^\d{1,2}/ ?\d{1,2}/\d{2}"  # ' ?': DAY admits a space-padded day
 PF_5DIGIT = r"^\d{5}"
 PF_LEVEL = r"^[\[\(]?(?i:debug|info|error|err|trace|warn|verbose|emerg|notice|crit|alert|panic)"
 
@@ -220,8 +220,14 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^{LB}(?P<dt>{DAY}[\- /]{MONTHB}[\- /]{YEAR2} {HOUR}:{MIN}:{SEC}){RB}",
         slice_lo=0,
         slice_hi=24,
-        prefilter=r"^[\[\(\{<]\d", prefilter_regex=True,
-        test_cases=(("[22-Feb-17 21:24:20] Section [ALLOWED-CLIENTS] Invalid entry", 1, 19, "2017-02-22T21:24:20.000000", 0),),
+        # ' ?' because DAY admits a space-padded day (' 2') — the
+        # prefilter must stay a SUPERSET of the regex's accepting prefixes
+        # or results become batch-size-dependent (the >32-row gate)
+        prefilter=r"^[\[\(\{<] ?\d", prefilter_regex=True,
+        test_cases=(
+            ("[22-Feb-17 21:24:20] Section [ALLOWED-CLIENTS] Invalid entry", 1, 19, "2017-02-22T21:24:20.000000", 0),
+            ("[ 2-Feb-17 21:24:20] Section [ALLOWED-CLIENTS] Invalid entry", 1, 19, "2017-02-02T21:24:20.000000", 0),
+        ),
     ),
     # -- unanchored bracketed d-Mon-YYYY ± frac ± tz (entries 46-54; the
     #    synobackup '<11-oct-2022 00:10:26.1>' tab-embedded variant)
@@ -267,9 +273,11 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"{LB}(?P<dt>{MONTHm}[/\- ]{DAY}[/\- ]{YEAR}[ T\-]{HOUR}:{MIN}[:\.]{SEC}(?:[\.,]{FRAC})?){RB}",
         slice_lo=0,
         slice_hi=300,
-        prefilter=r"[\[\(\{<]\d{1,2}[/\- ]\d", prefilter_regex=True,
+        # ' ?' after the divider: DAY admits a space-padded day ('05/ 8/')
+        prefilter=r"[\[\(\{<]\d{1,2}[/\- ] ?\d", prefilter_regex=True,
         test_cases=(
             ("(05/27/2020-12:25:43.0877) Total number of objects successfully migrated :2346", 1, 25, "2020-05-27T12:25:43.087700", 0),
+            ("(05/ 8/2020-12:25:43.0877) Filtering object", 1, 25, "2020-05-08T12:25:43.087700", 0),
             ("[02/21/2023 07:07.05.262] WudfCoInstaller: Configuring UMDF Service WpdFs.", 1, 24, "2023-02-21T07:07:05.262000", 0),
             ("(08/10/2019-01:46:44.0042) Filtering object", 1, 25, "2019-08-10T01:46:44.004200", 0),
         ),
@@ -398,7 +406,10 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         slice_lo=0,
         slice_hi=32,
         prefilter=PF_MDY, prefilter_regex=True,
-        test_cases=(("03/18/2021 19:15:16: COMSETUP: === Microsoft COM+ Setup Started ===", 0, 19, "2021-03-18T19:15:16.000000", 0),),
+        test_cases=(
+            ("03/18/2021 19:15:16: COMSETUP: === Microsoft COM+ Setup Started ===", 0, 19, "2021-03-18T19:15:16.000000", 0),
+            ("03/ 8/2021 19:15:16: COMSETUP: === Microsoft COM+ Setup Started ===", 0, 19, "2021-03-08T19:15:16.000000", 0),
+        ),
     ),
     DTPD(
         name="windows_mdy",
@@ -682,9 +693,11 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"^(?P<dt>{DAY}-{MONTHB}-{YEAR} {HOUR}:{MIN}:{SEC}(?:[\.,]{FRAC})?){NANPM}",
         slice_lo=0,
         slice_hi=32,
-        prefilter=r"^\d{1,2}-(?i:[a-z])", prefilter_regex=True,
+        # '^ ?' because DAY admits a space-padded day (' 8-Feb-2023')
+        prefilter=r"^ ?\d{1,2}-(?i:[a-z])", prefilter_regex=True,
         test_cases=(
             ("08-Feb-2023 12:12:09.827 INFO [main] org.apache.coyote.AbstractProtocol.init", 0, 24, "2023-02-08T12:12:09.827000", 0),
+            (" 8-Feb-2023 12:12:09.827 INFO [main] org.apache.coyote.AbstractProtocol.init", 0, 24, "2023-02-08T12:12:09.827000", 0),
         ),
     ),
     # -- NTP statistics files: modified Julian day + seconds past midnight
@@ -707,9 +720,11 @@ DATETIME_PARSE_DATAS: list[DTPD] = [
         regex=rf"(?P<dt>{YEAR}-{MONTHm}-{DAY} {HOUR}:{MIN}:{SEC}:(?P<frac>\d{{3}}) ?{TZNUM})",
         slice_lo=0,
         slice_hi=96,
-        prefilter=r"(?:19|20)\d\d-\d{1,2}-\d{1,2} \d{1,2}:\d\d:\d\d:", prefilter_regex=True,
+        # '- ?\d': DAY admits a space-padded day ('2022-10- 8')
+        prefilter=r"(?:19|20)\d\d-\d{1,2}- ?\d{1,2} \d{1,2}:\d\d:\d\d:", prefilter_regex=True,
         test_cases=(
             ("{5F45546A-691D-4519-810C-9B159EA7A24F}  2022-10-12 09:26:44:980-0700    1       181", 40, 68, "2022-10-12T16:26:44.980000", 0),
+            ("{5F45546A-691D-4519-810C-9B159EA7A24F}  2022-10- 8 09:26:44:980-0700    1       181", 40, 68, "2022-10-08T16:26:44.980000", 0),
         ),
     ),
     # -- JSONL timestamp fields (entries 102-121 + generic keys)

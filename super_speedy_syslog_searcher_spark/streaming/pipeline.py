@@ -114,11 +114,20 @@ def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFra
     from pyspark.sql.window import Window
 
     secs = parse_duration_seconds(watermark)
-    # running max ordered by (doc_id, msg_no): doc_id carries the file/batch
-    # arrival order of the rendered corpus, msg_no orders within a doc —
-    # together a deterministic arrival order per source (msg_no alone is a
-    # per-doc index and would make the late count tie-order dependent)
-    w = Window.partitionBy("source").orderBy("doc_id", "msg_no").rowsBetween(Window.unboundedPreceding, 0)
+    # running max ordered by NUMERIC doc arrival index, then msg_no:
+    # doc_id carries the file/batch arrival order of the rendered corpus
+    # ('{source}/{d:06d}', sources/tokenized.py), but its zero padding is
+    # finite — lexicographic order diverges from arrival order beyond
+    # 999,999 docs/source ('1000000' < '999999'). Extract the numeric
+    # suffix for the order key; non-numeric doc_ids (null cast) fall back
+    # to lexicographic via the doc_id tiebreaker. msg_no orders within a
+    # doc (alone it is a per-doc index — tie-order dependent).
+    arrival = F.element_at(F.split("doc_id", "/"), -1).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(arrival.asc_nulls_first(), "doc_id", "msg_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     high = F.max("ts").over(w)
     return (
         messages.withColumn("_late", (F.unix_timestamp(high) - F.unix_timestamp("ts") > secs).cast("int"))

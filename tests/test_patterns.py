@@ -33,6 +33,49 @@ def test_dtpd_case(pattern_id, case):
     assert (row["dt_beg"], row["dt_end"]) == (dt_beg, dt_end)
 
 
+def test_prefilter_superset_of_embedded_cases():
+    """Every entry's prefilter must accept every line its full regex
+    accepts (here: the embedded test cases) — otherwise results become
+    batch-size-dependent, because parse_series only applies the prefilter
+    when the row mask exceeds 32 rows (functions/parse.py). Regression for
+    the space-padded-day bug: ' 8-Feb-2023 ...' passed tomcat_dby's regex
+    but not its old '^\\d{1,2}-' prefilter."""
+    for p in DATETIME_PARSE_DATAS:
+        if p.prefilter is None:
+            continue
+        for line, *_ in p.test_cases:
+            hay = pd.Series([line.lower() if p.prefilter_lower else line])
+            m = hay.str.contains(p.prefilter, regex=p.prefilter_regex, na=False)
+            assert bool(m.iloc[0]), (
+                f"{p.name}: prefilter {p.prefilter!r} rejects accepted line {line!r}"
+            )
+
+
+def test_batch_gate_invariance():
+    """Parsing each embedded case in a >32-row batch (prefilters active)
+    must agree with the single-row parse (prefilters skipped). Catches any
+    prefilter that is not a superset of its regex."""
+    lines = [case[0] for p in DATETIME_PARSE_DATAS for case in p.test_cases]
+    expect = [
+        (p.pattern_id, case[3], case[1], case[2])
+        for p in DATETIME_PARSE_DATAS
+        for case in p.test_cases
+    ]
+    reps = 40
+    big = pd.Series(lines * reps)
+    res = parse_series(big)
+    n = len(lines)
+    for r in range(reps):
+        block = res.iloc[r * n : (r + 1) * n].reset_index(drop=True)
+        for i, (pid, iso_utc, beg, end) in enumerate(expect):
+            row = block.iloc[i]
+            assert row["pattern_id"] == pid, (
+                f"batch parse of {lines[i]!r} matched pattern {row['pattern_id']}, want {pid}"
+            )
+            assert row["ts"] == pd.Timestamp(iso_utc, tz="UTC")
+            assert (row["dt_beg"], row["dt_end"]) == (beg, end)
+
+
 def test_table_internal_consistency():
     """≙ test_DATETIME_PARSE_DATAS_builtin: ids dense, dt group present,
     every entry has test cases."""

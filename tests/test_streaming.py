@@ -83,6 +83,27 @@ def test_windowed_counts_and_late_metric(spark, corpus):
     assert all(r["late_rows"] == 0 for r in late)  # generator is monotonic per doc
 
 
+def test_late_metric_numeric_arrival_beyond_padding(spark):
+    """Arrival order must be numeric on the doc index, not lexicographic:
+    'a/1000000' arrives AFTER 'a/999999' even though it sorts before it as
+    a string (doc_ids are zero-padded to 6 digits, sources/tokenized.py).
+    Doc 1000000 carries a timestamp 2h behind doc 999999's max → exactly
+    one late row under a 1h watermark; lexicographic ordering would see
+    the rows in the reverse order and count zero."""
+    import datetime as dt
+
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import late_rows_metric
+
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    rows = [
+        ("a/999999", "a", 1, t0, 1),
+        ("a/1000000", "a", 1, t0 - dt.timedelta(hours=2), 1),
+    ]
+    msgs = spark.createDataFrame(rows, "doc_id string, source string, msg_no int, ts timestamp, n_lines int")
+    late = {r["source"]: r["late_rows"] for r in late_rows_metric(msgs, watermark="1 hour").collect()}
+    assert late == {"a": 1}
+
+
 def test_stateful_sessionize_matches_batch(spark, corpus, tmp_path):
     """applyInPandasWithState sessionizer over a two-batch line stream must
     emit exactly the batch sessionizer's messages (a year-2099 sentinel dt
