@@ -26,9 +26,9 @@ from .operators.similarity import cosine_dup_pairs, cosine_topk, cosine_topk_lsh
 from .operators.textstats import (
     content_fingerprint,
     langid,
-    make_winnow_udf,
     quality_stats,
     token_counts,
+    winnow_fingerprints,
 )
 
 MUT_TAIL = " zz extra tail tokens appended"
@@ -219,20 +219,46 @@ FROM documents
 
 
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (rows-only check — rolling
-    hash is not ANSI-SQL-expressible; covered by unit tests).
+    """Winnowing fingerprints, fully oracle-checked: the k-gram hash is
+    the md5-60-bit form, so DuckDB reproduces the exact fingerprint
+    values (grams via generate_series + substr, window-min, distinct).
 
     Output is exploded to scalar ``(doc_id, fp, n_fp)`` rows so the
     driver's pandas canonicalization can sort/hash it (array columns are
     unhashable there); the array-valued operator face stays in
-    :func:`make_winnow_udf`."""
-    d = _docs(spark, sf_dir)
-    fps = d.select("doc_id", make_winnow_udf()(F.col("text")).alias("fps"))
+    :func:`winnow_fingerprints`."""
+    fps = winnow_fingerprints(_docs(spark, sf_dir))
     return fps.select(
         "doc_id",
         F.explode("fps").alias("fp"),
         F.size("fps").cast("bigint").alias("n_fp"),
     )
+
+
+# winnowing twin: k=5 char grams over lower(text), md5-60-bit gram hash,
+# min per window of 8 gram positions (all grams when fewer), distinct.
+# Mirrors winnow_fingerprints() value for value.
+SQL_DOC_WINNOW = """
+WITH norm AS (SELECT doc_id, lower(text) AS s FROM documents WHERE length(text) >= 5),
+grams AS (
+  SELECT doc_id, i,
+         CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - 4)) AS i FROM norm)
+),
+sized AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+wins AS (
+  SELECT g.doc_id,
+         min(h) OVER (PARTITION BY g.doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         i, s.n_grams
+  FROM grams g JOIN sized s USING (doc_id)
+),
+fps AS (
+  SELECT DISTINCT doc_id, m AS fp
+  FROM wins WHERE i <= greatest(n_grams - 7, 1)
+)
+SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM fps
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -501,6 +527,7 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "doc_winnow": SQL_DOC_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
     "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),

@@ -4,14 +4,14 @@ expressions (whole-stage codegen, no Python in the hot path).
 * quality scoring: length / word / punctuation / stopword ratios
 * language-ID: stopword-marker heuristic (deterministic, SQL-mirrorable)
 * token counting: whitespace tokens + a BPE-ish regex segmentation
-* document fingerprinting: normalized-content hash (md5) and a winnowing
-  rolling-hash variant (pandas UDF — the one non-SQL-expressible op here)
+* document fingerprinting: normalized-content hash (md5) and winnowing
+  fingerprints (Schleimer et al.) — also pure Column exprs: the k-gram
+  hash is the md5-60-bit form (same trick as simhash,
+  operators/dedup.py), so the whole selection is SQL-mirrorable
 """
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -89,35 +89,50 @@ def content_fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "
     return df.select(F.col(id_col), F.md5(norm.cast("binary")).alias("fp"), F.length(norm).cast("bigint").alias("norm_len"))
 
 
-def make_winnow_udf(k: int = 5, window: int = 8):
-    """Winnowing fingerprints (Schleimer et al.): k-gram rolling hashes,
-    min per window → sorted distinct fingerprint array. Not expressible in
-    ANSI SQL — covered by unit tests instead of the DuckDB oracle."""
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al.): per-character k-gram
+    hashes, min per sliding window of ``window`` gram positions → sorted
+    distinct fingerprint array (reference analogue: fingerprint-selection
+    semantics over document content).
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _winnow(text: pd.Series) -> pd.Series:
-        out = []
-        B = np.uint64(0x100000001B3)  # odd multiplier; arithmetic mod 2^64
-        err = np.seterr(over="ignore")  # uint64 wraparound IS the modulus
-        try:
-            for t in text:
-                s = (t or "").lower().encode()
-                if len(s) < k:
-                    out.append([])
-                    continue
-                vals = np.frombuffer(s, dtype=np.uint8).astype(np.uint64)
-                win = np.lib.stride_tricks.sliding_window_view(vals, k)
-                h = np.zeros(len(win), dtype=np.uint64)
-                for j in range(k):  # k vector ops, no per-position loop
-                    h = h * B + win[:, j]
-                if len(h) <= window:
-                    picks = {int(np.int64(h.min()))}
-                else:
-                    roll = np.lib.stride_tricks.sliding_window_view(h, window)
-                    picks = set(roll.min(axis=1).astype(np.int64).tolist())
-                out.append(sorted(picks))
-        finally:
-            np.seterr(**err)
-        return pd.Series(out)
+    Pure Column expressions, zero Python: the k-gram hash is the
+    md5-60-bit form (``conv(substr(md5(gram),1,15),16,10)`` — the same
+    trick that makes simhash oracle-checkable, operators/dedup.py:270),
+    so the DuckDB twin is ``CAST('0x'||substr(md5(gram),1,15) AS
+    BIGINT)`` + a window-min, and the whole operator is verifiable end to
+    end. Winnowing's guarantees need only *a* deterministic per-gram
+    hash, not any particular one.
 
-    return _winnow
+    Docs shorter than ``k`` chars yield an empty array. When a doc has
+    fewer than ``window`` grams, the single window spans them all. Cost
+    is O(len·window) array ops per doc inside whole-stage codegen — no
+    shuffle, no UDF; at 100 TB this is a map-only stage.
+    """
+    s = F.lower(F.col(text_col))
+    gram_hashes = F.when(
+        F.length(s) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(s) - F.lit(k - 1)),
+            lambda i: F.conv(
+                F.substring(F.md5(F.encode(F.substring(s, i, k), "UTF-8")), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.lit(None).cast(T.ArrayType(T.LongType())))
+    # two selects: _h is referenced 3× below — keeping it a materialized
+    # projection stops Catalyst's CollapseProject from re-deriving the
+    # md5 transform per reference
+    hashed = df.select(F.col(id_col), gram_hashes.alias("_h"))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
+    )
+    fps = F.when(F.col("_h").isNotNull(), F.array_sort(F.array_distinct(wins))).otherwise(
+        F.array().cast(T.ArrayType(T.LongType()))
+    )
+    return hashed.select(F.col(id_col), fps.alias("fps"))

@@ -166,15 +166,43 @@ class TestTextStats:
         assert fps[0] == fps[1]
 
     def test_winnow_shift_overlap(self, spark):
-        from super_speedy_syslog_searcher_spark.operators.textstats import make_winnow_udf
+        from super_speedy_syslog_searcher_spark.operators.textstats import winnow_fingerprints
 
         # shared region must exceed k + 2*window chars for a guaranteed
         # common window-minimum fingerprint
         shared = "a long shared middle stretch of identical winnowable content"
         df = _docs_df(spark, [(1, f"prefix {shared} suffix"), (2, f"other {shared} thing")])
-        rows = df.select(make_winnow_udf()(F.col("text")).alias("fps")).collect()
+        rows = winnow_fingerprints(df).orderBy("doc_id").collect()
         s1, s2 = set(rows[0]["fps"]), set(rows[1]["fps"])
         assert s1 and s2 and s1 & s2  # shared substring → shared fingerprints
+
+    def test_winnow_matches_python_reference(self, spark):
+        """The Column-expression winnow must equal a from-scratch Python
+        winnower (md5-60-bit gram hash, window-min, distinct) on edge
+        shapes: shorter than k, exactly k grams, fewer grams than the
+        window, and a long doc."""
+        import hashlib
+
+        from super_speedy_syslog_searcher_spark.operators.textstats import winnow_fingerprints
+
+        k, w = 5, 8
+
+        def ref_winnow(t: str) -> list[int]:
+            s = t.lower()
+            if len(s) < k:
+                return []
+            h = [
+                int(hashlib.md5(s[i : i + k].encode()).hexdigest()[:15], 16)
+                for i in range(len(s) - k + 1)
+            ]
+            n_win = max(len(h) - w + 1, 1)
+            return sorted({min(h[i : i + w]) for i in range(n_win)})
+
+        texts = ["abcd", "abcde", "abcdefgh", "Mixed CASE Text!", "the quick brown fox jumps over the lazy dog" * 3]
+        df = _docs_df(spark, list(enumerate(texts)))
+        got = {r["doc_id"]: list(r["fps"]) for r in winnow_fingerprints(df).collect()}
+        for i, t in enumerate(texts):
+            assert got[i] == ref_winnow(t), f"mismatch on {t!r}"
 
 
 class TestMultimodal:
