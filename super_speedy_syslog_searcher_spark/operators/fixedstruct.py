@@ -153,6 +153,52 @@ def score_layout(m: np.ndarray, layout: Layout) -> int:
     return s
 
 
+def bounded_sample(
+    records: DataFrame,
+    payload_col: str = "record",
+    sample_per_source: int = 64,
+    doc_sample_mod: int = 20,
+) -> DataFrame:
+    """≤ ``sample_per_source`` payload rows per source, with bounded
+    memory at every stage (no unbounded ``collect_list`` buffer — a hot
+    source with 10⁹ sampled records must not funnel GBs through one
+    aggregation group):
+
+    1. hash-sample ~1/doc_sample_mod of docs (scan-level filter);
+    2. per-partition head — a streaming cap that emits at most
+       ``sample_per_source`` rows per source from each input partition,
+       so the window shuffle below moves ≤ 64·P rows/source, never the
+       raw sampled payload;
+    3. ``row_number() <= sample_per_source`` over a per-source window —
+       the global cap, applied BEFORE any aggregate/collect.
+    """
+    from pyspark.sql.window import Window
+
+    sampled = records.filter(F.pmod(F.xxhash64("doc_id"), F.lit(doc_sample_mod)) == 0)
+    if sampled.isEmpty():
+        sampled = records
+    slim = sampled.select("source", "doc_id", "record_no", payload_col)
+
+    def _partition_head(batches):
+        seen: dict[str, int] = {}
+        for pdf in batches:
+            offs = pdf["source"].map(lambda s: seen.get(s, 0))
+            cc = pdf.groupby("source", sort=False).cumcount() + offs
+            mask = (cc < sample_per_source).to_numpy()
+            for s, n in pdf["source"].value_counts().items():
+                seen[s] = seen.get(s, 0) + int(n)
+            if mask.any():
+                yield pdf[mask]
+
+    capped = slim.mapInPandas(_partition_head, schema=slim.schema)
+    w = Window.partitionBy("source").orderBy("doc_id", "record_no")
+    return (
+        capped.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= sample_per_source)
+        .drop("_rn")
+    )
+
+
 def elect_layouts(
     records: DataFrame,
     payload_col: str = "record",
@@ -161,30 +207,29 @@ def elect_layouts(
 ) -> dict[str, str]:
     """Per-source layout election from a bounded sample (≙ per-file
     preprocessing, fixedstructreader.rs:174-232). The hash filter cuts
-    ~1/doc_sample_mod of docs BEFORE the group collect so the election job
-    reads a bounded fraction at any corpus size; sources that lose every
-    doc to the sample fall back to the default layout (decode still tags
-    wrong-size records invalid). Returns {source: layout_name}."""
-    sampled = records.filter(F.pmod(F.xxhash64("doc_id"), F.lit(doc_sample_mod)) == 0)
-    if sampled.isEmpty():
-        sampled = records
-    sample = (
-        sampled.groupBy("source")
-        .agg(F.slice(F.collect_list(payload_col), 1, sample_per_source).alias("recs"))
-        .collect()
-    )
+    ~1/doc_sample_mod of docs BEFORE any shuffle so the election job
+    reads a bounded fraction at any corpus size, and
+    :func:`bounded_sample` caps rows per source BEFORE anything is
+    collected — no aggregation buffer ever holds more than the sample.
+    Sources that lose every doc to the sample fall back to the default
+    layout (decode still tags wrong-size records invalid). Returns
+    {source: layout_name}."""
+    rows = bounded_sample(records, payload_col, sample_per_source, doc_sample_mod).collect()
+    by_source: dict[str, list[bytes]] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(bytes(r[payload_col]))
     out: dict[str, str] = {}
-    for row in sample:
+    for source, recs in by_source.items():
         best_name, best_score = None, -1
         for layout in LAYOUTS:
-            m = _batch_view([bytes(r) for r in row["recs"]], layout)
+            m = _batch_view(recs, layout)
             if m is None:
                 continue
             sc = score_layout(m, layout)
             if sc > best_score:
                 best_name, best_score = layout.name, sc
         if best_name:
-            out[row["source"]] = best_name
+            out[source] = best_name
     return out
 
 

@@ -355,6 +355,40 @@ class TestLayoutElection:
                 assert r["ut_type"] == 7, layout.name
 
 
+    def test_hot_source_election_is_bounded(self, spark):
+        """A source with 100k+ sampled records must elect correctly while
+        the sample stage keeps at most sample_per_source rows per source
+        (VERDICT r2 #1: the old collect_list funneled the whole source's
+        sampled payload into one aggregation buffer before slicing)."""
+        import pandas as pd
+        from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
+            LAYOUT_BY_NAME,
+            bounded_sample,
+            elect_layouts,
+            pack_records,
+        )
+
+        layout = LAYOUT_BY_NAME["netbsd_x8664_utmp"]  # 40 B — cheap at 100k
+        n = 100_000
+        recs = [pack_records(layout, 7, 0, f"u{i % 50}", 1_700_000_000 + i, 0) for i in range(n)]
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [f"d{i % 997:06d}" for i in range(n)],
+                "source": ["hot.src"] * n,
+                "record_no": list(range(n)),
+                "record": recs,
+            }
+        )
+        df = spark.createDataFrame(pdf)
+
+        sample = bounded_sample(df, doc_sample_mod=1)
+        assert sample.count() == 64  # global cap per source, pre-collect
+        plan = sample._jdf.queryExecution().executedPlan().toString()
+        assert "row_number" in plan and "collect_list" not in plan
+
+        elected = elect_layouts(df, doc_sample_mod=1)
+        assert elected == {"hot.src": "netbsd_x8664_utmp"}
+
     def test_mixed_layouts_elected_per_source(self, spark):
         from super_speedy_syslog_searcher_spark.operators.fixedstruct import (
             UTMP32,
