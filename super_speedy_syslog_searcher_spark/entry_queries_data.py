@@ -299,7 +299,20 @@ def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4, k: 
     """Build the DuckDB twin of cosine_topk_lsh: same plane tables (same
     seed), bucket = Σ sign·2^(p-1-i), bucket-join candidates, exact cosine
     rank. Plane literals are emitted at full float64 precision (%.17g) so
-    both engines compute identical sign bits."""
+    both engines compute identical sign bits.
+
+    Residual risk (ADVICE r2): %.17g round-trips every float64 exactly,
+    but the two engines may SUM the dot product in different orders
+    (numpy matmul is pairwise/SIMD; list_dot_product is sequential), so a
+    plane dot within ~1 ulp of 0.0 could take different signs and bucket
+    a vector differently — a spurious mismatch, not a correctness bug.
+    With gaussian planes and these corpora the margin distribution makes
+    that astronomically unlikely (measured min |plane dot| 1.2e-5 and min
+    adjacent centroid-sim gap 4e-7 at sf0.1 — 10 orders above ulp scale);
+    if it ever fires at another dim/corpus, the right fix is to exclude
+    candidates whose |plane dot| < ε from BOTH sides or fall back to the
+    recall-property test in tests/test_dataops.py, not to loosen the
+    row-equality check globally."""
     from .operators.similarity import ann_tables
 
     tables = ann_tables(dim, n_planes, n_tables)

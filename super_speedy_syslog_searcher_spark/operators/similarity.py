@@ -146,15 +146,17 @@ def cosine_topk_ivf(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cnorm"),
         F.element_at(c_assign(F.col(vec_col)), 1).alias("list_id"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qnorm"),
         F.explode(q_assign(F.col(vec_col))).alias("list_id"),
     )
     cand = c.join(F.broadcast(q), "list_id").filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    scored = _scored(cand)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -171,6 +173,18 @@ def cosine_col(a, b) -> Column:
     return dot_col(a, b) / (norm_col(a) * norm_col(b))
 
 
+def _scored(cand: DataFrame) -> DataFrame:
+    """Score candidate pairs carrying precomputed per-row norms: one
+    O(dim) fold per pair (the dot) instead of three (VERDICT r2 #3 — the
+    inline ``cosine_col`` re-derived both norms per candidate). Same
+    value bit-for-bit: ``dot/(qnorm*cnorm)`` with ``norm = sqrt(dot(v,v))``
+    is the exact expression ``cosine_col`` expands to, so the DuckDB
+    oracles are unchanged."""
+    return cand.withColumn(
+        "sim", dot_col(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -184,13 +198,17 @@ def cosine_topk(
     at 100 TB the corpus never shuffles; each partition scores its share
     and the final top-k reduces per query.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.join(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qnorm"),
     )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cnorm"),
+    )
+    scored = _scored(c.join(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -219,15 +237,15 @@ def cosine_dup_pairs(
     dim = dim_row["d"]
     bucket_udf = make_signbucket_udf(dup_planes(dim))
 
-    b = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", bucket_udf(F.col("v"))
+    b = (
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", bucket_udf(F.col("v")))
+        .withColumn("nrm", norm_col(F.col("v")))
     )
-    l = b.select(F.col("id").alias("a"), F.col("v").alias("va"), "bucket")
-    r = b.select(F.col("id").alias("b"), F.col("v").alias("vb"), "bucket")
+    l = b.select(F.col("id").alias("a"), F.col("v").alias("qv"), F.col("nrm").alias("qnorm"), "bucket")
+    r = b.select(F.col("id").alias("b"), F.col("v").alias("cv"), F.col("nrm").alias("cnorm"), "bucket")
     return (
-        l.join(r, "bucket")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("sim", cosine_col(F.col("va"), F.col("vb")))
+        _scored(l.join(r, "bucket").filter(F.col("a") < F.col("b")))
         .filter(F.col("sim") >= threshold)
         .select("a", "b")
     )
@@ -248,23 +266,42 @@ def cosine_topk_lsh(
     Scale path for ANN: per query ~corpus·n_tables/2^n_planes candidates.
     Output schema matches ``cosine_topk`` (ranks may differ where recall
     misses — that is the accuracy/cost dial).
+
+    No embedding vector ever crosses an exchange (VERDICT r2 #2 — the
+    old ``.distinct()`` shuffled and compared the arrays themselves): the
+    bucket scan projects ids only, the OR-amplification dedupe is a
+    distinct over bare ``(query_id, neighbor_id)`` pairs, and vectors are
+    re-attached by broadcasting that candidate-id set back against the
+    corpus scan — at 100 TB the corpus is scanned twice (both map-only,
+    column-pruned) and never shuffled.
     """
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         return corpus.sparkSession.createDataFrame([], "query_id long, rank int, neighbor_id long")
     dim = dim_row["d"]
     buckets_udf = make_multitable_bucket_udf(ann_tables(dim, n_planes, n_tables))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    cb = c.withColumn("_bks", buckets_udf(F.col("cv"))).select(
-        "neighbor_id", "cv", F.posexplode("_bks").alias("t", "bk")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm_col(F.col(vec_col)).alias("cnorm"),
     )
-    qb = q.withColumn("_bks", buckets_udf(F.col("qv"))).select(
-        "query_id", "qv", F.posexplode("_bks").alias("t", "bk")
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm_col(F.col(vec_col)).alias("qnorm"),
     )
-    cand = cb.join(F.broadcast(qb), ["t", "bk"]).filter(F.col("neighbor_id") != F.col("query_id"))
-    cand = cand.select("query_id", "qv", "neighbor_id", "cv").distinct()
-    scored = cand.withColumn("sim", cosine_col(F.col("qv"), F.col("cv")))
+    cb = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")).select(
+        "neighbor_id", F.posexplode(buckets_udf(F.col("_v"))).alias("t", "bk")
+    )
+    qb = q.select("query_id", F.posexplode(buckets_udf(F.col("qv"))).alias("t", "bk"))
+    cand_ids = (
+        cb.join(F.broadcast(qb), ["t", "bk"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand = c.join(F.broadcast(cand_ids), "neighbor_id").join(F.broadcast(q), "query_id")
+    scored = _scored(cand)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
