@@ -316,6 +316,43 @@ class TestBinaryFormats:
         summ = evtx_summary(evtx_ordered(df)).collect()[0]
         assert summ["events_accepted"] == 3 and summ["out_of_order"] == 1
 
+    def test_evtx_bucketed_windows_match_single_window(self, spark):
+        """The two-level bucketed rank/lag (VERDICT r2 #4: no per-source
+        single-task window) must agree with a naive per-source window even
+        when records straddle many arrival and time buckets."""
+        import random
+        from datetime import datetime, timedelta
+        from pyspark.sql.window import Window
+        from super_speedy_syslog_searcher_spark.operators.evtx import evtx_ordered
+
+        rng = random.Random(5)
+        base = datetime(2024, 1, 1)
+        rows = []
+        for src in ["a", "b"]:
+            order = list(range(200))
+            rng.shuffle(order)
+            for arrival, rec in enumerate(order):
+                # sparse arrival numbers: stress empty-bucket chaining
+                rows.append((src, rec, base + timedelta(seconds=rec * 7), arrival * 3 + 1))
+        df = spark.createDataFrame(rows, "source string, record_id long, ts timestamp, arrival_no long")
+        got = (
+            evtx_ordered(df, arrival_bucket=16, emit_bucket_seconds=60)
+            .select("source", "record_id", "emit_rank", "is_out_of_order")
+            .collect()
+        )
+        arrive = Window.partitionBy("source").orderBy("arrival_no")
+        emit = Window.partitionBy("source").orderBy("ts", "record_id")
+        want = (
+            df.withColumn(
+                "is_out_of_order",
+                F.coalesce((F.col("ts") < F.lag("ts").over(arrive)).cast("int"), F.lit(0)),
+            )
+            .withColumn("emit_rank", F.row_number().over(emit))
+            .select("source", "record_id", "emit_rank", "is_out_of_order")
+            .collect()
+        )
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
 
 class TestLayoutElection:
     def test_all_16_reference_layouts_roundtrip(self, spark):
