@@ -505,20 +505,44 @@ FROM events WHERE event_id % 10 = 0
 
 
 def q_pipe_tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TZ normalization roundtrip: every event rendered in a DIFFERENT
-    numeric utc-offset (−02:00 … +02:00 by event_id); parse must resolve
-    each back to the same UTC instant (reference normalizes every message
-    to a fixed offset, datetime.rs:132; tz capture groups :1880-1902)."""
+    """TZ normalization roundtrip: events rendered across numeric
+    utc-offsets AND named-tz forms; parse must resolve each back to the
+    same UTC instant (reference normalizes every message to a fixed
+    offset, datetime.rs:132; tz capture groups :1880-1902; named map
+    MAP_TZZ_TO_TZz :1984-2503).
+
+    By event_id % 8: 0-3 → numeric ±HH00; 4 → ``PST`` (fixed −08:00);
+    5 → ``CET`` (+01:00); 6 → ``jst`` (lower-case, must resolve
+    case-insensitively to +09:00); 7 → ``IST`` (AMBIGUOUS — the in-line
+    parse must fall back to the job default offset, here UTC, per
+    datetime.rs:6165-6177). The oracle is the identity on ``ts``: any
+    mis-resolution (wrong offset, failed case-fold, ambiguous not
+    falling back) shifts the parsed instant by whole hours and
+    hash-mismatches."""
     from .functions.parse import parse_messages_fused
 
     _utc(spark)
     ev = _events(spark, sf_dir)
-    off = (F.col("event_id") % 5) - 2
+    b = F.col("event_id") % 8
+    off = (
+        F.when(b <= 3, b - 2)
+        .when(b == 4, F.lit(-8))
+        .when(b == 5, F.lit(1))
+        .when(b == 6, F.lit(9))
+        .otherwise(F.lit(0))
+    )
     local_ts = F.col("ts") + F.make_dt_interval(hours=off)
-    tzs = F.concat(
+    numeric_tz = F.concat(
         F.when(off < 0, F.lit("-")).otherwise(F.lit("+")),
         F.lpad(F.abs(off).cast("string"), 2, "0"),
         F.lit("00"),
+    )
+    tzs = (
+        F.when(b <= 3, numeric_tz)
+        .when(b == 4, F.lit(" PST"))
+        .when(b == 5, F.lit(" CET"))
+        .when(b == 6, F.lit(" jst"))
+        .otherwise(F.lit(" IST"))
     )
     line = F.concat(
         F.date_format(local_ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), tzs,
