@@ -129,6 +129,110 @@ FROM events
 
 
 # ---------------------------------------------------------------------------
+# P13b — native .journal binary container
+# ---------------------------------------------------------------------------
+def journal_native_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → real ``.journal`` container bytes, one file per user.
+
+    Layout mix is deterministic by user_id: even users write COMPACT
+    files, users ≡ 1 (mod 4) XZ-compress payloads ≥ 24 bytes — so one
+    corpus exercises all four reader paths.  Entries are written in
+    (ts, event_id) order with seqnum = file position + 1, matching how
+    journald appends; even event_ids carry a _SOURCE_REALTIME_TIMESTAMP
+    500 µs later (which must NOT win under the reference's compiled-in
+    realtime precedence, journal.rs:123-173)."""
+    from .operators.journal_native import JournalWriter
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        uid = int(pdf["user_id"].iloc[0])
+        w = JournalWriter(
+            compact=(uid % 2 == 0),
+            xz_min_payload=(24 if uid % 4 == 1 else None),
+            first_array_capacity=4,
+        )
+        for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
+            usec = pd.Timestamp(ts).value // 1000
+            eid = int(eid)
+            fields = [
+                b"MESSAGE=evt " + str(etype).encode(),
+                b"_PID=%d" % eid,
+            ]
+            if eid % 2 == 0:
+                fields.append(b"_SOURCE_REALTIME_TIMESTAMP=%d" % (usec + 500))
+            w.add_entry(usec, eid * 1000, fields)
+        return pd.DataFrame([{
+            "doc_id": f"jn{uid:08d}",
+            "source": f"journal.n{uid % 4}",
+            "payload": w.build(),
+        }])
+
+    return ev.groupBy("user_id").applyInPandas(
+        _build, schema="doc_id string, source string, payload binary"
+    )
+
+
+def q_journal_native_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native journal container → entries; checks BOTH timestamp
+    precedences at once: ``ts`` is the reference's compiled-in realtime
+    choice (journal.rs:123), ``ts_src`` re-derives journalctl's
+    source-fallback from the parsed fields map."""
+    from .operators.journal_native import parse_journal_native
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = journal_native_corpus(spark, sf_dir)
+    parsed = parse_journal_native(docs)
+    src_us = F.element_at("fields", "_SOURCE_REALTIME_TIMESTAMP").cast("long")
+    return parsed.filter(F.col("entry_no") >= 0).select(
+        F.element_at("fields", "_PID").cast("bigint").alias("event_id"),
+        "ts",
+        F.timestamp_micros(F.coalesce(src_us, F.col("realtime_us"))).alias("ts_src"),
+        F.col("seqnum").cast("bigint").alias("seqnum"),
+        F.col("n_fields").cast("int").alias("n_fields"),
+    )
+
+
+SQL_JOURNAL_NATIVE_PARSE = """
+SELECT event_id,
+       ts,
+       CASE WHEN event_id % 2 = 0 THEN make_timestamp(epoch_us(ts) + 500)
+            ELSE ts END AS ts_src,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seqnum,
+       CAST(CASE WHEN event_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_fields
+FROM events
+"""
+
+
+_SEEK_CUTOFF_US = 1705363200000000  # 2024-01-16 00:00:00 UTC
+
+
+def q_journal_native_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek pushdown: ``after_us`` skips pre-cutoff entries BEFORE their
+    data objects are fetched — the analogue of the reference's
+    sd_journal_seek_realtime_usec analyze step (journalreader.rs:
+    1172-1196)."""
+    from .operators.journal_native import parse_journal_native
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = journal_native_corpus(spark, sf_dir)
+    parsed = parse_journal_native(docs, after_us=_SEEK_CUTOFF_US)
+    return parsed.filter(F.col("entry_no") >= 0).select(
+        F.element_at("fields", "_PID").cast("bigint").alias("event_id"),
+        "ts",
+    )
+
+
+SQL_JOURNAL_NATIVE_SEEK = f"""
+SELECT event_id, ts FROM events
+WHERE epoch_us(ts) >= {_SEEK_CUTOFF_US}
+"""
+
+
+# ---------------------------------------------------------------------------
 # P12 — evtx record stream
 # ---------------------------------------------------------------------------
 _SCRAMBLE = "(event_id * 2654435761) % 4294967296"
@@ -188,11 +292,15 @@ FROM dedup
 QUERIES = {
     "fixedstruct_decode": q_fixedstruct_decode,
     "journal_export_parse": q_journal_export_parse,
+    "journal_native_parse": q_journal_native_parse,
+    "journal_native_seek": q_journal_native_seek,
     "evtx_order": q_evtx_order,
 }
 
 ORACLES = {
     "fixedstruct_decode": SQL_FIXEDSTRUCT_DECODE,
     "journal_export_parse": SQL_JOURNAL_EXPORT_PARSE,
+    "journal_native_parse": SQL_JOURNAL_NATIVE_PARSE,
+    "journal_native_seek": SQL_JOURNAL_NATIVE_SEEK,
     "evtx_order": SQL_EVTX_ORDER,
 }
