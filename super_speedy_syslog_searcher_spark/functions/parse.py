@@ -51,37 +51,74 @@ PARSE_RESULT_FIELDS = "ts timestamp, ts_ns int, dt_beg int, dt_end int, pattern_
 EZCHECK_RE = r"\d\d"
 
 
-def _frac_to_ns(frac: pd.Series) -> pd.Series:
+def _frac_to_ns(col: list) -> np.ndarray:
     """fractional-digit strings right-padded to 9 → integer nanoseconds
     (reference pads to 9, captures_to_buffer_bytes datetime.rs:5859+)."""
-    return frac.fillna("").str.ljust(9, "0").replace("", "000000000").astype("int64")
+    return np.fromiter(
+        (0 if f is None else int(f.ljust(9, "0") or 0) for f in col),
+        dtype=np.int64, count=len(col),
+    )
 
 
-def _tz_minutes(gd: pd.DataFrame, default_tz_minutes: int) -> tuple[pd.Series, pd.Series]:
+def _ints(col: list) -> np.ndarray:
+    """digit-string column (possibly space-padded, e.g. '%e' days) → int64.
+    np.array's C conversion loop tolerates surrounding whitespace and is
+    ~2× a python genexpr + fromiter."""
+    return np.array(col, dtype=np.int64)
+
+
+def _map_uniques(col: np.ndarray, fn) -> np.ndarray:
+    """Apply ``fn`` once per UNIQUE value (object array) — tz strings and
+    month names repeat massively within a batch."""
+    uniq, inv = np.unique(col, return_inverse=True)
+    mapped = np.array([fn(u) for u in uniq], dtype=object)
+    return mapped[inv]
+
+
+_DAYS_IN_MONTH = np.array([31, 28, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31], dtype=np.int64)
+
+
+def _civil_to_epoch_days(year: np.ndarray, month: np.ndarray, day: np.ndarray) -> np.ndarray:
+    """(y, m, d) int64 arrays → days since 1970-01-01 (proleptic Gregorian,
+    Howard Hinnant's days_from_civil, branch-free numpy)."""
+    y = year - (month <= 2)
+    era = np.floor_divide(y, 400)
+    yoe = y - era * 400
+    mp = (month + 9) % 12
+    doy = (153 * mp + 2) // 5 + day - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _tz_minutes(
+    cols: dict[str, list], n: int, default_tz_minutes: int
+) -> tuple[np.ndarray, np.ndarray]:
     """Resolve tz offset minutes from 'tz' (numeric) or 'tzname' groups.
 
     Returns (minutes, ok). Unknown named tz → not ok (conversion failure →
     next pattern); ambiguous named tz → default offset (datetime.rs:6165).
     """
-    n = len(gd)
-    minutes = pd.Series(default_tz_minutes, index=gd.index, dtype="int64")
-    ok = pd.Series(True, index=gd.index)
-    if "tz" in gd.columns:
-        has = gd["tz"].notna()
+    minutes = np.full(n, default_tz_minutes, dtype=np.int64)
+    ok = np.ones(n, dtype=bool)
+    if "tz" in cols:
+        arr = np.array(cols["tz"], dtype=object)
+        has = arr != None  # noqa: E711 — elementwise
         if has.any():
-            minutes.loc[has] = gd.loc[has, "tz"].map(offset_str_to_minutes)
-    if "tzname" in gd.columns:
-        has = gd["tzname"].notna()
+            minutes[has] = _map_uniques(arr[has], offset_str_to_minutes).astype(np.int64)
+    if "tzname" in cols:
+        arr = np.array(cols["tzname"], dtype=object)
+        has = arr != None  # noqa: E711
         if has.any():
-            resolved = gd.loc[has, "tzname"].map(
-                lambda a: resolve_tz_abbrev(a, fallback_offset="SENTINEL_DEFAULT")
+            resolved = _map_uniques(
+                arr[has], lambda a: resolve_tz_abbrev(a, fallback_offset="SENTINEL_DEFAULT")
             )
-            bad = resolved.isna()
-            ok.loc[has] = ~bad
-            use_default = resolved == "SENTINEL_DEFAULT"
-            fixed = resolved[~bad & ~use_default]
-            if len(fixed):
-                minutes.loc[fixed.index] = fixed.map(offset_str_to_minutes)
+            bad = np.array([r is None for r in resolved], dtype=bool)
+            ok[np.flatnonzero(has)[bad]] = False
+            fixed = ~bad & (resolved != "SENTINEL_DEFAULT")
+            if fixed.any():
+                minutes[np.flatnonzero(has)[fixed]] = np.array(
+                    [offset_str_to_minutes(r) for r in resolved[fixed]], dtype=np.int64
+                )
     return minutes, ok
 
 
@@ -91,66 +128,76 @@ def _convert_matches(
     default_tz_minutes: int,
     reference_year: int | None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Matched rows → (utc_ns int64 epoch, ns_rem int16, ok bool)."""
+    """Matched rows → (utc_ns int64 epoch, ns_rem int16, ok bool).
+
+    Pure numpy — no pandas Series/BlockManager in the per-batch hot path
+    (measured 76% of kernel time before; the datetime assembly is direct
+    civil→epoch arithmetic with the same coerce semantics as
+    ``pd.to_datetime(errors="coerce")``: bad month/day → not ok,
+    hour/minute overflow adds through, leap-second clamped)."""
     # build group columns directly (m.group(name) is a C-level call);
     # per-match groupdict() would allocate a dict per row
     names = [g for g in matches[0].re.groupindex if g != "dt"]
-    gd = pd.DataFrame({g: [m.group(g) for m in matches] for g in names}, dtype=object)
-    n = len(gd)
-    ok = pd.Series(True, index=gd.index)
+    cols = {g: [m.group(g) for m in matches] for g in names}
+    n = len(matches)
+    ok = np.ones(n, dtype=bool)
 
     if pattern.epoch:
-        secs = gd["epoch"].astype("int64")
-        ns = _frac_to_ns(gd["frac"]) if "frac" in gd.columns else pd.Series(0, index=gd.index)
+        secs = _ints(cols["epoch"])
+        ns = _frac_to_ns(cols["frac"]) if "frac" in cols else np.zeros(n, dtype=np.int64)
         utc_ns = secs * 1_000_000_000 + ns
-        return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
+        return utc_ns, (ns % 1000).astype(np.int16), ok
 
     if getattr(pattern, "mjd", False):
         # NTP statistics: modified Julian day + seconds past midnight UTC
         # (MJD epoch 1858-11-17; Unix epoch = MJD 40587)
-        days = gd["mjd"].astype("int64")
-        secs = gd["sod_i"].astype("int64")
-        ns = _frac_to_ns(gd["sod_f"])
+        days = _ints(cols["mjd"])
+        secs = _ints(cols["sod_i"])
+        ns = _frac_to_ns(cols["sod_f"])
         utc_ns = ((days - 40587) * 86400 + secs) * 1_000_000_000 + ns
-        return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
+        return utc_ns, (ns % 1000).astype(np.int16), ok
 
-    if "year" in gd.columns and gd["year"].notna().all():
-        year = gd["year"].astype("int64")
-    elif "year2" in gd.columns:
-        year = gd["year2"].astype("int64").map(year2_to_year)
+    if "year" in cols and all(v is not None for v in cols["year"]):
+        year = _ints(cols["year"])
+    elif "year2" in cols:
+        yy = _ints(cols["year2"])
+        # chrono %y pivot: 00-68 → 20xx, 69-99 → 19xx (year2_to_year)
+        year = np.where(yy <= 68, 2000 + yy, 1900 + yy)
     else:
-        year = pd.Series(reference_year or DUMMY_YEAR, index=gd.index, dtype="int64")
+        year = np.full(n, reference_year or DUMMY_YEAR, dtype=np.int64)
 
-    if "month" in gd.columns and gd["month"].notna().all():
-        month = gd["month"].astype("int64")
+    if "month" in cols and all(v is not None for v in cols["month"]):
+        month = _ints(cols["month"])
     else:
-        month = gd["monthb"].map(lambda s: month_name_to_num(s) if isinstance(s, str) else None)
-        bad = month.isna()
+        mb = np.array(cols["monthb"], dtype=object)
+        mnum = _map_uniques(mb, lambda s: month_name_to_num(s) if isinstance(s, str) else None)
+        bad = np.array([v is None for v in mnum], dtype=bool)
         ok &= ~bad
-        month = month.fillna(1).astype("int64")
+        month = np.where(bad, 1, mnum).astype(np.int64)
 
-    day = gd["day"].str.strip().astype("int64")
-    hour = gd["hour"].astype("int64")
-    minute = gd["minute"].astype("int64")
-    second = gd["second"].astype("int64") if "second" in gd.columns else pd.Series(0, index=gd.index)
+    day = _ints(cols["day"])
+    hour = _ints(cols["hour"])
+    minute = _ints(cols["minute"])
+    second = _ints(cols["second"]) if "second" in cols else np.zeros(n, dtype=np.int64)
     # leap second (CGP_SECOND allows 60, datetime.rs:1805) → clamp
-    second = second.clip(upper=59)
+    second = np.minimum(second, 59)
 
-    ns = _frac_to_ns(gd["frac"]) if "frac" in gd.columns else pd.Series(0, index=gd.index, dtype="int64")
-    tz_min, tz_ok = _tz_minutes(gd, default_tz_minutes)
+    ns = _frac_to_ns(cols["frac"]) if "frac" in cols else np.zeros(n, dtype=np.int64)
+    tz_min, tz_ok = _tz_minutes(cols, n, default_tz_minutes)
     ok &= tz_ok
 
-    naive = pd.to_datetime(
-        pd.DataFrame(
-            {"year": year, "month": month, "day": day, "hour": hour, "minute": minute, "second": second}
-        ),
-        errors="coerce",
-        utc=False,
-    )
-    ok &= naive.notna()
-    base_ns = naive.astype("int64").where(ok, 0)
-    utc_ns = base_ns + ns - tz_min * 60_000_000_000
-    return utc_ns.to_numpy(), (ns % 1000).to_numpy(np.int16), ok.to_numpy()
+    # calendar validation ≡ pd.to_datetime coerce: month in 1..12 and day
+    # in 1..days_in_month (with Feb 29 on leap years)
+    m_ok = (month >= 1) & (month <= 12)
+    m_idx = np.where(m_ok, month, 1) - 1
+    leap = (year % 4 == 0) & ((year % 100 != 0) | (year % 400 == 0))
+    max_day = _DAYS_IN_MONTH[m_idx] + ((m_idx == 1) & leap)
+    ok &= m_ok & (day >= 1) & (day <= max_day)
+
+    epoch_days = _civil_to_epoch_days(year, np.where(m_ok, month, 1), np.where(ok, day, 1))
+    base_ns = (epoch_days * 86400 + hour * 3600 + minute * 60 + second) * 1_000_000_000
+    utc_ns = np.where(ok, base_ns, 0) + ns - tz_min * 60_000_000_000
+    return utc_ns, (ns % 1000).astype(np.int16), ok
 
 
 def parse_series(
