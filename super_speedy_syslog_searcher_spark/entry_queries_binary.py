@@ -289,12 +289,99 @@ FROM dedup
 """
 
 
+# ---------------------------------------------------------------------------
+# P12b — native .evtx binary container
+# ---------------------------------------------------------------------------
+def evtx_native_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → real ``.evtx`` container bytes, one file per source, with
+    records written in scrambled arrival order plus duplicate records
+    (every 97th) — the same stream shape as ``evtx_corpus`` but packed
+    into the on-disk chunked format (ElfFile/ElfChnk headers, CRC32
+    checksums, binary-XML payloads)."""
+    from .operators.evtx_native import EvtxWriter
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        F.concat(F.lit("wn"), (F.col("user_id") % 4).cast("string")).alias("source"),
+        F.col("event_id").alias("record_id"),
+        "ts",
+        F.expr(_SCRAMBLE).alias("arrival_no"),
+        F.col("event_type").alias("etype"),
+    )
+    dups = base.filter(F.col("record_id") % 97 == 0).withColumn(
+        "arrival_no", F.col("arrival_no") + F.lit(1 << 33)
+    )
+    rows = base.unionByName(dups)
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("arrival_no")
+        src = pdf["source"].iloc[0]
+        w = EvtxWriter()
+        for rid, ts, et in zip(pdf["record_id"], pdf["ts"], pdf["etype"]):
+            us = pd.Timestamp(ts).value // 1000
+            w.add_record(int(rid), us, {"Event": {"ID": str(int(rid)), "Type": str(et)}})
+        return pd.DataFrame([{"doc_id": src, "source": src, "payload": w.build()}])
+
+    return rows.groupBy("source").applyInPandas(
+        _build, schema="doc_id string, source string, payload binary"
+    )
+
+
+def q_evtx_native_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native container → records → the ordering operator.  The binxml
+    decode is load-bearing: ``record_id`` is re-derived from the RENDERED
+    XML (<ID> element), not the record header — a wrong binxml walk
+    breaks the oracle, not just a cosmetic column."""
+    from .operators.evtx_native import parse_evtx_native
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    docs = evtx_native_corpus(spark, sf_dir)
+    parsed = parse_evtx_native(docs)
+    recs = parsed.filter(F.col("record_id") >= 0).select(
+        "source",
+        F.regexp_extract("xml", r"<ID>(\d+)</ID>", 1).cast("bigint").alias("record_id"),
+        "ts",
+        "arrival_no",  # file order == the scrambled write order
+    )
+    ordered = evtx_ordered(recs)
+    return ordered.select(
+        "source", "record_id",
+        F.col("emit_rank").cast("bigint").alias("emit_rank"),
+        F.col("is_out_of_order").cast("int").alias("is_out_of_order"),
+    )
+
+
+SQL_EVTX_NATIVE_ORDER = f"""
+WITH base AS (
+  SELECT 'wn' || (user_id % 4) AS source, event_id AS record_id, ts,
+         ({_SCRAMBLE}) AS arrival_no
+  FROM events
+  UNION ALL
+  SELECT 'wn' || (user_id % 4) AS source, event_id AS record_id, ts,
+         ({_SCRAMBLE}) + 8589934592 AS arrival_no
+  FROM events WHERE event_id % 97 = 0
+),
+dedup AS (
+  SELECT * FROM (
+    SELECT source, record_id, ts, arrival_no,
+           row_number() OVER (PARTITION BY source, ts, record_id ORDER BY arrival_no) AS dup_rn
+    FROM base
+  ) WHERE dup_rn = 1
+)
+SELECT source, record_id,
+       row_number() OVER (PARTITION BY source ORDER BY ts, record_id) AS emit_rank,
+       CAST(coalesce((ts < lag(ts) OVER (PARTITION BY source ORDER BY arrival_no))::INT, 0) AS INT) AS is_out_of_order
+FROM dedup
+"""
+
+
 QUERIES = {
     "fixedstruct_decode": q_fixedstruct_decode,
     "journal_export_parse": q_journal_export_parse,
     "journal_native_parse": q_journal_native_parse,
     "journal_native_seek": q_journal_native_seek,
     "evtx_order": q_evtx_order,
+    "evtx_native_order": q_evtx_native_order,
 }
 
 ORACLES = {
@@ -303,4 +390,5 @@ ORACLES = {
     "journal_native_parse": SQL_JOURNAL_NATIVE_PARSE,
     "journal_native_seek": SQL_JOURNAL_NATIVE_SEEK,
     "evtx_order": SQL_EVTX_ORDER,
+    "evtx_native_order": SQL_EVTX_NATIVE_ORDER,
 }

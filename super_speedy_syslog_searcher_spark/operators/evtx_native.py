@@ -132,7 +132,9 @@ class EvtxWriter:
             n_in_chunk = 0
             while i < len(self.records):
                 rid, us, tree = self.records[i]
-                payload = self._binxml(CHUNK_DATA_START + len(data), names, tree)
+                # binxml begins after the 24-byte record header — name
+                # offsets are chunk-relative, so the base must include it
+                payload = self._binxml(CHUNK_DATA_START + len(data) + _REC_HDR.size, names, tree)
                 size = _REC_HDR.size + len(payload) + 4
                 if CHUNK_DATA_START + len(data) + size > CHUNK_SIZE and n_in_chunk > 0:
                     break  # chunk full → roll over
@@ -168,7 +170,7 @@ class EvtxWriter:
                 FILE_HEADER_BLOCK, len(chunks), 0, 0,
             )
         )
-        struct.pack_into("<I", fh, 120, zlib.crc32(bytes(fh[:120])))
+        struct.pack_into("<I", fh, 124, zlib.crc32(bytes(fh[:120])))
         fh += b"\x00" * (FILE_HEADER_BLOCK - len(fh))
         return bytes(fh) + b"".join(chunks)
 

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # commit output files in the tasks (v2), not one-by-one on the
+        # driver (v1): the fan-out write produces tasks × sinks files and
+        # the serial driver rename was measured as a non-scaling tail
+        # that capped eff(4→16) at 16 cores
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
         .config("spark.driver.memory", os.environ.get("S4SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

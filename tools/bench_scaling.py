@@ -38,7 +38,11 @@ from super_speedy_syslog_searcher_spark.session import get_spark, warm_python_wo
 corpus, cores, runs, out_dir = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 spark = get_spark(app_name=f"s4spark-scale-{cores}", cores=cores,
                   extra_conf={"spark.local.dir": "/dev/shm/s4spark_local"})
-docs = spark.read.parquet(corpus)
+# size tasks to the parallelism level: 4 waves of tasks per core, which
+# also bounds the fan-out write to tasks × sinks files (the 256-file
+# corpus layout would otherwise fix 256 tasks at EVERY level, leaving
+# 16-core runs commit-bound instead of compute-bound)
+docs = spark.read.parquet(corpus).coalesce(4 * cores)
 n = docs.count()
 warm_python_workers(spark)
 best = None
