@@ -45,14 +45,20 @@ spark = get_spark(app_name=f"s4spark-scale-{cores}", cores=cores,
 docs = spark.read.parquet(corpus).coalesce(4 * cores)
 n = docs.count()
 warm_python_workers(spark)
+# one UNTIMED warm-up pass: the first full-pipeline run pays JVM JIT +
+# codegen compilation of the whole write path (measured ~2x steady
+# state); we report steady-state throughput, the same methodology as
+# the reference's hyperfine --warmup benchmarks (README.md:754-787)
 best = None
-for r in range(runs):
+for r in range(runs + 1):
     t0 = time.time()
     msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
     enriched = enrich(msgs, EQ.enrichment_df(spark))
     route_write(enriched, out_dir)
     sink_counts_from_path(spark, out_dir).collect()
     dt = time.time() - t0
+    if r == 0:
+        continue  # warm-up
     best = dt if best is None else min(best, dt)
 print("RESULT " + json.dumps({"cores": cores, "wall_s": round(best, 2), "n_seq": n,
                               "seq_per_sec": round(n / best, 1)}))
