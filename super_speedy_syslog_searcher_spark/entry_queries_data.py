@@ -117,6 +117,40 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.6, max_df=50)
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the near-dup pair graph: every doc labeled
+    with its duplicate-cluster id (min reachable doc_id) + cluster size
+    — the keep/drop decision surface a curation pipeline actually needs
+    (pairs alone don't compose: A~B, B~C must collapse to ONE keeper).
+    Oracle = the SAME pair SQL + a recursive CTE closure."""
+    from .operators.dedup import connected_components
+
+    pairs = ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.6, max_df=50)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    )
+
+
+SQL_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({_SQL_JACCARD_BODY}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-pruned near-dup pairs, verified with exact Jaccard — output
     contract equals the exhaustive query, cost does not."""
@@ -516,6 +550,7 @@ FROM documents
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "text_quality": q_text_quality,
@@ -534,6 +569,7 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_JACCARD_BODY,
+    "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_minhash_lsh": _SQL_JACCARD_BODY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,

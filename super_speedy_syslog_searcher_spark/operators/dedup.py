@@ -332,3 +332,74 @@ def simhash_pairs(
     cand = a.join(b, "key").filter(F.col("a") < F.col("b")).select("a", "b", "sha", "shb").distinct()
     ham = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select("a", "b", "hamming")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Near-dup pairs → duplicate CLUSTERS: (node, cluster_id) where
+    cluster_id = min doc_id reachable through the pair graph.
+
+    Pairwise dedup output is not directly actionable at corpus scale —
+    keep/drop decisions need the transitive closure (A~B, B~C ⇒ one
+    cluster).  This computes it with min-label propagation plus pointer
+    jumping (label := label(label) each round), the DataFrame form of
+    the two-phase star algorithms: propagation alone needs O(diameter)
+    rounds, the jump step collapses chains so convergence is
+    O(log n) rounds.
+
+    Scale shape: per round, one shuffle keyed by dst for the edge join
+    and one keyed by label for the jump — both on (id, label) pairs
+    only, never payloads.  Labels decrease monotonically, so a round
+    with an unchanged label-sum has changed nothing and iteration stops
+    (the sum is a one-scalar action, not a row-level diff).
+    ``localCheckpoint`` truncates lineage each round; without it the
+    plan doubles per iteration and round ~20 would blow analysis.
+    Edge volume is whatever the upstream candidate generator produced —
+    already bucketed/capped by LSH bands or the shingle df cap, never
+    all-pairs.
+    """
+    fa, fb = F.col(a_col), F.col(b_col)
+    edges = (
+        pairs.select(fa.alias("src"), fb.alias("dst"))
+        .unionByName(pairs.select(fb.alias("src"), fa.alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = None
+    for _ in range(max_iterations):
+        via = (
+            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "label")
+        )
+        new = (
+            via.unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        jump = new.select(F.col("node").alias("label"), F.col("label").alias("label2"))
+        new = (
+            new.join(jump, "label", "left")
+            .select("node", F.least("label", F.coalesce("label2", "label")).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = new.agg(F.sum("label")).collect()[0][0]
+        labels = new
+        if cur_sum == prev_sum:
+            break  # labels only decrease; equal sum => fixed point
+        prev_sum = cur_sum
+    from pyspark.sql.window import Window
+
+    w = F.count("*").over(Window.partitionBy("cluster_id"))
+    return (
+        labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+        .withColumn("cluster_size", w.cast("long"))
+    )
