@@ -402,7 +402,7 @@ def vote_patterns_fused(
     sample_lines_per_doc: int = 8,
     default_tz: str = "+00:00",
     doc_sample_mod: int = 20,
-    doc_limit: int = 8192,
+    doc_limit: int = 2048,
 ) -> dict[str, int]:
     """P9 vote with token-split + parse + partial count fused into ONE
     mapInPandas stage (the two-stage ``vote_lines_from_docs`` →

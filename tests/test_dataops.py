@@ -621,3 +621,34 @@ def test_lsh_short_docs_produce_no_candidate_blowup(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = lsh_candidate_pairs(df).collect()
     assert {(r["a"], r["b"]) for r in pairs} == {(100, 101)}
+
+
+class TestConnectedComponents:
+    """pairs → duplicate clusters (operators/dedup.connected_components)."""
+
+    def _cc(self, spark, pairs):
+        from super_speedy_syslog_searcher_spark.operators.dedup import connected_components
+
+        df = spark.createDataFrame(pairs, "a long, b long")
+        rows = connected_components(df).collect()
+        return {r.node: (r.cluster_id, r.cluster_size) for r in rows}
+
+    def test_chain_collapses_to_one_cluster(self, spark):
+        # A~B, B~C, C~D: transitive closure must label all four with min
+        got = self._cc(spark, [(1, 2), (2, 3), (3, 4)])
+        assert got == {1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4)}
+
+    def test_ring_and_disjoint_clusters(self, spark):
+        got = self._cc(spark, [(10, 11), (11, 12), (12, 10), (20, 21)])
+        assert got[10] == (10, 3) and got[11] == (10, 3) and got[12] == (10, 3)
+        assert got[20] == (20, 2) and got[21] == (20, 2)
+
+    def test_long_path_converges_via_pointer_jumping(self, spark):
+        # a 40-node path: plain propagation would need 40 rounds, the
+        # jump step must converge well inside max_iterations=25
+        pairs = [(i, i + 1) for i in range(40)]
+        got = self._cc(spark, pairs)
+        assert all(got[i] == (0, 41) for i in range(41))
+
+    def test_reversed_edge_direction_is_irrelevant(self, spark):
+        assert self._cc(spark, [(5, 3), (3, 1)]) == self._cc(spark, [(1, 3), (3, 5)])
