@@ -295,6 +295,37 @@ SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM fps
 """
 
 
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 tf-idf terms (smoothed idf, deterministic
+    tie-break); scores rounded to 4 decimals so ln() matches across
+    engines."""
+    from .operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+SQL_TEXT_TFIDF = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+w2 AS (SELECT doc_id, term FROM w WHERE length(term) > 0),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM w2 GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, rank, term, tf, df AS doc_freq, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity / ANN
 # ---------------------------------------------------------------------------
@@ -557,6 +588,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_token_count": q_text_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "text_tfidf": q_text_tfidf,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
@@ -576,6 +608,7 @@ ORACLES = {
     "text_langid": SQL_TEXT_LANGID,
     "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "text_tfidf": SQL_TEXT_TFIDF,
     "doc_winnow": SQL_DOC_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),

@@ -136,3 +136,44 @@ def winnow_fingerprints(
         F.array().cast(T.ArrayType(T.LongType()))
     )
     return hashed.select(F.col(id_col), fps.alias("fps"))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc top-k terms by smoothed tf-idf — the classic signal for
+    corpus curation (keyword drift, boilerplate detection, topic
+    sampling).  idf = ln((N+1)/(df+1)) + 1; deterministic tie-break
+    (score desc, term asc); scores rounded to 4 decimals so the DuckDB
+    oracle can match ln() across engines to the digit.
+
+    Scale shape: one shuffle for the (doc, term) tf aggregate, one for
+    the term df aggregate — the df side is |vocabulary| rows and joins
+    BACK to the tf table keyed on term (no broadcast needed at 100 TB
+    vocab sizes, but Spark may elect one under AQE when the vocab is
+    small).  N is a single count aggregate, not a driver collect of
+    rows.
+    """
+    from pyspark.sql.window import Window
+
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    words = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col), "term", "tf", "df",
+        F.round(F.col("tf") * idf, 4).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", F.col("df").alias("doc_freq"), "score")
+    )
