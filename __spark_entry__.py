@@ -19,6 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from super_speedy_syslog_searcher_spark import entry_queries as EQ
 from super_speedy_syslog_searcher_spark import entry_queries_binary as EQB
+from super_speedy_syslog_searcher_spark import entry_queries_curation as EQC
 from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
 
 
@@ -40,8 +41,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**EQ.QUERIES, **EQD.QUERIES, **EQB.QUERIES}
+    return {**EQ.QUERIES, **EQD.QUERIES, **EQB.QUERIES, **EQC.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQD.ORACLES, **EQB.ORACLES}
+    return {**EQ.ORACLES, **EQD.ORACLES, **EQB.ORACLES, **EQC.ORACLES}

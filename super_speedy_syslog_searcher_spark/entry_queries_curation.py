@@ -1,0 +1,270 @@
+"""Driver-contract queries + DuckDB oracles for the corpus-curation
+operators (PII scrub, stratified sampling, URL/domain stats, exact
+quantiles, winnow-overlap dedup) over the ``documents`` table.
+
+The synthetic corpus contains no PII or URLs, so the scrub/URL queries
+self-seed them deterministically from ``doc_id`` — identical string
+operations on the Spark side and in the SQL oracle (the same pattern the
+dedup queries use for near-duplicates, entry_queries_data.py).
+
+Regexes live in the Java-regex ∩ RE2 common subset; DuckDB
+``regexp_replace`` needs the explicit ``'g'`` flag to match Spark's
+replace-all semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries_data import SQL_DOCS2, _docs, _docs2
+from .operators.curation import (
+    EMAIL_RE,
+    IPV4_RE,
+    PHONE_RE,
+    URL_DOMAIN_RE,
+    length_quantiles,
+    pii_scrub,
+    stratified_sample,
+    url_domain_stats,
+    winnow_overlap_pairs,
+)
+from .operators.textstats import winnow_fingerprints
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def _seed_pii(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 7 == 0,
+                F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 11 == 0,
+                F.concat(F.lit(" from 10."), (did % 256).cast("string"), F.lit(".0.1")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 13 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((did % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction counts + scrubbed text over the PII-seeded corpus."""
+    return pii_scrub(_seed_pii(_docs(spark, sf_dir).select("doc_id", "text")))
+
+
+_SQL_PII_SEED = """
+pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         AS text
+  FROM documents
+)
+"""
+
+SQL_TEXT_PII_SCRUB = f"""
+WITH {_SQL_PII_SEED.strip()}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phone,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IPV4_RE}', '<IP>', 'g'),
+         '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+FROM pii
+"""
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 35, "de": 60, "es": 50, "fr": 25, "zh": 45}
+
+
+def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    return stratified_sample(d, SAMPLE_RATES).select("doc_id", "lang", "source", "bucket", "rate")
+
+
+_RATE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + " ELSE 0 END"
+
+SQL_DOCS_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, lang, source, bucket, rate FROM (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+         {_RATE_CASE} AS rate
+  FROM documents
+) WHERE bucket < rate
+"""
+
+# ---------------------------------------------------------------------------
+# URL / domain stats
+# ---------------------------------------------------------------------------
+
+
+def _seed_urls(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" see https://site"),
+                    (did % 20).cast("string"),
+                    F.lit(".example.org/p/"),
+                    did.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" mirror http://cdn.example.com/a/"), (did % 7).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return url_domain_stats(_seed_urls(_docs(spark, sf_dir).select("doc_id", "text")))
+
+
+_SQL_URL_SEED = """
+urled AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                      || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' mirror http://cdn.example.com/a/' || CAST(doc_id % 7 AS VARCHAR)
+                 ELSE '' END
+         AS text
+  FROM documents
+)
+"""
+
+SQL_URL_DOMAIN_STATS = f"""
+WITH {_SQL_URL_SEED.strip()},
+hits AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{URL_DOMAIN_RE}', 1)) AS domain
+  FROM urled
+)
+SELECT domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM hits GROUP BY domain
+"""
+
+# ---------------------------------------------------------------------------
+# exact length quantiles
+# ---------------------------------------------------------------------------
+
+
+def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_quantiles(_docs(spark, sf_dir).select("source", "n_chars"))
+
+
+SQL_TEXT_LENGTH_QUANTILES = """
+WITH hist AS (
+  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY source, n_chars
+),
+cum AS (
+  SELECT source, n_chars,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM hist
+)
+SELECT source,
+       min(CASE WHEN cum * 100 >= 50 * total THEN n_chars END) AS p50,
+       min(CASE WHEN cum * 100 >= 90 * total THEN n_chars END) AS p90,
+       min(CASE WHEN cum * 100 >= 99 * total THEN n_chars END) AS p99,
+       max(total) AS n_docs
+FROM cum GROUP BY source
+"""
+
+# ---------------------------------------------------------------------------
+# winnow-fingerprint overlap dedup
+# ---------------------------------------------------------------------------
+
+WINNOW_MIN_SHARED = 8
+WINNOW_MAX_DF = 20
+
+
+def q_dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = winnow_fingerprints(_docs2(spark, sf_dir))
+    return winnow_overlap_pairs(fps, min_shared=WINNOW_MIN_SHARED, max_df=WINNOW_MAX_DF)
+
+
+# winnow twin over the seeded docs2 corpus (k=5, window=8 — mirrors
+# SQL_DOC_WINNOW in entry_queries_data.py, re-based onto docs2), then the
+# max_df-capped inverted-index self-join.
+SQL_DEDUP_WINNOW_OVERLAP = f"""
+WITH {SQL_DOCS2.strip()},
+norm AS (SELECT doc_id, lower(text) AS s FROM docs2 WHERE length(text) >= 5),
+grams AS (
+  SELECT doc_id, i,
+         CAST('0x' || substr(md5(substr(s, CAST(i AS INT), 5)), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, s, unnest(generate_series(1, length(s) - 4)) AS i FROM norm)
+),
+sized AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id),
+wins AS (
+  SELECT g.doc_id,
+         min(h) OVER (PARTITION BY g.doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS m,
+         i, s.n_grams
+  FROM grams g JOIN sized s USING (doc_id)
+),
+inv AS (
+  SELECT DISTINCT doc_id, m AS fp
+  FROM wins WHERE i <= greatest(n_grams - 7, 1)
+),
+rare AS (SELECT fp FROM inv GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}),
+capped AS (SELECT doc_id, fp FROM inv JOIN rare USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {WINNOW_MIN_SHARED}
+"""
+
+
+QUERIES = {
+    "text_pii_scrub": q_text_pii_scrub,
+    "docs_sample_stratified": q_docs_sample_stratified,
+    "url_domain_stats": q_url_domain_stats,
+    "text_length_quantiles": q_text_length_quantiles,
+    "dedup_winnow_overlap": q_dedup_winnow_overlap,
+}
+
+ORACLES = {
+    "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+    "docs_sample_stratified": SQL_DOCS_SAMPLE_STRATIFIED,
+    "url_domain_stats": SQL_URL_DOMAIN_STATS,
+    "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,
+    "dedup_winnow_overlap": SQL_DEDUP_WINNOW_OVERLAP,
+}

@@ -1,0 +1,188 @@
+"""Corpus-curation operators for large-scale training-data pipelines:
+PII scrubbing, deterministic stratified sampling, URL/domain statistics,
+exact length quantiles, and winnow-fingerprint overlap dedup.
+
+Every operator here is built from JVM-side Column expressions (no Python
+in the hot path) and is SQL-mirrorable so the driver's DuckDB oracle can
+verify it value-for-value:
+
+* hashes use the md5-substring trick (``conv(substr(md5(s),1,n),16,10)``
+  ↔ ``CAST('0x'||substr(md5(s),1,n) AS BIGINT)``) proven on simhash and
+  winnowing (operators/dedup.py, operators/textstats.py)
+* regexes stay inside the Java-regex ∩ RE2 common subset (no
+  backreferences, no lookaround) so Spark and DuckDB match identically
+* quantile thresholds compare in pure integer arithmetic
+  (``cum*100 >= p*total``) — no float equality across engines
+
+Scale shapes (100 TB review):
+
+* ``pii_scrub`` — map-only, whole-stage codegen; no shuffle.
+* ``stratified_sample`` — map-only filter on a uniform md5 bucket; the
+  kept fraction per stratum is exact-in-expectation and fully
+  deterministic (re-runs and resumed checkpoints keep the same rows).
+* ``url_domain_stats`` — map + explode + one aggregate shuffle keyed on
+  domain; hot domains (a CDN host can dominate a crawl) are absorbed by
+  Spark's partial (map-side) aggregation, which reduces each task's
+  contribution to one row per domain before the exchange.
+* ``length_quantiles`` — aggregates the raw table down to a
+  (stratum, length, count) histogram FIRST (bounded by
+  |strata|·|distinct lengths|, not row count), then windows over that
+  tiny table. Never sorts raw rows; an exact quantile at 10^12 rows
+  costs one partial-agg shuffle.
+* ``winnow_overlap_pairs`` — inverted-index self-join on winnow
+  fingerprints with a ``max_df`` hot-fingerprint cap (same guard as
+  n-gram Jaccard, operators/dedup.py): boilerplate fingerprints shared
+  by >max_df docs are dropped before the join, so no quadratic bucket
+  exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# Java-regex ∩ RE2 — mirrored literally into the DuckDB oracles.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+PHONE_RE = "\\b555-\\d{4}\\b"
+URL_RE = "https?://[^/ ]+[^ ]*"
+URL_DOMAIN_RE = "https?://([^/ ]+)"
+
+
+def _n_matches(col: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("bigint")
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone numbers; count each.
+
+    Counts are taken on the raw text; replacements are applied
+    email→ip→phone (the tokens inserted by earlier passes contain no
+    digits or ``@``, so later passes cannot re-match them).
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        _n_matches(t, EMAIL_RE).alias("n_email"),
+        _n_matches(t, IPV4_RE).alias("n_ip"),
+        _n_matches(t, PHONE_RE).alias("n_phone"),
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def hash_bucket(col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, n_buckets) from md5 of the
+    column's string form — identical in DuckDB as
+    ``CAST('0x'||substr(md5(CAST(x AS VARCHAR)),1,8) AS BIGINT) % n``."""
+    h = F.conv(F.substring(F.md5(F.encode(col.cast("string"), "UTF-8")), 1, 8), 16, 10)
+    return (h.cast("long") % n_buckets).alias("bucket")
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_rate: int = 0,
+) -> DataFrame:
+    """Keep each row iff its doc-hash bucket < the stratum's percent
+    rate. Deterministic (same rows on re-run / resume / either engine),
+    uniform within stratum, map-only — the sampling decision never
+    shuffles, unlike ``df.sampleBy`` whose seed semantics are tied to
+    partition layout and change under repartitioning."""
+    rate = F.lit(default_rate)
+    for stratum, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(pct)).otherwise(rate)
+    out = df.withColumn("bucket", hash_bucket(F.col(id_col))).withColumn("rate", rate)
+    return out.filter(F.col("bucket") < F.col("rate"))
+
+
+def url_domain_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-domain URL statistics: total URL mentions and distinct docs."""
+    urls = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RE), 1)).alias("domain"),
+    )
+    return urls.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct(id_col).alias("n_docs"),
+    )
+
+
+def length_quantiles(
+    df: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "n_chars",
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Exact per-stratum quantiles of an integer column at any scale.
+
+    Definition: p-th percentile = smallest value v with
+    cumulative_count(<= v) * 100 >= p * total — pure integer comparison,
+    so Spark and the SQL oracle agree exactly. The raw table collapses
+    to a (stratum, value, count) histogram before any window runs.
+    """
+    hist = df.groupBy(stratum_col, value_col).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy(stratum_col).orderBy(value_col)
+    w_all = Window.partitionBy(stratum_col)
+    cum = hist.select(
+        stratum_col,
+        value_col,
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col(value_col))
+        ).alias(f"p{p}")
+        for p in pcts
+    ]
+    return cum.groupBy(stratum_col).agg(*aggs, F.max("total").alias("n_docs"))
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    min_shared: int = 8,
+    max_df: int = 20,
+    id_col: str = "doc_id",
+    fps_col: str = "fps",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints
+    (MOSS-style local similarity; fingerprint source:
+    textstats.winnow_fingerprints, reference analogue: fingerprint
+    selection over document content).
+
+    Inverted index on fingerprint → drop fingerprints present in more
+    than ``max_df`` docs (boilerplate guard; prevents the quadratic hot
+    bucket) → self-join → pairs sharing ≥ ``min_shared`` fingerprints.
+
+    The document-frequency cap is a window count over ``fp`` rather than
+    a groupBy+join: one exchange keyed on ``fp`` feeds the cap AND
+    co-locates both sides of the self-join (same key → zero additional
+    shuffles, and the second side is a ReusedExchange instead of a full
+    recompute of the fingerprint stage).
+    """
+    inv = fps.select(F.col(id_col), F.explode(fps_col).alias("fp"))
+    w_df = Window.partitionBy("fp")
+    capped = (
+        inv.withColumn("df", F.count("*").over(w_df))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    pairs = (
+        capped.alias("a")
+        .join(capped.alias("b"), "fp")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    return pairs

