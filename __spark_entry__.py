@@ -21,6 +21,7 @@ from super_speedy_syslog_searcher_spark import entry_queries as EQ
 from super_speedy_syslog_searcher_spark import entry_queries_binary as EQB
 from super_speedy_syslog_searcher_spark import entry_queries_curation as EQC
 from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
+from super_speedy_syslog_searcher_spark import entry_queries_tokens as EQT
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,8 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {**EQ.QUERIES, **EQD.QUERIES, **EQB.QUERIES, **EQC.QUERIES}
+    return {**EQ.QUERIES, **EQD.QUERIES, **EQB.QUERIES, **EQC.QUERIES, **EQT.QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {**EQ.ORACLES, **EQD.ORACLES, **EQB.ORACLES, **EQC.ORACLES}
+    return {**EQ.ORACLES, **EQD.ORACLES, **EQB.ORACLES, **EQC.ORACLES, **EQT.ORACLES}

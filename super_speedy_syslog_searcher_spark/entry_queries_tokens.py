@@ -1,0 +1,107 @@
+"""Driver-contract queries + DuckDB oracles for the token-domain
+operators (sequence packing, vocabulary stats) over the rendered
+input_hint corpus (events → one tokenized single-line doc per event,
+tokens = UTF-32 codepoints — same rendering the pipeline queries use).
+
+The oracles re-render every line in SQL (the shared ``_SQL_LINE_EXPR``
+twin of ``_line_expr``) and recompute the packing with a plain window
+cumsum — verifying the engine's two-phase distributed prefix sum against
+the textbook single-window definition, and the chunk token sums against
+first-principles codepoint arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .entry_queries import _SQL_LINE_EXPR, rendered_docs
+from .operators.tokens import pack_sequences, vocab_stats
+
+PACK_MAX_LEN = 512
+
+_SQL_DOCS = f"""
+docs AS (
+  SELECT 'ev' || (user_id % 8) AS source,
+         'e' || lpad(CAST(event_id AS VARCHAR), 12, '0') AS doc_id,
+         ({_SQL_LINE_EXPR}) AS line
+  FROM events
+)
+"""
+
+
+def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk map of GPT-style concat-and-chunk sequence packing at
+    max_len=512 over the rendered corpus; chunk_sum ties the map to the
+    actual token values."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return pack_sequences(rendered_docs(spark, sf_dir), max_len=PACK_MAX_LEN)
+
+
+SQL_TOKENS_PACK = f"""
+WITH {_SQL_DOCS.strip()},
+sized AS (
+  SELECT source, doc_id, line, CAST(length(line) AS BIGINT) AS n_tok FROM docs
+),
+started AS (
+  SELECT source, doc_id, line, n_tok,
+         CAST(COALESCE(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM sized
+),
+chunks AS (
+  SELECT source, doc_id, line, n_tok, start,
+         unnest(generate_series(start // {PACK_MAX_LEN},
+                                (start + n_tok - 1) // {PACK_MAX_LEN})) AS seq_id
+  FROM started
+),
+bounds AS (
+  SELECT source, doc_id, line, start, seq_id,
+         greatest(start, seq_id * {PACK_MAX_LEN}) AS g0,
+         least(start + CAST(length(line) AS BIGINT), (seq_id + 1) * {PACK_MAX_LEN}) AS g1
+  FROM chunks
+)
+SELECT source,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(g0 - start AS BIGINT) AS tok_off,
+       CAST(g0 - seq_id * {PACK_MAX_LEN} AS BIGINT) AS seq_off,
+       CAST(g1 - g0 AS BIGINT) AS chunk_len,
+       CAST(list_sum(list_transform(generate_series(CAST(g0 - start + 1 AS INT),
+                                                    CAST(g1 - start AS INT)),
+                                    i -> unicode(substr(line, i, 1)))) AS BIGINT) AS chunk_sum
+FROM bounds
+"""
+
+
+def q_tokens_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: per token value, occurrences + doc frequency."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = vocab_stats(rendered_docs(spark, sf_dir))
+    return out.select(F.col("token").cast("bigint"), "n_occ", "n_docs")
+
+
+SQL_TOKENS_VOCAB = f"""
+WITH {_SQL_DOCS.strip()},
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(line)),
+                               i -> unicode(substr(line, i, 1)))) AS token
+  FROM docs
+)
+SELECT CAST(token AS BIGINT) AS token,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM toks GROUP BY token
+"""
+
+
+QUERIES = {
+    "tokens_pack": q_tokens_pack,
+    "tokens_vocab": q_tokens_vocab,
+}
+
+ORACLES = {
+    "tokens_pack": SQL_TOKENS_PACK,
+    "tokens_vocab": SQL_TOKENS_VOCAB,
+}

@@ -1,0 +1,180 @@
+"""Token-domain operators over the input_hint-shaped corpus
+``(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)`` —
+the operations a training-data pipeline runs between curation and the
+trainer: sequence packing and vocabulary statistics.
+
+Scale shapes (100 TB review):
+
+* ``pack_sequences`` — GPT-style stream packing: concatenate each
+  source's documents in deterministic (doc_id) order and cut the stream
+  every ``max_len`` tokens. The cumulative token offset is computed with
+  a TWO-PHASE prefix sum (range-partition → per-partition window +
+  broadcast per-(partition, source) offsets — the same idiom as
+  merge.with_global_rank): a plain ``Window.partitionBy(source)`` would
+  funnel each source into ONE task, which serializes the whole job when
+  sources are few and huge (the exact shape of a crawl corpus). The
+  collected offset table is bounded by #partitions + #source boundaries,
+  never row-scale. Everything after the cumsum is a map-side explode —
+  no further shuffle.
+* ``assemble_sequences`` — one shuffle keyed on (source, seq_id) to
+  gather each sequence's chunks; sequences are ≤ max_len tokens by
+  construction, so groups are bounded regardless of document length
+  (a 1-GB document contributes max_len-token slices to many groups, not
+  one giant group).
+* ``vocab_stats`` — explode + two-level aggregate; Spark's partial
+  (map-side) aggregation absorbs hot tokens before the exchange, so a
+  token appearing in every row (the "the" problem) costs one row per
+  task, not one row per occurrence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _with_stream_start(docs: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Attach ``start`` = cumulative n_tok of all preceding docs within the
+    same source (order: doc_id asc) — the doc's global offset in its
+    source's concatenated token stream.
+
+    Two-phase prefix sum: range-partition on (source, doc_id) so equal
+    sources are contiguous but SPLIT across partitions, window-cumsum
+    within (partition, source), then add broadcast per-(partition, source)
+    base offsets computed from per-partition totals (bounded rows: one per
+    (partition, source-run), collected and cumulated on the driver).
+
+    The partition id is frozen with ``localCheckpoint``: the offsets job
+    and the downstream cumsum job would otherwise each re-execute the
+    range exchange, and AQE may coalesce its output DIFFERENTLY per job
+    (coalescing decisions depend on the consuming query), silently
+    shifting ``spark_partition_id`` between the two passes — measured as
+    off-by-one-partition base offsets on an 8-partition corpus. The
+    checkpoint costs one materialization pass (the packing rewrites all
+    data anyway) and also pins the assignment for resume.
+    """
+    n = num_partitions or int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    parted = (
+        docs.repartitionByRange(n, F.col("source"), F.col("doc_id"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    # bounded: one row per (partition, source) pair actually present
+    totals = (
+        parted.groupBy("_pid", "source")
+        .agg(F.sum("n_tok").alias("t"))
+        .orderBy("source", "_pid")
+        .collect()
+    )
+    offsets, acc, cur_src = [], 0, None
+    for r in totals:
+        if r["source"] != cur_src:
+            cur_src, acc = r["source"], 0
+        offsets.append((r["_pid"], r["source"], acc))
+        acc += r["t"]
+    spark = docs.sparkSession
+    off_df = spark.createDataFrame(offsets, "_pid int, source string, _base long")
+    w = (
+        Window.partitionBy("_pid", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        parted.withColumn("_local", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .join(F.broadcast(off_df), ["_pid", "source"])
+        .withColumn("start", (F.col("_base") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_base")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, max_len: int = 512, num_partitions: int | None = None
+) -> DataFrame:
+    """Pack each source's documents into fixed-length training sequences
+    (concat-and-chunk packing): sequence ``s`` of a source holds the
+    stream positions [s·max_len, (s+1)·max_len). Returns the chunk map —
+    one row per (document, sequence) overlap:
+
+    ``(source, seq_id, doc_id, tok_off, seq_off, chunk_len, chunk_sum)``
+
+    where ``tok_off``/``seq_off`` are 0-based offsets into the document's
+    token array / the packed sequence, and ``chunk_sum`` is the sum of the
+    chunk's token values (ties the map to the actual token CONTENT, so an
+    oracle catches off-by-one slicing). Documents never reorder within a
+    source; a document spanning a boundary yields one row per sequence it
+    touches. The map is the packing: a consumer gathers slices by
+    (seq_id, seq_off) — or use :func:`assemble_sequences`.
+    """
+    started = _with_stream_start(docs.filter(F.col("n_tok") > 0), num_partitions)
+    first_seq = F.floor(F.col("start") / max_len)
+    last_seq = F.floor((F.col("start") + F.col("n_tok") - 1) / max_len)
+    chunks = started.select(
+        "source",
+        "doc_id",
+        "tokens",
+        "n_tok",
+        "start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    g0 = F.greatest(F.col("start"), F.col("seq_id") * max_len)  # chunk start, global
+    g1 = F.least(F.col("start") + F.col("n_tok"), (F.col("seq_id") + 1) * max_len)
+    tok_off = (g0 - F.col("start")).cast("long")
+    chunk = F.slice("tokens", (tok_off + 1).cast("int"), (g1 - g0).cast("int"))
+    return chunks.select(
+        "source",
+        F.col("seq_id").cast("long"),
+        "doc_id",
+        tok_off.alias("tok_off"),
+        (g0 - F.col("seq_id") * max_len).cast("long").alias("seq_off"),
+        (g1 - g0).cast("long").alias("chunk_len"),
+        F.aggregate(chunk, F.lit(0).cast("long"), lambda a, t: a + t.cast("long")).alias(
+            "chunk_sum"
+        ),
+    )
+
+
+def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
+    """Materialize the packed sequences: ``(source, seq_id, tokens, n_tok,
+    n_docs)`` with tokens = the max_len-token training row (final sequence
+    of each source may be shorter). One shuffle on (source, seq_id)."""
+    started = _with_stream_start(docs.filter(F.col("n_tok") > 0))
+    first_seq = F.floor(F.col("start") / max_len)
+    last_seq = F.floor((F.col("start") + F.col("n_tok") - 1) / max_len)
+    chunks = started.select(
+        "source",
+        "tokens",
+        "n_tok",
+        "start",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    g0 = F.greatest(F.col("start"), F.col("seq_id") * max_len)
+    g1 = F.least(F.col("start") + F.col("n_tok"), (F.col("seq_id") + 1) * max_len)
+    piece = F.struct(
+        (g0 - F.col("seq_id") * max_len).cast("int").alias("seq_off"),
+        F.slice(
+            "tokens", (g0 - F.col("start") + 1).cast("int"), (g1 - g0).cast("int")
+        ).alias("part"),
+    )
+    return (
+        chunks.select("source", "seq_id", piece.alias("p"))
+        .groupBy("source", "seq_id")
+        .agg(
+            F.flatten(F.transform(F.array_sort(F.collect_list("p")), lambda s: s["part"])).alias(
+                "tokens"
+            ),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn("n_tok", F.size("tokens"))
+    )
+
+
+def vocab_stats(docs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Corpus vocabulary statistics: per token value, total occurrences
+    and document frequency. Partial aggregation absorbs hot tokens
+    map-side; output is |vocab| rows."""
+    tok = docs.select("doc_id", F.explode(tokens_col).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

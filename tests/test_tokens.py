@@ -1,0 +1,151 @@
+"""Sequence packing + vocab stats (operators/tokens.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql.window import Window
+
+from super_speedy_syslog_searcher_spark.operators.tokens import (
+    _with_stream_start,
+    assemble_sequences,
+    pack_sequences,
+    vocab_stats,
+)
+
+
+def _mk_docs(spark, spec):
+    """spec: list of (doc_id, source, tokens)."""
+    return spark.createDataFrame(
+        [(d, s, t, len(t)) for d, s, t in spec],
+        "doc_id string, source string, tokens array<int>, n_tok int",
+    )
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # two sources; doc lengths chosen to straddle max_len=10 boundaries
+    spec = [
+        ("a1", "s1", list(range(0, 7))),        # s1 stream [0,7)
+        ("a2", "s1", list(range(100, 108))),    # [7,15) — spans seq 0/1
+        ("a3", "s1", list(range(200, 226))),    # [15,41) — spans 1,2,3,4
+        ("a4", "s1", [5]),                      # [41,42)
+        ("b1", "s2", list(range(300, 303))),    # s2 [0,3)
+        ("b2", "s2", list(range(400, 412))),    # [3,15)
+    ]
+    return _mk_docs(spark, spec), {d: t for d, _, t in spec}
+
+
+class TestPackSequences:
+    def test_chunks_tile_each_doc(self, spark, docs):
+        df, toks = docs
+        rows = pack_sequences(df, max_len=10).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for d, chunks in by_doc.items():
+            chunks.sort(key=lambda r: r["tok_off"])
+            assert chunks[0]["tok_off"] == 0
+            pos = 0
+            for c in chunks:
+                assert c["tok_off"] == pos
+                assert c["chunk_sum"] == sum(toks[d][pos : pos + c["chunk_len"]])
+                pos += c["chunk_len"]
+            assert pos == len(toks[d])
+        assert set(by_doc) == set(toks)
+
+    def test_sequences_fill_to_max_len(self, spark, docs):
+        df, _ = docs
+        rows = pack_sequences(df, max_len=10).collect()
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault((r["source"], r["seq_id"]), []).append(r)
+        last = {}
+        for (src, sid), _chunks in by_seq.items():
+            last[src] = max(last.get(src, -1), sid)
+        for (src, sid), chunks in by_seq.items():
+            chunks.sort(key=lambda r: r["seq_off"])
+            pos = 0
+            for c in chunks:
+                assert c["seq_off"] == pos, "chunks must tile the sequence"
+                pos += c["chunk_len"]
+            if sid < last[src]:
+                assert pos == 10
+            else:
+                assert 0 < pos <= 10
+        # s1 stream = 42 tokens → seqs 0..4; s2 = 15 → seqs 0..1
+        assert last == {"s1": 4, "s2": 1}
+
+    def test_deterministic_across_runs(self, spark, docs):
+        df, _ = docs
+        a = sorted(map(tuple, pack_sequences(df, max_len=10).collect()))
+        b = sorted(map(tuple, pack_sequences(df, max_len=10).collect()))
+        assert a == b
+
+    def test_empty_and_zero_tok_docs(self, spark):
+        df = _mk_docs(spark, [("a", "s", [])])
+        assert pack_sequences(df, max_len=10).count() == 0
+
+
+class TestStreamStart:
+    def test_two_phase_equals_plain_window(self, spark):
+        # 40 docs, 2 sources, forced through MANY partitions so per-source
+        # runs split across partitions (regression: AQE re-coalescing the
+        # range exchange between the offsets job and the cumsum job used
+        # to shift spark_partition_id and corrupt the base offsets)
+        rows = [
+            (f"d{i:03d}", f"s{i % 2}", list(range(i % 5 + 1)), i % 5 + 1) for i in range(40)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+        two = {
+            (r["source"], r["doc_id"]): r["start"]
+            for r in _with_stream_start(df, num_partitions=12).collect()
+        }
+        w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        ref = {
+            (r["source"], r["doc_id"]): r["s"]
+            for r in df.select(
+                "source", "doc_id", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("s")
+            ).collect()
+        }
+        assert two == ref
+
+
+class TestAssembleSequences:
+    def test_token_equality_with_naive_concat(self, spark, docs):
+        df, toks = docs
+        got = {
+            (r["source"], r["seq_id"]): list(r["tokens"])
+            for r in assemble_sequences(df, max_len=10).collect()
+        }
+        order = {"s1": ["a1", "a2", "a3", "a4"], "s2": ["b1", "b2"]}
+        for src, ids in order.items():
+            stream = [t for d in ids for t in toks[d]]
+            seqs = [stream[i : i + 10] for i in range(0, len(stream), 10)]
+            for sid, want in enumerate(seqs):
+                assert got[(src, sid)] == want, (src, sid)
+        assert len(got) == sum(
+            (sum(len(toks[d]) for d in ids) + 9) // 10 for src, ids in order.items()
+        )
+
+    def test_n_docs_counts_contributors(self, spark, docs):
+        df, _ = docs
+        rows = {
+            (r["source"], r["seq_id"]): r["n_docs"]
+            for r in assemble_sequences(df, max_len=10).collect()
+        }
+        # s1 seq0 = a1(7) + a2(3 of 8) → 2 docs; s1 seq4 = a3 tail + a4 → 2
+        assert rows[("s1", 0)] == 2
+        assert rows[("s1", 4)] == 2
+        assert rows[("s2", 1)] == 1
+
+
+class TestVocabStats:
+    def test_counts(self, spark):
+        df = _mk_docs(spark, [("a", "s", [1, 1, 2]), ("b", "s", [2, 3])])
+        rows = {r["token"]: (r["n_occ"], r["n_docs"]) for r in vocab_stats(df).collect()}
+        assert rows == {1: (2, 1), 2: (2, 2), 3: (1, 1)}
