@@ -17,14 +17,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .entry_queries import _SQL_LINE_EXPR, _line_expr
 from .entry_queries_data import SQL_DOCS2, _docs, _docs2
 from .operators.curation import (
     EMAIL_RE,
     IPV4_RE,
     PHONE_RE,
     URL_DOMAIN_RE,
+    drop_boilerplate_lines,
     length_quantiles,
     pii_scrub,
+    repetition_stats,
     stratified_sample,
     url_domain_stats,
     winnow_overlap_pairs,
@@ -253,8 +256,123 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 """
 
 
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters
+# ---------------------------------------------------------------------------
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+SQL_TEXT_REPETITION = """
+WITH w AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS wl
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, n_chars, n, unnest(g) AS gram FROM (
+    SELECT doc_id, n_chars, n,
+           CASE WHEN len(wl) >= n
+                THEN list_transform(generate_series(1, len(wl) - n + 1),
+                                    i -> array_to_string(list_slice(wl, i, i + n - 1), ' '))
+                ELSE [] END AS g
+    FROM w, (SELECT unnest([1, 2, 3, 5]) AS n) orders
+  )
+),
+counts AS (
+  SELECT doc_id, n_chars, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
+),
+per_doc AS (
+  SELECT doc_id, n_chars,
+         sum(CASE WHEN n = 1 THEN cnt END) AS n_words,
+         count(CASE WHEN n = 1 THEN 1 END) AS n_distinct,
+         max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS t2,
+         max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS t3,
+         sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(gram) END) AS d5
+  FROM counts GROUP BY doc_id, n_chars
+),
+fracs AS (
+  SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
+         round((n_words - n_distinct) / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
+         round(COALESCE(t2, 0) / CAST(n_chars AS DOUBLE), 4) AS top2gram_frac,
+         round(COALESCE(t3, 0) / CAST(n_chars AS DOUBLE), 4) AS top3gram_frac,
+         round(COALESCE(d5, 0) / CAST(n_chars AS DOUBLE), 4) AS dup5gram_frac
+  FROM per_doc
+)
+SELECT *,
+       CASE WHEN top2gram_frac <= 0.20 AND top3gram_frac <= 0.18
+                 AND dup5gram_frac <= 0.15 THEN 1 ELSE 0 END AS keep
+FROM fracs
+"""
+
+# ---------------------------------------------------------------------------
+# cross-doc boilerplate-line removal
+# ---------------------------------------------------------------------------
+
+BOILER_MAX_DOCS = 5
+
+
+def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style repeated-line removal over the rendered multiline
+    log corpus: the '  at module ...' continuation lines appear in every
+    error document and must be dropped corpus-wide; each document's
+    unique log lines survive in order."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    line = _line_expr()
+    line = F.when(
+        F.col("event_type") == "error",
+        F.concat(line, F.lit("\n  at module alpha\n  at module beta")),
+    ).otherwise(line)
+    docs = (
+        ev.select(F.col("user_id"), F.col("event_id"), line.alias("t"))
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("event_id", "t"))).alias("ls"))
+        .select(
+            F.concat(F.lit("u"), F.lpad(F.col("user_id").cast("string"), 8, "0")).alias("doc_id"),
+            F.concat_ws("\n", F.transform("ls", lambda s: s["t"])).alias("text"),
+        )
+    )
+    return drop_boilerplate_lines(docs, max_docs=BOILER_MAX_DOCS)
+
+
+SQL_CLEAN_BOILERPLATE = f"""
+WITH ml AS (
+  SELECT user_id, event_id,
+         ({_SQL_LINE_EXPR})
+         || CASE WHEN event_type = 'error'
+                 THEN chr(10) || '  at module alpha' || chr(10) || '  at module beta'
+                 ELSE '' END AS ltext
+  FROM events
+),
+docs AS (
+  SELECT 'u' || lpad(CAST(user_id AS VARCHAR), 8, '0') AS doc_id,
+         string_agg(ltext, chr(10) ORDER BY event_id) AS text
+  FROM ml GROUP BY user_id
+),
+lines AS (
+  SELECT doc_id, i - 1 AS idx, ls[i] AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+               unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+        FROM docs)
+),
+stats AS (SELECT line, count(DISTINCT doc_id) AS line_docs FROM lines GROUP BY line)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN line_docs > {BOILER_MAX_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN line_docs <= {BOILER_MAX_DOCS} THEN line END,
+                           chr(10) ORDER BY idx), '') AS clean_text
+FROM lines JOIN stats USING (line)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
+    "text_repetition": q_text_repetition,
+    "clean_boilerplate": q_clean_boilerplate,
     "docs_sample_stratified": q_docs_sample_stratified,
     "url_domain_stats": q_url_domain_stats,
     "text_length_quantiles": q_text_length_quantiles,
@@ -263,6 +381,8 @@ QUERIES = {
 
 ORACLES = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+    "text_repetition": SQL_TEXT_REPETITION,
+    "clean_boilerplate": SQL_CLEAN_BOILERPLATE,
     "docs_sample_stratified": SQL_DOCS_SAMPLE_STRATIFIED,
     "url_domain_stats": SQL_URL_DOMAIN_STATS,
     "text_length_quantiles": SQL_TEXT_LENGTH_QUANTILES,

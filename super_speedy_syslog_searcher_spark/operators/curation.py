@@ -34,6 +34,14 @@ Scale shapes (100 TB review):
   n-gram Jaccard, operators/dedup.py): boilerplate fingerprints shared
   by >max_df docs are dropped before the join, so no quadratic bucket
   exists.
+* ``repetition_stats`` — ONE explode (all n-gram orders tagged into a
+  single array) → one (doc, n, gram) aggregate → one per-doc aggregate.
+  Never materializes per-doc gram maps in expression space.
+* ``drop_boilerplate_lines`` — line doc-frequency via groupBy
+  countDistinct (two-phase, scalable), NOT a window collect_set, which
+  would buffer every doc_id of a hot boilerplate line ("  at ...") in
+  one aggregation buffer; the join back to lines reuses the groupBy's
+  hash partitioning on ``line``.
 """
 
 from __future__ import annotations
@@ -146,6 +154,124 @@ def length_quantiles(
         for p in pcts
     ]
     return cum.groupBy(stratum_col).agg(*aggs, F.max("total").alias("n_docs"))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top2_max: float = 0.20,
+    top3_max: float = 0.18,
+    dup5_max: float = 0.15,
+) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    adapted to unstructured space-separated text): duplicate-word
+    fraction, top-2/3-gram character fraction, duplicate-5-gram character
+    fraction, and a keep flag against the thresholds.
+
+    Character fractions use length(gram-with-inner-spaces) / length(text)
+    — a documented adaptation (Gopher counts raw chars of the n-gram
+    occurrences; inner spaces included keeps both engines' arithmetic in
+    integers until the final division).
+
+    All n-gram orders are tagged into ONE exploded stream, so the whole
+    operator is: one explode, one (doc, n, gram) count aggregate, one
+    per-doc aggregate, one join to the doc-length table. Map-side partial
+    aggregation absorbs within-doc gram repeats before the exchange.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+
+    def grams_of(n: int) -> Column:
+        w = F.col("_w")
+        return F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"), F.concat_ws(" ", F.slice(w, i, n)).alias("gram")
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    tagged = df.select(
+        F.col(id_col), F.length(text_col).cast("long").alias("n_chars"), words.alias("_w")
+    ).select(
+        id_col,
+        "n_chars",
+        F.explode(F.flatten(F.array(grams_of(1), grams_of(2), grams_of(3), grams_of(5)))).alias(
+            "g"
+        ),
+    )
+    counts = tagged.groupBy(id_col, "n_chars", F.col("g.n").alias("n"), F.col("g.gram").alias("gram")).agg(
+        F.count("*").alias("cnt")
+    )
+    gchars = F.col("cnt") * F.length("gram")
+    per_doc = counts.groupBy(id_col, "n_chars").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("n_words"),
+        F.count(F.when(F.col("n") == 1, True)).alias("n_distinct_words"),
+        F.max(F.when(F.col("n") == 2, gchars)).alias("_top2"),
+        F.max(F.when(F.col("n") == 3, gchars)).alias("_top3"),
+        F.sum(F.when((F.col("n") == 5) & (F.col("cnt") > 1), gchars)).alias("_dup5"),
+    )
+    top2 = F.round(F.coalesce(F.col("_top2"), F.lit(0)) / F.col("n_chars"), 4)
+    top3 = F.round(F.coalesce(F.col("_top3"), F.lit(0)) / F.col("n_chars"), 4)
+    dup5 = F.round(F.coalesce(F.col("_dup5"), F.lit(0)) / F.col("n_chars"), 4)
+    dupw = F.round(
+        (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 4
+    )
+    out = per_doc.select(
+        id_col,
+        "n_chars",
+        F.col("n_words").cast("long"),
+        dupw.alias("dup_word_frac"),
+        top2.alias("top2gram_frac"),
+        top3.alias("top3gram_frac"),
+        dup5.alias("dup5gram_frac"),
+    )
+    keep = (
+        (F.col("top2gram_frac") <= top2_max)
+        & (F.col("top3gram_frac") <= top3_max)
+        & (F.col("dup5gram_frac") <= dup5_max)
+    )
+    return out.withColumn("keep", keep.cast("int"))
+
+
+def drop_boilerplate_lines(
+    df: DataFrame,
+    max_docs: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document repeated-line removal (RefinedWeb-style paragraph
+    dedup, at line grain — the natural unit for log corpora): a line
+    appearing in more than ``max_docs`` distinct documents is boilerplate
+    and is dropped from every document; documents are rebuilt with their
+    remaining lines in original order.
+
+    Returns ``(doc_id, n_lines, n_removed, clean_text)``.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("idx", "line")
+    )
+    stats = lines.groupBy("line").agg(F.countDistinct(id_col).alias("line_docs"))
+    joined = lines.join(stats, "line")
+    keep = F.col("line_docs") <= max_docs
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_removed"),
+            F.array_sort(
+                F.collect_list(F.when(keep, F.struct("idx", "line")))
+            ).alias("_kept"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_removed",
+            F.concat_ws("\n", F.transform("_kept", lambda s: s["line"])).alias("clean_text"),
+        )
+    )
 
 
 def winnow_overlap_pairs(

@@ -8,9 +8,11 @@ import re
 from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark.operators.curation import (
+    drop_boilerplate_lines,
     hash_bucket,
     length_quantiles,
     pii_scrub,
+    repetition_stats,
     stratified_sample,
     url_domain_stats,
     winnow_overlap_pairs,
@@ -125,6 +127,105 @@ class TestLengthQuantiles:
         assert plan.index("HashAggregate") > plan.index("Window") or "Window" in plan
         r = length_quantiles(df).collect()[0]
         assert (r["p50"], r["p90"], r["p99"]) == (1, 2, 2)
+
+
+def _gopher_ref(text):
+    """Pure-python reference for repetition_stats."""
+    words = [w for w in text.split(" ") if w]
+    n_chars = len(text)
+
+    def counts(n):
+        c = {}
+        for i in range(len(words) - n + 1):
+            g = " ".join(words[i : i + n])
+            c[g] = c.get(g, 0) + 1
+        return c
+
+    c1, c2, c3, c5 = counts(1), counts(2), counts(3), counts(5)
+    top = lambda c: max((cnt * len(g) for g, cnt in c.items()), default=0)
+    dup = sum(cnt * len(g) for g, cnt in c5.items() if cnt > 1)
+    return {
+        "n_words": len(words),
+        "dup_word_frac": round((len(words) - len(c1)) / len(words), 4),
+        "top2gram_frac": round(top(c2) / n_chars, 4),
+        "top3gram_frac": round(top(c3) / n_chars, 4),
+        "dup5gram_frac": round(dup / n_chars, 4),
+    }
+
+
+class TestRepetitionStats:
+    def test_matches_python_reference(self, spark):
+        texts = [
+            "a b a b a b",
+            "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt",
+            "spam spam spam spam spam spam eggs spam spam spam spam spam",
+            "the cat sat on the mat the cat sat on the mat again",
+        ]
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+        for i, t in enumerate(texts):
+            want = _gopher_ref(t)
+            for k, v in want.items():
+                assert got[i][k] == v, (i, k, got[i][k], v)
+
+    def test_repetitive_doc_dropped_unique_kept(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "spam ham spam ham spam ham spam ham spam ham spam ham"),
+                (2, "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["keep"] for r in repetition_stats(df).collect()}
+        assert rows == {1: 0, 2: 1}
+
+    def test_empty_and_short_docs(self, spark):
+        # docs with zero words disappear; docs shorter than an order
+        # produce 0.0 for that order's fraction
+        df = spark.createDataFrame(
+            [(1, "   "), (2, "solo"), (3, "two words")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+        assert set(rows) == {2, 3}
+        assert rows[2]["top2gram_frac"] == 0.0
+        assert rows[3]["dup5gram_frac"] == 0.0
+
+
+class TestDropBoilerplateLines:
+    def test_shared_footer_removed(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("a", "line a1\nFOOTER\nline a2"),
+                ("b", "line b1\nFOOTER"),
+                ("c", "FOOTER\nline c1"),
+                ("d", "FOOTER"),
+            ],
+            "doc_id string, text string",
+        )
+        rows = {r["doc_id"]: r for r in drop_boilerplate_lines(df, max_docs=2).collect()}
+        assert rows["a"]["clean_text"] == "line a1\nline a2"
+        assert (rows["a"]["n_lines"], rows["a"]["n_removed"]) == (3, 1)
+        assert rows["b"]["clean_text"] == "line b1"
+        assert rows["c"]["clean_text"] == "line c1"
+        assert rows["d"]["clean_text"] == "" and rows["d"]["n_removed"] == 1
+
+    def test_threshold_boundary_inclusive(self, spark):
+        # a line in exactly max_docs docs is kept
+        df = spark.createDataFrame(
+            [("a", "SHARED\nx"), ("b", "SHARED\ny")], "doc_id string, text string"
+        )
+        rows = {r["doc_id"]: r for r in drop_boilerplate_lines(df, max_docs=2).collect()}
+        assert rows["a"]["clean_text"] == "SHARED\nx"
+        assert rows["b"]["n_removed"] == 0
+
+    def test_order_preserved_after_removal(self, spark):
+        df = spark.createDataFrame(
+            [("a", "z9\nBOIL\nz1\nBOIL\nz5"), ("b", "BOIL"), ("c", "BOIL")],
+            "doc_id string, text string",
+        )
+        rows = {r["doc_id"]: r for r in drop_boilerplate_lines(df, max_docs=2).collect()}
+        assert rows["a"]["clean_text"] == "z9\nz1\nz5"
+        assert rows["a"]["n_removed"] == 2
 
 
 class TestWinnowOverlap:
