@@ -16,9 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .entry_queries import _SQL_LINE_EXPR, rendered_docs
-from .operators.tokens import pack_sequences, vocab_stats
+from .operators.tokens import mixture_weights, pack_sequences, vocab_stats
 
 PACK_MAX_LEN = 512
+
+MIX_TARGETS = {
+    "ev0": 0.25,
+    "ev1": 0.20,
+    "ev2": 0.15,
+    "ev3": 0.10,
+    "ev4": 0.10,
+    "ev5": 0.08,
+    "ev6": 0.07,
+    "ev7": 0.05,
+}
 
 _SQL_DOCS = f"""
 docs AS (
@@ -96,12 +107,40 @@ FROM toks GROUP BY token
 """
 
 
+def q_tokens_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling rates hitting the target token mixture with
+    max retention (rate ≤ 1 everywhere, = 1 for the binding source)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return mixture_weights(rendered_docs(spark, sf_dir), MIX_TARGETS)
+
+
+_MIX_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
+) + " END"
+
+SQL_TOKENS_MIXTURE = f"""
+WITH {_SQL_DOCS.strip()},
+per AS (
+  SELECT source, CAST(sum(length(line)) AS BIGINT) AS n_tok_total,
+         {_MIX_CASE} AS target_share
+  FROM docs GROUP BY source
+),
+tmax AS (SELECT min(n_tok_total / target_share) AS t FROM per)
+SELECT source, n_tok_total, target_share,
+       round(target_share * t / n_tok_total, 6) AS rate,
+       round(target_share * t, 4) AS expected_tokens
+FROM per, tmax
+"""
+
+
 QUERIES = {
     "tokens_pack": q_tokens_pack,
     "tokens_vocab": q_tokens_vocab,
+    "tokens_mixture": q_tokens_mixture,
 }
 
 ORACLES = {
     "tokens_pack": SQL_TOKENS_PACK,
     "tokens_vocab": SQL_TOKENS_VOCAB,
+    "tokens_mixture": SQL_TOKENS_MIXTURE,
 }

@@ -169,6 +169,36 @@ def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
     )
 
 
+def mixture_weights(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
+    """Per-source sampling rates that tilt the corpus to a target token
+    mixture with maximum data retention (the standard pretraining
+    data-mixing step): with T = min over sources of n_tok_s / share_s,
+    the largest total budget for which no source needs upsampling,
+    rate_s = share_s · T / n_tok_s ∈ (0, 1].
+
+    One aggregate (per-source token totals — |sources| rows), one
+    broadcast of the target table, one scalar min folded back by a
+    broadcast cross join. No row-scale data ever reaches the driver.
+    Sources absent from ``targets`` are excluded (rate would be 0).
+    """
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        sorted(targets.items()), "source string, target_share double"
+    )
+    per = docs.groupBy("source").agg(F.sum("n_tok").cast("long").alias("n_tok_total"))
+    j = per.join(F.broadcast(tgt), "source")
+    tmax = j.select(F.min(F.col("n_tok_total") / F.col("target_share")).alias("_t"))
+    out = j.crossJoin(F.broadcast(tmax))
+    rate = F.col("target_share") * F.col("_t") / F.col("n_tok_total")
+    return out.select(
+        "source",
+        "n_tok_total",
+        "target_share",
+        F.round(rate, 6).alias("rate"),
+        F.round(F.col("target_share") * F.col("_t"), 4).alias("expected_tokens"),
+    )
+
+
 def vocab_stats(docs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     """Corpus vocabulary statistics: per token value, total occurrences
     and document frequency. Partial aggregation absorbs hot tokens

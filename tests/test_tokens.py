@@ -9,6 +9,7 @@ from pyspark.sql.window import Window
 from super_speedy_syslog_searcher_spark.operators.tokens import (
     _with_stream_start,
     assemble_sequences,
+    mixture_weights,
     pack_sequences,
     vocab_stats,
 )
@@ -142,6 +143,38 @@ class TestAssembleSequences:
         assert rows[("s1", 0)] == 2
         assert rows[("s1", 4)] == 2
         assert rows[("s2", 1)] == 1
+
+
+class TestMixtureWeights:
+    def _docs(self, spark, totals):
+        rows = [(f"d{s}{i}", s, [0] * n, n) for s, tot in totals.items() for i, n in enumerate([tot])]
+        return spark.createDataFrame(
+            rows, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+
+    def test_binding_source_rate_one_and_mixture_hit(self, spark):
+        # corpus: a=1000, b=1000 tokens; target 80/20 → b binds (1000/0.2
+        # = 5000 > 1000/0.8 = 1250): T = 1250, rate_a = 1.0, rate_b = 0.25
+        df = self._docs(spark, {"a": 1000, "b": 1000})
+        rows = {r["source"]: r for r in mixture_weights(df, {"a": 0.8, "b": 0.2}).collect()}
+        assert rows["a"]["rate"] == 1.0
+        assert rows["b"]["rate"] == 0.25
+        assert rows["a"]["expected_tokens"] == 1000.0
+        assert rows["b"]["expected_tokens"] == 250.0
+
+    def test_untargeted_sources_excluded(self, spark):
+        df = self._docs(spark, {"a": 100, "b": 100, "c": 100})
+        out = mixture_weights(df, {"a": 0.5, "b": 0.5})
+        assert sorted(r["source"] for r in out.collect()) == ["a", "b"]
+
+    def test_rates_never_exceed_one(self, spark):
+        df = self._docs(spark, {"a": 10, "b": 990})
+        rows = mixture_weights(df, {"a": 0.5, "b": 0.5}).collect()
+        for r in rows:
+            assert r["rate"] <= 1.0
+        # a is tiny and binds: everything scales down to 2·10 tokens
+        got = {r["source"]: r["expected_tokens"] for r in rows}
+        assert got == {"a": 10.0, "b": 10.0}
 
 
 class TestVocabStats:
