@@ -24,6 +24,7 @@ from .operators.curation import (
     IPV4_RE,
     PHONE_RE,
     URL_DOMAIN_RE,
+    decontaminate,
     drop_boilerplate_lines,
     length_quantiles,
     pii_scrub,
@@ -369,8 +370,75 @@ GROUP BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECON_N = 8
+# a benchmark row sharing no gram with the corpus (exercises the
+# zero-hit path end-to-end through both engines)
+DECON_ABSENT = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9"
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs overlapping a benchmark set. The benchmark is
+    seeded deterministically from the corpus itself (the 120-char prefix
+    of every 25th doc — so contamination genuinely exists), plus one
+    absent row that must hit nothing."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.expr("substr(text, 1, 120)").alias("text"))
+        .unionByName(
+            spark.createDataFrame([(-1, DECON_ABSENT)], "bench_id long, text string")
+        )
+    )
+    return decontaminate(d, bench, n=DECON_N)
+
+
+def _sql_gram(n: int) -> str:
+    return " || ' ' || ".join(f"ws[x+{k}]" if k else "ws[x]" for k in range(n))
+
+
+SQL_DECONTAMINATE = f"""
+WITH bench AS (
+  SELECT doc_id AS bench_id, substr(text, 1, 120) AS text
+  FROM documents WHERE doc_id % 25 = 0
+  UNION ALL SELECT -1 AS bench_id, '{DECON_ABSENT}' AS text
+),
+bw AS (SELECT bench_id, string_split(text, ' ') AS ws FROM bench),
+bgrams AS (
+  SELECT DISTINCT bench_id, {_sql_gram(DECON_N)} AS gram
+  FROM bw, unnest(generate_series(1, greatest(len(ws) - {DECON_N - 1}, 0))) AS t(x)
+  WHERE len(ws) >= {DECON_N}
+),
+tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tgrams AS (
+  SELECT DISTINCT doc_id, {_sql_gram(DECON_N)} AS gram
+  FROM tw, unnest(generate_series(1, greatest(len(ws) - {DECON_N - 1}, 0))) AS t(x)
+  WHERE len(ws) >= {DECON_N}
+),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM tgrams GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id,
+         CAST(count(DISTINCT t.gram) AS BIGINT) AS n_hit_grams,
+         CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_hits
+  FROM tgrams t JOIN bgrams b USING (gram) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_bench_hits, 0) AS n_bench_hits,
+       CASE WHEN COALESCE(h.n_hit_grams, 0) >= 1 THEN 1 ELSE 0 END AS contaminated
+FROM documents d
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
+    "decontaminate": q_decontaminate,
     "text_repetition": q_text_repetition,
     "clean_boilerplate": q_clean_boilerplate,
     "docs_sample_stratified": q_docs_sample_stratified,
@@ -381,6 +449,7 @@ QUERIES = {
 
 ORACLES = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
+    "decontaminate": SQL_DECONTAMINATE,
     "text_repetition": SQL_TEXT_REPETITION,
     "clean_boilerplate": SQL_CLEAN_BOILERPLATE,
     "docs_sample_stratified": SQL_DOCS_SAMPLE_STRATIFIED,

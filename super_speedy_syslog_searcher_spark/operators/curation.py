@@ -37,6 +37,9 @@ Scale shapes (100 TB review):
 * ``repetition_stats`` — ONE explode (all n-gram orders tagged into a
   single array) → one (doc, n, gram) aggregate → one per-doc aggregate.
   Never materializes per-doc gram maps in expression space.
+* ``decontaminate`` — benchmark grams are broadcast (eval sets are
+  tiny next to the corpus); the 100-TB gram stream map-joins with no
+  shuffle, and only hit rows reach the per-doc aggregate.
 * ``drop_boilerplate_lines`` — line doc-frequency via groupBy
   countDistinct (two-phase, scalable), NOT a window collect_set, which
   would buffer every doc_id of a hot boilerplate line ("  at ...") in
@@ -312,3 +315,66 @@ def winnow_overlap_pairs(
         .filter(F.col("n_shared") >= min_shared)
     )
     return pairs
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with an eval/benchmark set (the GPT-3/PaLM-style
+    "dirty document" rule at n≈8-13; reference analogue: none — this is
+    the training-data-pipeline companion the log engine needs at scale).
+
+    Shape at 10^12 docs: the benchmark side is small (10^3-10^5 eval
+    rows) → its distinct grams are ``F.broadcast`` — the corpus-side
+    gram stream map-joins against them and NEVER shuffles; only the
+    (rare) hit rows enter the per-doc aggregate exchange. The join-back
+    attaching hit stats to the full corpus is a plain left join: its
+    right side is bounded by the number of contaminated docs, which AQE
+    converts to a broadcast at runtime (not forced here because a
+    pathological benchmark could legitimately hit most of the corpus).
+
+    Returns one row per training doc: ``doc_id, n_grams, n_hit_grams,
+    n_bench_hits, contaminated`` (contaminated = n_hit_grams ≥
+    ``min_hits``). The clean corpus is ``out.filter("contaminated = 0")``
+    — Catalyst pushes that filter into the left join's stream side.
+    """
+    from .dedup import word_ngrams_col
+
+    tg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams_col(text_col, n)).alias("grams"),
+    )
+    base = tg.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    bgrams = (
+        bench.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(F.array_distinct(word_ngrams_col(bench_text_col, n))).alias("gram"),
+        ).distinct()
+    )
+    hits = (
+        tg.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_hit_grams"),
+            F.countDistinct("bench_id").alias("n_bench_hits"),
+        )
+    )
+    return (
+        base.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias("n_bench_hits"),
+        )
+        .withColumn("contaminated", (F.col("n_hit_grams") >= min_hits).cast("int"))
+    )

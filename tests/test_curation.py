@@ -8,6 +8,7 @@ import re
 from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark.operators.curation import (
+    decontaminate,
     drop_boilerplate_lines,
     hash_bucket,
     length_quantiles,
@@ -268,3 +269,52 @@ class TestWinnowOverlap:
             .toString()
         )
         assert not re.search(r"array_min\(slice\(CASE WHEN", plan)
+
+
+class TestDecontaminate:
+    W = "w1 w2 w3 w4 w5 w6 w7 w8"  # exactly one 8-gram
+
+    def _run(self, spark, docs, bench, **kw):
+        d = spark.createDataFrame(docs, "doc_id string, text string")
+        b = spark.createDataFrame(bench, "bench_id string, text string")
+        return {r["doc_id"]: r for r in decontaminate(d, b, **kw).collect()}
+
+    def test_hit_and_miss(self, spark):
+        rows = self._run(
+            spark,
+            [("d1", self.W + " tail"), ("d2", "a b c d e f g h")],
+            [("b1", self.W)],
+        )
+        assert rows["d1"]["contaminated"] == 1
+        assert rows["d1"]["n_hit_grams"] == 1
+        assert rows["d1"]["n_bench_hits"] == 1
+        assert rows["d2"]["contaminated"] == 0
+        assert rows["d2"]["n_hit_grams"] == 0
+        # every doc appears exactly once, clean or not
+        assert sorted(rows) == ["d1", "d2"]
+
+    def test_multiple_bench_hits_counted_distinct(self, spark):
+        rows = self._run(
+            spark,
+            [("d1", self.W)],
+            [("b1", self.W), ("b2", self.W + " extra")],
+        )
+        assert rows["d1"]["n_bench_hits"] == 2
+        assert rows["d1"]["n_hit_grams"] == 1
+
+    def test_short_doc_has_zero_grams(self, spark):
+        rows = self._run(spark, [("d1", "only three words")], [("b1", self.W)])
+        assert rows["d1"]["n_grams"] == 0
+        assert rows["d1"]["contaminated"] == 0
+
+    def test_min_hits_threshold(self, spark):
+        text = self.W + " w9"  # two 8-grams, both in the bench doc
+        rows = self._run(spark, [("d1", text)], [("b1", text)], min_hits=3)
+        assert rows["d1"]["n_hit_grams"] == 2
+        assert rows["d1"]["contaminated"] == 0
+
+    def test_bench_side_is_broadcast(self, spark):
+        d = spark.createDataFrame([("d1", self.W)], "doc_id string, text string")
+        b = spark.createDataFrame([("b1", self.W)], "bench_id string, text string")
+        plan = decontaminate(d, b)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
