@@ -119,6 +119,14 @@ def run_bench(spark, sf_dir: str) -> dict:
 
         EQD.q_dedup_simhash(spark, sf_dir).count()
 
+    # q8: token-domain headline — GPT-style sequence packing (two-phase
+    # distributed prefix sum + chunk assembly) over the pre-materialized
+    # corpus, so the timed region is the packing operator, not the render
+    def q_pack():
+        from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences
+
+        pack_sequences(docs, max_len=512).count()
+
     timed("e2e_parse_enrich_route_agg", q_e2e)
     timed("parse_only", q_parse)
     timed("dt_filter_agg", q_filter)
@@ -127,6 +135,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("dedup_minhash_lsh", q_dedup)
     timed("dedup_simhash", q_simhash)
     timed("ann_cosine_topk", q_ann)
+    timed("tokens_pack", q_pack)
 
     e2e = timings["e2e_parse_enrich_route_agg"]
     return {

@@ -26,6 +26,7 @@ from .operators.curation import (
     URL_DOMAIN_RE,
     decontaminate,
     drop_boilerplate_lines,
+    dsir_weights,
     length_quantiles,
     pii_scrub,
     repetition_stats,
@@ -436,9 +437,45 @@ LEFT JOIN hits h USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 8192
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance weights for tilting the corpus toward the English
+    subset (target = lang 'en')."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=DSIR_BUCKETS)
+
+
+SQL_DSIR_WEIGHTS = f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+         CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) % {DSIR_BUCKETS} AS b
+  FROM (SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS w
+        FROM documents)
+),
+bcnt AS (SELECT b, count(*) AS c_s, sum(is_t) AS c_t FROM toks GROUP BY b),
+tot AS (SELECT sum(c_s) AS n_s, sum(c_t) AS n_t FROM bcnt),
+ratio AS (
+  SELECT b, ln((c_t + 1) / CAST(n_t + {DSIR_BUCKETS} AS DOUBLE))
+            - ln((c_s + 1) / CAST(n_s + {DSIR_BUCKETS} AS DOUBLE)) AS lr
+  FROM bcnt, tot
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, round(avg(lr), 4) AS dsir_weight
+FROM toks JOIN ratio USING (b)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "decontaminate": q_decontaminate,
+    "dsir_weights": q_dsir_weights,
     "text_repetition": q_text_repetition,
     "clean_boilerplate": q_clean_boilerplate,
     "docs_sample_stratified": q_docs_sample_stratified,
@@ -450,6 +487,7 @@ QUERIES = {
 ORACLES = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "decontaminate": SQL_DECONTAMINATE,
+    "dsir_weights": SQL_DSIR_WEIGHTS,
     "text_repetition": SQL_TEXT_REPETITION,
     "clean_boilerplate": SQL_CLEAN_BOILERPLATE,
     "docs_sample_stratified": SQL_DOCS_SAMPLE_STRATIFIED,

@@ -40,6 +40,9 @@ Scale shapes (100 TB review):
 * ``decontaminate`` — benchmark grams are broadcast (eval sets are
   tiny next to the corpus); the 100-TB gram stream map-joins with no
   shuffle, and only hit rows reach the per-doc aggregate.
+* ``dsir_weights`` — the feature table is hashed to a FIXED bucket
+  count, so the score join broadcasts at any corpus size; one token
+  pass builds both the target and source distributions.
 * ``drop_boilerplate_lines`` — line doc-frequency via groupBy
   countDistinct (two-phase, scalable), NOT a window collect_set, which
   would buffer every doc_id of a hot boilerplate line ("  at ...") in
@@ -377,4 +380,59 @@ def decontaminate(
             F.coalesce("n_bench_hits", F.lit(0)).cast("long").alias("n_bench_hits"),
         )
         .withColumn("contaminated", (F.col("n_hit_grams") >= min_hits).cast("int"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    is_target: Column,
+    n_buckets: int = 8192,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    hash every word into one of ``n_buckets`` features, estimate the
+    target and source (raw-corpus) feature distributions with add-one
+    smoothing, and score each document by the mean per-token
+    log-likelihood ratio  ln p_target(f) − ln p_source(f). Documents
+    lexically closer to the target subset score higher; resampling by
+    ``exp(weight)`` tilts the corpus toward the target domain.
+
+    ``is_target`` is a boolean Column over ``docs`` marking the target
+    subset (e.g. ``F.col("lang") == "en"`` or a quality flag).
+
+    Scale shape: ONE token pass builds both distributions (c_target is a
+    conditional sum inside the same aggregate as c_source); the feature
+    table is FIXED SIZE (``n_buckets`` rows — the reason DSIR hashes
+    instead of keeping raw vocabulary), so the score join broadcasts at
+    any corpus size and the 10^12-doc side never shuffles on a string
+    key. The only wide exchanges are keyed on the bounded bucket id and
+    on ``doc_id`` for the final per-doc mean (map-side partial agg).
+
+    Docs with zero words produce no rows (no tokens → no evidence).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        is_target.cast("long").alias("is_t"),
+        F.explode(F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)).alias("w"),
+    ).withColumn("b", hash_bucket(F.col("w"), n_buckets))
+    bcnt = toks.groupBy("b").agg(
+        F.count("*").alias("c_s"), F.sum("is_t").alias("c_t")
+    )
+    totals = bcnt.agg(F.sum("c_s").alias("n_s"), F.sum("c_t").alias("n_t"))
+    ratio = bcnt.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("n_t") + n_buckets))
+            - F.log((F.col("c_s") + 1) / (F.col("n_s") + n_buckets))
+        ).alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.round(F.avg("lr"), 4).alias("dsir_weight"),
+        )
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from super_speedy_syslog_searcher_spark.operators.curation import (
     decontaminate,
     drop_boilerplate_lines,
+    dsir_weights,
     hash_bucket,
     length_quantiles,
     pii_scrub,
@@ -317,4 +318,73 @@ class TestDecontaminate:
         d = spark.createDataFrame([("d1", self.W)], "doc_id string, text string")
         b = spark.createDataFrame([("b1", self.W)], "bench_id string, text string")
         plan = decontaminate(d, b)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+
+class TestDsirWeights:
+    def _run(self, spark, docs, target_lang="tgt", **kw):
+        df = spark.createDataFrame(docs, "doc_id string, lang string, text string")
+        out = dsir_weights(df, F.col("lang") == target_lang, **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_target_like_docs_score_higher(self, spark):
+        docs = [
+            ("t1", "tgt", "alpha beta gamma alpha beta"),
+            ("t2", "tgt", "alpha gamma beta beta alpha"),
+            ("s1", "oth", "delta epsilon zeta delta zeta"),
+            ("s2", "oth", "epsilon zeta delta epsilon"),
+            ("q_target_like", "oth", "alpha beta gamma"),
+            ("q_source_like", "oth", "delta epsilon zeta"),
+        ]
+        rows = self._run(spark, docs)
+        assert rows["q_target_like"]["dsir_weight"] > rows["q_source_like"]["dsir_weight"]
+        assert rows["q_target_like"]["n_words"] == 3
+
+    def test_empty_doc_produces_no_row(self, spark):
+        rows = self._run(spark, [("a", "tgt", "x y"), ("e", "oth", "")])
+        assert sorted(rows) == ["a"]
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        docs = [
+            ("d1", "tgt", "aa bb cc"),
+            ("d2", "oth", "aa dd dd ee"),
+            ("d3", "oth", "bb cc ff"),
+        ]
+        B = 64
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+        c_s, c_t = {}, {}
+        for _, lang, text in docs:
+            for w in text.split():
+                b = bucket(w)
+                c_s[b] = c_s.get(b, 0) + 1
+                if lang == "tgt":
+                    c_t[b] = c_t.get(b, 0) + 1
+        n_s, n_t = sum(c_s.values()), sum(c_t.values())
+
+        def lr(b):
+            return math.log((c_t.get(b, 0) + 1) / (n_t + B)) - math.log(
+                (c_s.get(b, 0) + 1) / (n_s + B)
+            )
+
+        rows = self._run(spark, docs, n_buckets=B)
+        for doc_id, _, text in docs:
+            ws = text.split()
+            want = round(sum(lr(bucket(w)) for w in ws) / len(ws), 4)
+            assert rows[doc_id]["dsir_weight"] == want, doc_id
+
+    def test_score_join_is_broadcast(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "tgt", "a b"), ("d2", "oth", "b c")],
+            "doc_id string, lang string, text string",
+        )
+        plan = (
+            dsir_weights(df, F.col("lang") == "tgt")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
         assert "BroadcastHashJoin" in plan
