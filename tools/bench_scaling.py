@@ -65,24 +65,36 @@ print("RESULT " + json.dumps({"cores": cores, "wall_s": round(best, 2), "n_seq":
 """
 
 
+_GEN = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import functions as F
+from super_speedy_syslog_searcher_spark import entry_queries as EQ
+from super_speedy_syslog_searcher_spark.session import get_spark
+
+sf_dir, factor, path = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+spark = get_spark(app_name="s4spark-scale-gen")
+docs = EQ.rendered_docs(spark, sf_dir)
+reps = spark.range(factor).select(F.col("id").alias("rep"))
+big = docs.crossJoin(reps).select(
+    F.concat(F.col("rep").cast("string"), F.lit("/"), F.col("doc_id")).alias("doc_id"),
+    "tokens", "n_tok", "source",
+)
+big.repartition(256).write.mode("overwrite").parquet(path)
+"""
+
+
 def materialize(factor: int, sf_dir: str) -> str:
-    from pyspark.sql import functions as F
-
-    from super_speedy_syslog_searcher_spark import entry_queries as EQ
-    from super_speedy_syslog_searcher_spark.session import get_spark
-
+    # runs in a SUBPROCESS so the generator JVM is provably gone before
+    # any timed leg starts (a stopped-but-lingering py4j JVM was measured
+    # burning a full core for the whole run, polluting the 4-core legs)
     tag = sf_dir.strip("/").replace("/", "_")
     path = os.path.join(WORK, f"scale_corpus_{tag}_x{factor}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        spark = get_spark(app_name="s4spark-scale-gen")
-        docs = EQ.rendered_docs(spark, sf_dir)
-        reps = spark.range(factor).select(F.col("id").alias("rep"))
-        big = docs.crossJoin(reps).select(
-            F.concat(F.col("rep").cast("string"), F.lit("/"), F.col("doc_id")).alias("doc_id"),
-            "tokens", "n_tok", "source",
+        subprocess.run(
+            [sys.executable, "-c", _GEN % {"repo": REPO}, sf_dir, str(factor), path],
+            check=True, timeout=3000,
         )
-        big.repartition(256).write.mode("overwrite").parquet(path)
-        spark.stop()
     return path
 
 
