@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .entry_queries import _SQL_LINE_EXPR, rendered_docs
-from .operators.tokens import mixture_weights, pack_sequences, vocab_stats
+from .operators.tokens import bpe_pair_stats, mixture_weights, pack_sequences, vocab_stats
 
 PACK_MAX_LEN = 512
 
@@ -133,14 +133,40 @@ FROM per, tmax
 """
 
 
+def q_tokens_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies (one BPE counting step) over the
+    rendered corpus."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bpe_pair_stats(rendered_docs(spark, sf_dir))
+
+
+SQL_TOKENS_BPE_PAIRS = f"""
+WITH {_SQL_DOCS.strip()},
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(line) - 1),
+                               i -> [unicode(substr(line, i, 1)),
+                                     unicode(substr(line, i + 1, 1))])) AS p
+  FROM docs WHERE length(line) >= 2
+)
+SELECT CAST(p[1] AS BIGINT) AS "left",
+       CAST(p[2] AS BIGINT) AS "right",
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM pairs GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tokens_pack": q_tokens_pack,
     "tokens_vocab": q_tokens_vocab,
     "tokens_mixture": q_tokens_mixture,
+    "tokens_bpe_pairs": q_tokens_bpe_pairs,
 }
 
 ORACLES = {
     "tokens_pack": SQL_TOKENS_PACK,
     "tokens_vocab": SQL_TOKENS_VOCAB,
     "tokens_mixture": SQL_TOKENS_MIXTURE,
+    "tokens_bpe_pairs": SQL_TOKENS_BPE_PAIRS,
 }

@@ -208,3 +208,34 @@ def vocab_stats(docs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
         F.count("*").alias("n_occ"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+def bpe_pair_stats(docs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Adjacent-token-pair frequencies across the corpus — the counting
+    inner loop of BPE tokenizer training (Sennrich et al. 2016: each
+    merge step promotes the most frequent pair). Returns one row per
+    distinct pair: ``(left, right, n_pairs, n_docs)``.
+
+    Pair construction is pure JVM column algebra: the token array is
+    zipped with its own 1-shifted slice (the same single-split zip trick
+    as dedup.word_ngrams_col — no per-element re-evaluation), so the
+    only Python anywhere is none. The groupBy is keyed on the bounded
+    pair vocabulary (≤ |vocab|², in practice far smaller) and partial
+    aggregation collapses hot pairs map-side before the exchange — the
+    10^12-row corpus contributes one row per distinct pair per task.
+    """
+    t = F.col(tokens_col)
+    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        t, shifted, lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r")))
+    )
+    exploded = docs.select(
+        "doc_id", F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("p")
+    )
+    return exploded.groupBy(
+        F.col("p.l").cast("bigint").alias("left"),
+        F.col("p.r").cast("bigint").alias("right"),
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -182,3 +182,39 @@ class TestVocabStats:
         df = _mk_docs(spark, [("a", "s", [1, 1, 2]), ("b", "s", [2, 3])])
         rows = {r["token"]: (r["n_occ"], r["n_docs"]) for r in vocab_stats(df).collect()}
         assert rows == {1: (2, 1), 2: (2, 2), 3: (1, 1)}
+
+
+class TestBpePairStats:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+
+    def test_counts_match_python_reference(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import bpe_pair_stats
+
+        docs = [("a", [1, 2, 2, 3, 1, 2]), ("b", [2, 2, 2]), ("c", [7])]
+        want = {}
+        for doc_id, toks in docs:
+            for l, r in zip(toks, toks[1:]):
+                n_pairs, ids = want.get((l, r), (0, set()))
+                ids.add(doc_id)
+                want[(l, r)] = (n_pairs + 1, ids)
+        got = {
+            (r["left"], r["right"]): (r["n_pairs"], r["n_docs"])
+            for r in bpe_pair_stats(self._mk(spark, docs)).collect()
+        }
+        assert got == {k: (n, len(ids)) for k, (n, ids) in want.items()}
+
+    def test_single_token_and_empty_docs_yield_nothing(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import bpe_pair_stats
+
+        out = bpe_pair_stats(self._mk(spark, [("a", [5]), ("b", [])]))
+        assert out.count() == 0
+
+    def test_no_python_stage_in_plan(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import bpe_pair_stats
+
+        plan = (
+            bpe_pair_stats(self._mk(spark, [("a", [1, 2])]))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan and "HashAggregate" in plan
