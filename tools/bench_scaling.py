@@ -60,8 +60,20 @@ for r in range(runs + 1):
     if r == 0:
         continue  # warm-up
     best = dt if best is None else min(best, dt)
+# UNTIMED: order-insensitive checksum of the COMMITTED routed output —
+# every column of every row (incl. the token payload) hashed and summed,
+# so the harness can assert both parallelism levels produced identical
+# routed rows + per-sink counts (north_rule: output equality at N and 4N)
+routed = spark.read.parquet(out_dir)
+row_hash = F.xxhash64(*[F.col(c).cast("string") for c in sorted(routed.columns)])
+chk = routed.agg(
+    F.count("*").alias("rows"),
+    F.sum(row_hash.cast("decimal(38,0)")).alias("content"),
+).collect()[0]
+checksum = f"{chk['rows']}:{chk['content']}"
 print("RESULT " + json.dumps({"cores": cores, "wall_s": round(best, 2), "n_seq": n,
-                              "seq_per_sec": round(n / best, 1)}))
+                              "seq_per_sec": round(n / best, 1),
+                              "checksum": checksum}))
 """
 
 
@@ -142,12 +154,19 @@ def main() -> None:
     lo, hi = results[0], results[-1]
     ratio = hi["cores"] / lo["cores"]
     eff = (lo["wall_s"] / hi["wall_s"]) / ratio
+    checksums = {r["cores"]: r.get("checksum") for r in results}
+    outputs_equal = len(set(checksums.values())) == 1
     summary = {
         "corpus": corpus, "factor": args.factor, "runs_per_level": args.runs,
         "levels": results, "efficiency": round(eff, 3),
         "criterion": f"eff(N→{int(ratio)}N) ≥ 0.8",
         "passed": eff >= 0.8,
+        # north_rule: routed-row + per-sink-count equality across levels
+        # (order-insensitive full-row checksum of the committed output)
+        "outputs_equal_across_levels": outputs_equal,
     }
+    if not outputs_equal:
+        print(f"OUTPUT MISMATCH across levels: {checksums}", file=sys.stderr)
     print(json.dumps(summary))
     if args.out:
         lines = [
@@ -166,6 +185,9 @@ def main() -> None:
             f"**Efficiency {lo['cores']}→{hi['cores']} cores: {eff:.3f}** "
             f"(criterion ≥ 0.8 → {'PASS' if eff >= 0.8 else 'FAIL'}; "
             "eff = speedup / core-ratio).",
+            "",
+            f"Routed output identical across levels (full-row checksum): "
+            f"{'YES' if outputs_equal else 'NO — ' + str(checksums)}.",
             "",
         ]
         with open(args.out, "a") as f:
