@@ -157,11 +157,49 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+def q_stream_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of sequence packing: readStream over the
+    tokenized corpus → stateful per-source offset carry
+    (applyInPandasWithState) → chunk map. Output is identical to the
+    batch operator, so the oracle is the SAME SQL as ``tokens_pack``."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from .streaming.stateful import pack_sequences_stateful
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    work = tempfile.mkdtemp(prefix="s4spark_stream_pack_")
+    name = f"stream_pack_{uuid.uuid4().hex[:8]}"
+    try:
+        docs_dir = f"{work}/docs"
+        rendered_docs(spark, sf_dir).repartition(8).write.mode("overwrite").parquet(docs_dir)
+        schema = spark.read.parquet(docs_dir).schema
+        stream = spark.readStream.schema(schema).parquet(docs_dir)
+        q = (
+            pack_sequences_stateful(stream, max_len=PACK_MAX_LEN)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        out = spark.table(name)
+        rows = out.collect()  # materialize before the temp dir disappears
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "tokens_pack": q_tokens_pack,
     "tokens_vocab": q_tokens_vocab,
     "tokens_mixture": q_tokens_mixture,
     "tokens_bpe_pairs": q_tokens_bpe_pairs,
+    "stream_tokens_pack": q_stream_tokens_pack,
 }
 
 ORACLES = {
@@ -169,4 +207,5 @@ ORACLES = {
     "tokens_vocab": SQL_TOKENS_VOCAB,
     "tokens_mixture": SQL_TOKENS_MIXTURE,
     "tokens_bpe_pairs": SQL_TOKENS_BPE_PAIRS,
+    "stream_tokens_pack": SQL_TOKENS_PACK,
 }

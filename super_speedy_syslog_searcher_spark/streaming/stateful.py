@@ -126,3 +126,70 @@ def sessionize_stateful(parsed_lines_stream: DataFrame, timeout_ms: int = 60_000
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+PACK_OUT_SCHEMA = (
+    "source string, seq_id long, doc_id string, tok_off long, "
+    "seq_off long, chunk_len long, chunk_sum long"
+)
+
+PACK_STATE_SCHEMA = "next_start long"
+
+
+def pack_sequences_stateful(docs_stream: DataFrame, max_len: int = 512) -> DataFrame:
+    """Streaming GPT-style sequence packing: the per-source token offset
+    is GroupState, so sequences keep filling across micro-batches — a
+    doc arriving in batch 7 lands at exactly the stream position the
+    batch operator (operators/tokens.pack_sequences) would give it.
+    Emits the same chunk-map rows as the batch op.
+
+    Ordering contract: packing is defined over each source's doc_id
+    order. Docs are sorted by doc_id WITHIN a micro-batch; across
+    batches the stream must deliver each source's docs in nondecreasing
+    doc_id order (the append-only log shape — new docs get higher ids).
+    An out-of-order late doc is a re-pack upstream, not a silent
+    misplacement here.
+
+    Scale notes: state is ONE long per source; per-batch work is
+    O(tokens in batch) with a numpy prefix sum per doc; the grouping
+    shuffle is keyed on source, same as the batch op's repartition.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        source = key[0]
+        start = state.get[0] if state.exists else 0
+        rows = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values("doc_id")
+        for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
+            toks = np.asarray(toks, dtype=np.int64)
+            n = int(toks.size)
+            if n == 0:
+                continue
+            cs = np.concatenate(([0], np.cumsum(toks)))
+            first, last = start // max_len, (start + n - 1) // max_len
+            for s in range(first, last + 1):
+                g0 = max(start, s * max_len)
+                g1 = min(start + n, (s + 1) * max_len)
+                rows.append((
+                    source, s, doc_id, g0 - start, g0 - s * max_len,
+                    g1 - g0, int(cs[g1 - start] - cs[g0 - start]),
+                ))
+            start += n
+        state.update((start,))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "seq_id", "doc_id", "tok_off", "seq_off",
+                         "chunk_len", "chunk_sum"],
+            )
+
+    return docs_stream.select("source", "doc_id", "tokens").groupBy("source").applyInPandasWithState(
+        fn,
+        outputStructType=PACK_OUT_SCHEMA,
+        stateStructType=PACK_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -168,3 +168,57 @@ def test_stateful_sessionize_matches_batch(spark, corpus, tmp_path):
         for r in sessionize(parsed).collect()
     }
     assert got == want
+
+
+def test_stateful_packing_carries_offset_across_batches(spark, tmp_path):
+    """Streaming packing with a checkpoint restart between two batches
+    must produce exactly the batch chunk map: the per-source offset
+    carried in GroupState places batch-2 docs at the stream position the
+    batch operator gives them (including a sequence spanning the batch
+    boundary)."""
+    from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences
+    from super_speedy_syslog_searcher_spark.streaming.stateful import pack_sequences_stateful
+
+    MAX_LEN = 256
+    batch1 = [("d0", "s", list(range(1, 301))), ("d1", "s", list(range(301, 601)))]
+    batch2 = [("d2", "s", list(range(601, 1001))), ("d3", "t", [7] * 10)]
+    schema = "doc_id string, source string, tokens array<int>"
+    in_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "chunks")
+
+    def run_once(rows, mode):
+        # parquet sink: supports restart-from-checkpoint (memory doesn't)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        stream = spark.readStream.schema(
+            spark.read.parquet(in_dir).schema
+        ).parquet(in_dir)
+        q = (
+            pack_sequences_stateful(stream, max_len=MAX_LEN)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once(batch1, "overwrite")
+    run_once(batch2, "append")
+    got = {tuple(r) for r in spark.read.parquet(out_dir).collect()}
+
+    full = spark.createDataFrame(
+        [(d, s, t, len(t)) for d, s, t in batch1 + batch2],
+        "doc_id string, source string, tokens array<int>, n_tok int",
+    )
+    want = {
+        tuple(r)
+        for r in pack_sequences(full, max_len=MAX_LEN)
+        .select("source", "seq_id", "doc_id", "tok_off", "seq_off", "chunk_len", "chunk_sum")
+        .collect()
+    }
+    assert got == want
+    # the boundary doc d2 (tokens 600..999 at stream offset 600) must span
+    # sequences 2 and 3 of source s — proof the carry crossed the restart
+    d2_seqs = sorted(r[1] for r in got if r[2] == "d2")
+    assert d2_seqs == [2, 3]
