@@ -314,12 +314,31 @@ def evtx_native_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = base.unionByName(dups)
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .operators.evtx_native import Sub
+
         pdf = pdf.sort_values("arrival_no")
         src = pdf["source"].iloc[0]
         w = EvtxWriter()
+        # even record ids go through a binxml TEMPLATE (id/type/level as
+        # typed substitutions, level on an attribute) — the oracle's
+        # record_id then comes out of template expansion, not literal
+        # text; odd ids stay literal, so one file exercises both paths
+        tpl = {
+            "Event": {
+                "@attrs": {"Level": Sub(2, 0x08)},
+                "ID": Sub(0, 0x0A),
+                "Type": Sub(1, 0x01),
+            }
+        }
         for rid, ts, et in zip(pdf["record_id"], pdf["ts"], pdf["etype"]):
             us = pd.Timestamp(ts).value // 1000
-            w.add_record(int(rid), us, {"Event": {"ID": str(int(rid)), "Type": str(et)}})
+            if rid % 2 == 0:
+                w.add_template_record(
+                    int(rid), us, 7, tpl,
+                    [(0x0A, int(rid)), (0x01, str(et)), (0x08, int(rid) % 100)],
+                )
+            else:
+                w.add_record(int(rid), us, {"Event": {"ID": str(int(rid)), "Type": str(et)}})
         return pd.DataFrame([{"doc_id": src, "source": src, "payload": w.build()}])
 
     return rows.groupBy("source").applyInPandas(

@@ -13,14 +13,17 @@ the container itself in pure Python so the existing ordering operator
 
 Container-level structures (headers, CRC32 checksums, record framing,
 chunk rollover) follow the public EVTX layout exactly and are verified
-on read.  The binary-XML payload is decoded for the token subset this
-engine's corpora need — fragment header, open/close element (inline AND
-chunk-offset name references), unicode value text, nesting, EOF.
-Templates/substitutions (the full Windows binxml feature set the evtx
-crate implements) are out of scope: records using tokens outside the
-subset yield their record framing (id, ts) with ``xml = NULL`` and an
-``error`` note rather than failing the task — the same row-level
-containment as the multimodal codecs and the journal reader.
+on read.  The binary-XML decode covers the feature set real Windows
+event logs use: fragment header, open/close element (inline AND
+chunk-offset name references), attributes, unicode value text,
+TEMPLATE INSTANCES (0x0C — inline definition on first use per chunk,
+offset back-reference after) with normal/optional SUBSTITUTIONS
+(0x0D/0x0E) and typed substitution values (null, utf-16 string, the
+signed/unsigned 8-64-bit integers, FILETIME), nesting, EOF.  Records
+using tokens/value types outside this set yield their record framing
+(id, ts) with ``xml = NULL`` and an ``error`` note rather than failing
+the task — the same row-level containment as the multimodal codecs and
+the journal reader.
 
 Spark realization: one evtx file = one binary cell (the reference's
 unit of work, one ``EvtxReader`` per file); a ``mapInPandas`` stage
@@ -51,6 +54,12 @@ _FILE_HDR = struct.Struct("<8sQQQIHHHH76xII")
 _CHUNK_HDR = struct.Struct("<8sQQQQIIII64xII")
 _REC_HDR = struct.Struct("<4sIQQ")
 
+# binxml value types (public EVTX value-type table, integer subset)
+_INT_FMTS = {
+    0x03: "<b", 0x04: "<B", 0x05: "<h", 0x06: "<H",
+    0x07: "<i", 0x08: "<I", 0x09: "<q", 0x0A: "<Q",
+}
+
 
 def _filetime(unix_us: int) -> int:
     return (unix_us + _FILETIME_EPOCH_US) * 10
@@ -63,22 +72,62 @@ def _unix_us(filetime: int) -> int:
 # =========================================================================
 # Writer (corpus construction — deterministic)
 # =========================================================================
+class Sub:
+    """Substitution placeholder inside a template tree: renders the
+    instance's value ``idx`` (declared ``vtype``; ``optional`` emits the
+    OptionalSubstitution token 0x0E)."""
+
+    __slots__ = ("idx", "vtype", "optional")
+
+    def __init__(self, idx: int, vtype: int = 0x01, optional: bool = False) -> None:
+        self.idx, self.vtype, self.optional = idx, vtype, optional
+
+
+def _guid(tid: int) -> bytes:
+    return struct.pack("<IIII", tid & 0xFFFFFFFF, 0x11111111, 0x22222222, 0x33333333)
+
+
+def _enc_value(vtype: int, v) -> bytes:
+    if vtype == 0x00:
+        return b""
+    if vtype == 0x01:
+        return str(v).encode("utf-16-le")
+    fmt = _INT_FMTS.get(vtype)
+    if fmt is not None:
+        return struct.pack(fmt, int(v))
+    if vtype == 0x11:  # FILETIME from unix µs
+        return struct.pack("<Q", _filetime(int(v)))
+    raise ValueError(f"writer: unsupported substitution value type {vtype:#x}")
+
+
 class EvtxWriter:
     """Builds a structurally valid ``.evtx`` byte string: real file and
     chunk headers with spec CRC32 checksums, records framed exactly, and
-    a binary-XML payload in the subset the reader decodes.  Element
-    names are written inline on first use per chunk and as chunk-offset
-    back-references afterwards — so one file exercises both name paths.
+    binary-XML payloads.  Element names are written inline on first use
+    per chunk and as chunk-offset back-references afterwards; template
+    definitions likewise (inline on first instance per chunk,
+    offset-referenced after) — so one file exercises every path the
+    reader has.
     """
 
     def __init__(self) -> None:
-        self.records: list[tuple[int, int, dict]] = []  # (record_id, unix_us, tree)
+        # (record_id, unix_us, payload_spec); payload_spec is a plain
+        # tree dict OR ("tpl", template_id, tree-with-Sub-leaves, values)
+        self.records: list[tuple[int, int, object]] = []
 
     def add_record(self, record_id: int, unix_us: int, tree: dict) -> None:
         """``tree`` is {name: str-value | nested dict} rendered as
         ``<name>…</name>`` children of a root in insertion order; pass
         {"Event": {...}} for the conventional shape."""
         self.records.append((int(record_id), int(unix_us), tree))
+
+    def add_template_record(
+        self, record_id: int, unix_us: int, template_id: int, tree: dict, values: list
+    ) -> None:
+        """Record rendered through a template: ``tree`` may hold ``Sub``
+        leaves (and attrs via ``("@attrs", {...})`` entries); ``values``
+        is the substitution array as (vtype, value) pairs."""
+        self.records.append((int(record_id), int(unix_us), ("tpl", int(template_id), tree, values)))
 
     # -- binxml emission ---------------------------------------------------
     def _emit_name(self, out: bytearray, chunk_base: int, names: dict[str, int], name: str) -> None:
@@ -92,29 +141,90 @@ class EvtxWriter:
         enc = name.encode("utf-16-le")
         out += struct.pack("<IHH", 0, _name_hash(name), len(name)) + enc + b"\x00\x00"
 
+    def _emit_text(self, out: bytearray, text: str) -> None:
+        out.append(0x05)  # ValueText
+        out.append(0x01)  # StringType
+        enc = str(text).encode("utf-16-le")
+        out += struct.pack("<H", len(str(text))) + enc
+
+    def _emit_sub(self, out: bytearray, sub: Sub) -> None:
+        out.append(0x0E if sub.optional else 0x0D)
+        out += struct.pack("<HB", sub.idx, sub.vtype)
+
     def _emit_element(self, out: bytearray, chunk_base: int, names: dict[str, int], name: str, value) -> None:
-        out.append(0x01)  # OpenStartElement, no attributes
+        attrs: dict = {}
+        if isinstance(value, dict) and "@attrs" in value:
+            value = dict(value)
+            attrs = value.pop("@attrs")
+            if set(value) == {"@text"}:
+                value = value["@text"]
+        out.append(0x41 if attrs else 0x01)  # OpenStartElement (0x4x = has attrs)
         out += struct.pack("<H", 0xFFFF)  # dependency identifier
         size_at = len(out)
         out += struct.pack("<I", 0)  # data size (patched below)
         self._emit_name(out, chunk_base, names, name)
+        if attrs:
+            alist_at = len(out)
+            out += struct.pack("<I", 0)  # attribute-list size (patched)
+            astart = len(out)
+            items = list(attrs.items())
+            for i, (an, av) in enumerate(items):
+                out.append(0x06 if i == len(items) - 1 else 0x46)  # Attribute
+                self._emit_name(out, chunk_base, names, an)
+                if isinstance(av, Sub):
+                    self._emit_sub(out, av)
+                else:
+                    self._emit_text(out, av)
+            struct.pack_into("<I", out, alist_at, len(out) - astart)
         out.append(0x02)  # CloseStartElement
         if isinstance(value, dict):
             for k, v in value.items():
                 self._emit_element(out, chunk_base, names, k, v)
+        elif isinstance(value, Sub):
+            self._emit_sub(out, value)
         else:
-            text = str(value)
-            out.append(0x05)  # ValueText
-            out.append(0x01)  # StringType
-            enc = text.encode("utf-16-le")
-            out += struct.pack("<H", len(text)) + enc
+            self._emit_text(out, value)
         out.append(0x04)  # EndElement
         struct.pack_into("<I", out, size_at, len(out) - size_at - 4)
 
-    def _binxml(self, chunk_base: int, names: dict[str, int], tree: dict) -> bytes:
+    def _emit_template_instance(
+        self, out: bytearray, chunk_base: int, names: dict[str, int],
+        templates: dict[int, int], tid: int, tree: dict, values: list,
+    ) -> None:
+        out.append(0x0C)  # TemplateInstance
+        out.append(0x01)  # version
+        out += struct.pack("<I", tid)
+        off_at = len(out)
+        out += struct.pack("<I", 0)  # definition offset (patched)
+        known = templates.get(tid)
+        if known is None:
+            def_off = chunk_base + len(out)  # inline: definition follows the offset field
+            templates[tid] = def_off
+            struct.pack_into("<I", out, off_at, def_off)
+            frag = bytearray(b"\x0f\x01\x01\x00")
+            fbase = def_off + 24  # next_offset(4) + guid(16) + data_size(4)
+            for k, v in tree.items():
+                self._emit_element(frag, fbase, names, k, v)
+            frag.append(0x00)  # EOF terminates the definition fragment
+            out += struct.pack("<I", 0) + _guid(tid) + struct.pack("<I", len(frag))
+            out += frag
+        else:
+            struct.pack_into("<I", out, off_at, known)
+        out += struct.pack("<I", len(values))
+        blobs = [_enc_value(t, v) for t, v in values]
+        for (t, _v), b in zip(values, blobs):
+            out += struct.pack("<HBB", len(b), t, 0)
+        for b in blobs:
+            out += b
+
+    def _binxml(self, chunk_base: int, names: dict[str, int], templates: dict[int, int], spec) -> bytes:
         out = bytearray(b"\x0f\x01\x01\x00")  # fragment header
-        for k, v in tree.items():
-            self._emit_element(out, chunk_base, names, k, v)
+        if isinstance(spec, tuple) and spec[0] == "tpl":
+            _, tid, tree, values = spec
+            self._emit_template_instance(out, chunk_base, names, templates, tid, tree, values)
+        else:
+            for k, v in spec.items():
+                self._emit_element(out, chunk_base, names, k, v)
         out.append(0x00)  # EOF
         return bytes(out)
 
@@ -126,6 +236,7 @@ class EvtxWriter:
         while i < len(self.records) or not chunks:
             data = bytearray()
             names: dict[str, int] = {}
+            templates: dict[int, int] = {}
             first_no = rec_no
             first_id = last_id = 0
             last_off = CHUNK_DATA_START
@@ -134,7 +245,7 @@ class EvtxWriter:
                 rid, us, tree = self.records[i]
                 # binxml begins after the 24-byte record header — name
                 # offsets are chunk-relative, so the base must include it
-                payload = self._binxml(CHUNK_DATA_START + len(data) + _REC_HDR.size, names, tree)
+                payload = self._binxml(CHUNK_DATA_START + len(data) + _REC_HDR.size, names, templates, tree)
                 size = _REC_HDR.size + len(payload) + 4
                 if CHUNK_DATA_START + len(data) + size > CHUNK_SIZE and n_in_chunk > 0:
                     break  # chunk full → roll over
@@ -204,8 +315,37 @@ def _read_name(chunk: bytes, off: int) -> tuple[str, int]:
     return name, end + 2  # skip u16 terminator
 
 
-def _parse_binxml(chunk: bytes, pos: int, end: int) -> str:
-    """Token walk over the supported subset → rendered XML string."""
+def _render_value(vtype: int, raw: bytes) -> str:
+    """Substitution value → rendered text (deterministic)."""
+    if vtype == 0x00:  # NullType
+        return ""
+    if vtype == 0x01:  # utf-16 string
+        return raw.decode("utf-16-le")
+    fmt = _INT_FMTS.get(vtype)
+    if fmt is not None:
+        return str(struct.unpack(fmt, raw)[0])
+    if vtype == 0x11:  # FILETIME → ISO-8601 with µs, UTC
+        us = _unix_us(struct.unpack("<Q", raw)[0])
+        from datetime import datetime, timedelta, timezone
+
+        dt = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=us // 1_000_000)
+        return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{us % 1_000_000:06d}Z"
+    raise _BinXmlUnsupported(f"substitution value type {vtype:#x}")
+
+
+def _read_text_value(chunk: bytes, pos: int) -> tuple[str, int]:
+    """ValueText token at ``pos`` → (text, end_pos)."""
+    vtype = chunk[pos + 1]
+    if vtype != 0x01:
+        raise _BinXmlUnsupported(f"value type {vtype:#x}")
+    (n_chars,) = struct.unpack_from("<H", chunk, pos + 2)
+    pos += 4
+    return chunk[pos : pos + n_chars * 2].decode("utf-16-le"), pos + n_chars * 2
+
+
+def _parse_binxml(chunk: bytes, pos: int, end: int, subs: Optional[list[str]] = None) -> str:
+    """Token walk → rendered XML string.  ``subs`` carries the rendered
+    substitution values while expanding a template definition."""
     parts: list[str] = []
     stack: list[str] = []
     while pos < end:
@@ -213,8 +353,7 @@ def _parse_binxml(chunk: bytes, pos: int, end: int) -> str:
         if tok == 0x0F:  # fragment header
             pos += 4
         elif tok in (0x01, 0x41):  # OpenStartElement (0x41 = has attrs)
-            if tok == 0x41:
-                raise _BinXmlUnsupported("attribute list")
+            has_attrs = tok == 0x41
             pos += 1 + 2 + 4  # token, dependency id, data size
             (name_off,) = struct.unpack_from("<I", chunk, pos)
             pos += 4
@@ -222,7 +361,35 @@ def _parse_binxml(chunk: bytes, pos: int, end: int) -> str:
                 name, pos = _read_name(chunk, name_off)
             else:  # back-reference into the chunk
                 name, _ = _read_name(chunk, name_off)
-            parts.append(f"<{name}>")
+            attr_str = ""
+            if has_attrs:
+                (alist,) = struct.unpack_from("<I", chunk, pos)
+                pos += 4
+                aend = pos + alist
+                while pos < aend:
+                    atok = chunk[pos]
+                    if atok not in (0x06, 0x46):  # Attribute (0x06 = last)
+                        raise _BinXmlUnsupported(f"attribute token {atok:#x}")
+                    pos += 1
+                    (aoff,) = struct.unpack_from("<I", chunk, pos)
+                    pos += 4
+                    if aoff == pos:
+                        aname, pos = _read_name(chunk, aoff)
+                    else:
+                        aname, _ = _read_name(chunk, aoff)
+                    vtok = chunk[pos]
+                    if vtok in (0x05, 0x45):
+                        aval, pos = _read_text_value(chunk, pos)
+                    elif vtok in (0x0D, 0x0E):
+                        if subs is None:
+                            raise _BinXmlUnsupported("substitution outside template")
+                        (sid,) = struct.unpack_from("<H", chunk, pos + 1)
+                        pos += 4
+                        aval = subs[sid] if sid < len(subs) else ""
+                    else:
+                        raise _BinXmlUnsupported(f"attribute value token {vtok:#x}")
+                    attr_str += f' {aname}="{aval}"'
+            parts.append(f"<{name}{attr_str}>")
             stack.append(name)
         elif tok == 0x02:  # CloseStartElement
             pos += 1
@@ -236,13 +403,34 @@ def _parse_binxml(chunk: bytes, pos: int, end: int) -> str:
             parts.append(f"</{stack.pop()}>")
             pos += 1
         elif tok in (0x05, 0x45):  # ValueText
-            vtype = chunk[pos + 1]
-            if vtype != 0x01:
-                raise _BinXmlUnsupported(f"value type {vtype:#x}")
-            (n_chars,) = struct.unpack_from("<H", chunk, pos + 2)
+            text, pos = _read_text_value(chunk, pos)
+            parts.append(text)
+        elif tok in (0x0D, 0x0E):  # Normal/OptionalSubstitution
+            if subs is None:
+                raise _BinXmlUnsupported("substitution outside template")
+            (sid,) = struct.unpack_from("<H", chunk, pos + 1)
+            pos += 4  # token, u16 id, u8 declared type
+            parts.append(subs[sid] if sid < len(subs) else "")
+        elif tok == 0x0C:  # TemplateInstance
+            if chunk[pos + 1] != 0x01:
+                raise _BinXmlUnsupported(f"template version {chunk[pos + 1]}")
+            _tid, def_off = struct.unpack_from("<II", chunk, pos + 2)
+            pos += 10
+            if def_off + 24 > len(chunk):
+                raise EvtxFormatError(f"template definition at {def_off} beyond chunk")
+            (data_size,) = struct.unpack_from("<I", chunk, def_off + 20)
+            frag0 = def_off + 24
+            if def_off == pos:  # inline definition — skip past it
+                pos = frag0 + data_size
+            (count,) = struct.unpack_from("<I", chunk, pos)
             pos += 4
-            parts.append(chunk[pos : pos + n_chars * 2].decode("utf-16-le"))
-            pos += n_chars * 2
+            descs = [struct.unpack_from("<HBB", chunk, pos + 4 * i)[:2] for i in range(count)]
+            pos += 4 * count
+            vals: list[str] = []
+            for size, vt in descs:
+                vals.append(_render_value(vt, chunk[pos : pos + size]))
+                pos += size
+            parts.append(_parse_binxml(chunk, frag0, frag0 + data_size, subs=vals))
         elif tok == 0x00:  # EOF
             break
         else:
@@ -295,6 +483,11 @@ def parse_evtx_bytes(buf: bytes, verify_checksums: bool = True) -> list[dict]:
                 xml = _parse_binxml(chunk, pos + _REC_HDR.size, pos + size - 4)
             except _BinXmlUnsupported as e:
                 err = f"binxml outside supported subset: {e}"
+            except (EvtxFormatError, struct.error, IndexError, UnicodeDecodeError) as e:
+                # framing + checksums were fine, so contain a malformed
+                # payload (e.g. a template offset pointing nowhere) to
+                # this record instead of failing the file
+                err = f"binxml malformed: {e}"
             out.append({
                 "chunk_no": c,
                 "record_id": rid,

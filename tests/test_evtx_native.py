@@ -16,6 +16,7 @@ from super_speedy_syslog_searcher_spark.operators.evtx_native import (
     CHUNK_DATA_START,
     EvtxFormatError,
     EvtxWriter,
+    Sub,
     parse_evtx_bytes,
     parse_evtx_native,
 )
@@ -87,8 +88,9 @@ def _refresh_chunk_crcs(buf: bytearray, chunk_off: int) -> None:
 
 def test_unsupported_binxml_contained_per_record():
     buf = bytearray(_write())
-    # overwrite the first record's fragment-header token with an unknown one
-    buf[4096 + CHUNK_DATA_START + 24] = 0x0C
+    # overwrite the first record's fragment-header token with an unknown
+    # one (0x30 is not a binxml token; 0x0C is a template now)
+    buf[4096 + CHUNK_DATA_START + 24] = 0x30
     _refresh_chunk_crcs(buf, 4096)
     recs = parse_evtx_bytes(bytes(buf))
     assert recs[0]["xml"] is None
@@ -116,3 +118,78 @@ def test_spark_parse_and_corrupt_containment(spark):
     assert [r.record_id for r in good] == [100, 101, 102]
     assert all(r.error is None for r in good)
     assert len(bad) == 1 and bad[0].record_id == -1 and "signature" in bad[0].error
+
+
+class TestTemplates:
+    TREE = {
+        "Event": {
+            "@attrs": {"Level": Sub(3, 0x08)},
+            "ID": Sub(0, 0x0A),
+            "Type": Sub(1, 0x01),
+            "Time": Sub(2, 0x11),
+            "Note": Sub(4, 0x00, optional=True),
+        }
+    }
+
+    def _vals(self, rid, et, us, lvl):
+        return [(0x0A, rid), (0x01, et), (0x11, us), (0x08, lvl), (0x00, None)]
+
+    def test_inline_then_backreferenced_definition(self):
+        w = EvtxWriter()
+        w.add_template_record(1, 1_700_000_000_000_000, 7, self.TREE,
+                              self._vals(1, "login", 1_700_000_000_111_222, 4))
+        w.add_template_record(2, 1_700_000_001_000_000, 7, self.TREE,
+                              self._vals(2, "logout", 1_700_000_001_333_444, 2))
+        recs = parse_evtx_bytes(w.build())
+        assert [r["error"] for r in recs] == [None, None]
+        assert recs[0]["xml"] == (
+            '<Event Level="4"><ID>1</ID><Type>login</Type>'
+            "<Time>2023-11-14T22:13:20.111222Z</Time><Note></Note></Event>"
+        )
+        assert recs[1]["xml"] == (
+            '<Event Level="2"><ID>2</ID><Type>logout</Type>'
+            "<Time>2023-11-14T22:13:21.333444Z</Time><Note></Note></Event>"
+        )
+
+    def test_signed_and_unsigned_int_values(self):
+        tree = {"E": {"A": Sub(0, 0x03), "B": Sub(1, 0x09), "C": Sub(2, 0x06)}}
+        w = EvtxWriter()
+        w.add_template_record(5, 1_700_000_000_000_000, 1, tree,
+                              [(0x03, -5), (0x09, -(1 << 40)), (0x06, 65535)])
+        (r,) = parse_evtx_bytes(w.build())
+        assert r["xml"] == f"<E><A>-5</A><B>{-(1 << 40)}</B><C>65535</C></E>"
+
+    def test_template_survives_chunk_rollover(self):
+        # enough templated records to roll chunks: each chunk re-inlines
+        # the definition once and back-references within itself
+        w = EvtxWriter()
+        n = 900
+        for i in range(n):
+            w.add_template_record(i + 1, 1_700_000_000_000_000 + i, 7, self.TREE,
+                                  self._vals(i + 1, "x" * 50, 1_700_000_000_000_000 + i, i % 100))
+        buf = w.build()
+        assert len(buf) > 4096 + 65536  # really rolled over
+        recs = parse_evtx_bytes(buf)
+        assert len(recs) == n
+        assert {r["error"] for r in recs} == {None}
+        assert all(f"<ID>{r['record_id']}</ID>" in r["xml"] for r in recs)
+        assert max(r["chunk_no"] for r in recs) >= 1
+
+    def test_unsupported_value_type_is_contained(self):
+        tree = {"E": {"A": Sub(0, 0x21)}}
+        w = EvtxWriter()
+        w.add_template_record(1, 1_700_000_000_000_000, 1, tree, [(0x01, "ok")])
+        # hand-corrupt the declared descriptor type to an unsupported one
+        buf = bytearray(w.build())
+        # descriptor: u16 size, u8 type — find it by re-encoding with type 0x13
+        w2 = EvtxWriter()
+        w2.add_template_record(1, 1_700_000_000_000_000, 1, tree, [(0x13, b"")] if False else [(0x01, "ok")])
+        # simpler: parse the clean build, then flip the descriptor byte
+        import struct as _s
+        # locate the substitution count (1) right before the descriptor
+        idx = bytes(buf).find(_s.pack("<IHBB", 1, 4, 0x01, 0))
+        assert idx > 0
+        buf[idx + 6] = 0x13  # declared type → unsupported GUID type
+        (r,) = parse_evtx_bytes(bytes(buf), verify_checksums=False)
+        assert r["xml"] is None and "value type" in r["error"]
+        assert r["record_id"] == 1  # framing survives
