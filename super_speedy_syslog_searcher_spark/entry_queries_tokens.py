@@ -49,7 +49,7 @@ def q_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(rendered_docs(spark, sf_dir), max_len=PACK_MAX_LEN)
 
 
-SQL_TOKENS_PACK = f"""
+_SQL_PACK_CTES = f"""
 WITH {_SQL_DOCS.strip()},
 sized AS (
   SELECT source, doc_id, line, CAST(length(line) AS BIGINT) AS n_tok FROM docs
@@ -72,6 +72,10 @@ bounds AS (
          least(start + CAST(length(line) AS BIGINT), (seq_id + 1) * {PACK_MAX_LEN}) AS g1
   FROM chunks
 )
+"""
+
+SQL_TOKENS_PACK = f"""
+{_SQL_PACK_CTES.strip()}
 SELECT source,
        CAST(seq_id AS BIGINT) AS seq_id,
        doc_id,
@@ -82,6 +86,50 @@ SELECT source,
                                                     CAST(g1 - start AS INT)),
                                     i -> unicode(substr(line, i, 1)))) AS BIGINT) AS chunk_sum
 FROM bounds
+"""
+
+
+def q_tokens_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized packed sequences themselves: per (source, seq_id)
+    the assembled max_len token row, content-checked as the md5 of the
+    comma-joined token values (the driver comparator hashes scalar cells
+    only) — full token-array equality, the strongest form of the
+    north_rule invariant."""
+    from .operators.tokens import assemble_sequences
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = assemble_sequences(rendered_docs(spark, sf_dir), max_len=PACK_MAX_LEN)
+    joined = F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+    return out.select(
+        "source",
+        F.col("seq_id").cast("bigint").alias("seq_id"),
+        F.md5(joined).alias("tokens_md5"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
+SQL_TOKENS_ASSEMBLE = f"""
+{_SQL_PACK_CTES.strip()},
+parts AS (
+  SELECT source, seq_id,
+         CAST(g0 - seq_id * {PACK_MAX_LEN} AS BIGINT) AS seq_off,
+         list_transform(generate_series(CAST(g0 - start + 1 AS INT),
+                                        CAST(g1 - start AS INT)),
+                        i -> unicode(substr(line, i, 1))) AS part
+  FROM bounds
+),
+asm AS (
+  SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+         flatten(list(part ORDER BY seq_off)) AS tokens,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM parts GROUP BY source, seq_id
+)
+SELECT source, seq_id,
+       md5(array_to_string(tokens, ',')) AS tokens_md5,
+       CAST(len(tokens) AS BIGINT) AS n_tok,
+       n_docs
+FROM asm
 """
 
 
@@ -199,6 +247,7 @@ QUERIES = {
     "tokens_vocab": q_tokens_vocab,
     "tokens_mixture": q_tokens_mixture,
     "tokens_bpe_pairs": q_tokens_bpe_pairs,
+    "tokens_assemble": q_tokens_assemble,
     "stream_tokens_pack": q_stream_tokens_pack,
 }
 
@@ -207,5 +256,6 @@ ORACLES = {
     "tokens_vocab": SQL_TOKENS_VOCAB,
     "tokens_mixture": SQL_TOKENS_MIXTURE,
     "tokens_bpe_pairs": SQL_TOKENS_BPE_PAIRS,
+    "tokens_assemble": SQL_TOKENS_ASSEMBLE,
     "stream_tokens_pack": SQL_TOKENS_PACK,
 }
