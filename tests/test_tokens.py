@@ -218,3 +218,63 @@ class TestBpePairStats:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan and "HashAggregate" in plan
+
+
+class TestPackRandomizedReference:
+    def test_random_corpus_matches_python_reference(self, spark):
+        """Seeded random doc lengths (incl. 0, 1, max_len-1, max_len,
+        max_len+1, multi-sequence docs) across 3 sources: the distributed
+        chunk map must equal the straightforward sequential packing."""
+        import random
+
+        rng = random.Random(1234)
+        MAX_LEN = 64
+        special = [0, 1, MAX_LEN - 1, MAX_LEN, MAX_LEN + 1, 3 * MAX_LEN + 7]
+        docs = []
+        for s in range(3):
+            lens = special + [rng.randrange(0, 3 * MAX_LEN) for _ in range(40)]
+            rng.shuffle(lens)
+            for i, n in enumerate(lens):
+                toks = [rng.randrange(0, 1000) for _ in range(n)]
+                docs.append((f"s{s}/d{i:04d}", f"s{s}", toks, n))
+
+        # python reference: sequential per-source stream
+        want = set()
+        for src in sorted({d[1] for d in docs}):
+            start = 0
+            for doc_id, _, toks, n in sorted((d for d in docs if d[1] == src)):
+                if n == 0:
+                    continue
+                first, last = start // MAX_LEN, (start + n - 1) // MAX_LEN
+                for s in range(first, last + 1):
+                    g0, g1 = max(start, s * MAX_LEN), min(start + n, (s + 1) * MAX_LEN)
+                    want.add((
+                        src, s, doc_id, g0 - start, g0 - s * MAX_LEN, g1 - g0,
+                        sum(toks[g0 - start : g1 - start]),
+                    ))
+                start += n
+
+        df = spark.createDataFrame(
+            docs, "doc_id string, source string, tokens array<int>, n_tok int"
+        ).repartition(7)  # misaligned partitioning: prefix sum must still hold
+        got = {
+            tuple(r)
+            for r in pack_sequences(df, max_len=MAX_LEN)
+            .select("source", "seq_id", "doc_id", "tok_off", "seq_off", "chunk_len", "chunk_sum")
+            .collect()
+        }
+        assert got == want
+
+        # assembled rows agree with the chunk map: full tiling, no gaps
+        asm = {
+            (r["source"], r["seq_id"]): (r["n_tok"], list(r["tokens"]))
+            for r in assemble_sequences(df, max_len=MAX_LEN).collect()
+        }
+        per_source = {}
+        for src, s, doc_id, tok_off, seq_off, clen, csum in want:
+            per_source.setdefault((src, s), 0)
+            per_source[(src, s)] += clen
+        assert {k: v[0] for k, v in asm.items()} == per_source
+        for (src, s), (n_tok, toks) in asm.items():
+            last = max(q for (t, q) in per_source if t == src)
+            assert n_tok == MAX_LEN or s == last
