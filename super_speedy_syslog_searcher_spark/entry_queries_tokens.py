@@ -175,7 +175,9 @@ per AS (
 ),
 tmax AS (SELECT min(n_tok_total / target_share) AS t FROM per)
 SELECT source, n_tok_total, target_share,
-       round(target_share * t / n_tok_total, 6) AS rate,
+       CASE WHEN n_tok_total > 0
+            THEN round(target_share * t / n_tok_total, 6)
+            ELSE 0.0 END AS rate,
        round(target_share * t, 4) AS expected_tokens
 FROM per, tmax
 """

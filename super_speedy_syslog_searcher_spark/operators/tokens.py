@@ -189,7 +189,13 @@ def mixture_weights(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
     j = per.join(F.broadcast(tgt), "source")
     tmax = j.select(F.min(F.col("n_tok_total") / F.col("target_share")).alias("_t"))
     out = j.crossJoin(F.broadcast(tmax))
-    rate = F.col("target_share") * F.col("_t") / F.col("n_tok_total")
+    # a targeted source with zero tokens binds T to 0 (you cannot hit a
+    # nonzero share from nothing); its own rate is 0/0 — define it 0.0
+    # rather than crash the job under ANSI division
+    rate = F.when(
+        F.col("n_tok_total") > 0,
+        F.col("target_share") * F.col("_t") / F.col("n_tok_total"),
+    ).otherwise(F.lit(0.0))
     return out.select(
         "source",
         "n_tok_total",

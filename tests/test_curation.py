@@ -388,3 +388,25 @@ class TestDsirWeights:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "BroadcastHashJoin" in plan
+
+
+class TestCurationEdgeCases:
+    def test_decontaminate_empty_bench_keeps_everything(self, spark):
+        d = spark.createDataFrame(
+            [("d1", "a b c d e f g h i")], "doc_id string, text string"
+        )
+        b = spark.createDataFrame([], "bench_id string, text string")
+        rows = decontaminate(d, b).collect()
+        assert len(rows) == 1
+        assert rows[0]["contaminated"] == 0 and rows[0]["n_hit_grams"] == 0
+
+    def test_dsir_no_target_docs_is_uniform(self, spark):
+        # empty target: c_t = 0 everywhere → lr differs only through c_s,
+        # and docs over equally-common words score equally
+        df = spark.createDataFrame(
+            [("a", "x", "w1 w2"), ("b", "x", "w3 w4")],
+            "doc_id string, lang string, text string",
+        )
+        rows = {r["doc_id"]: r["dsir_weight"] for r in
+                dsir_weights(df, F.col("lang") == "nope", n_buckets=64).collect()}
+        assert rows["a"] == rows["b"]

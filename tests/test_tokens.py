@@ -278,3 +278,19 @@ class TestPackRandomizedReference:
         for (src, s), (n_tok, toks) in asm.items():
             last = max(q for (t, q) in per_source if t == src)
             assert n_tok == MAX_LEN or s == last
+
+
+class TestMixtureEdgeCases:
+    def test_zero_token_source_is_excluded_not_divide_by_zero(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "a", [1, 2], 2), ("d2", "b", [], 0)],
+            "doc_id string, source string, tokens array<int>, n_tok int",
+        )
+        rows = {r["source"]: r for r in
+                mixture_weights(df, {"a": 0.5, "b": 0.5}).collect()}
+        # source b has zero tokens: T = min(2/0.5, 0/0.5) = 0 → every rate 0
+        # is the honest answer (cannot hit a 50% share from zero tokens)
+        assert rows["b"]["n_tok_total"] == 0
+        assert rows["b"]["rate"] == 0.0
+        assert rows["a"]["rate"] == 0.0
+        assert rows["a"]["expected_tokens"] == 0.0
