@@ -205,7 +205,9 @@ SELECT doc_id,
   len(ws) AS n_words,
   round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4) AS avg_word_len,
   round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) AS stop_ratio,
-  round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text), 4) AS punct_ratio,
+  CASE WHEN length(text) > 0
+       THEN round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text), 4)
+       END AS punct_ratio,
   CASE WHEN len(ws) >= 10
         AND round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4) >= 2.0
         AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text), 4) <= 0.2

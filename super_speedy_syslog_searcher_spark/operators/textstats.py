@@ -39,7 +39,9 @@ def stop_ratio_col(text_col: str) -> Column:
 def punct_ratio_col(text_col: str) -> Column:
     total = F.length(F.col(text_col))
     no_punct = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z0-9 ]", ""))
-    return F.round((total - no_punct) / total, 4)
+    # empty doc → ratio undefined (NULL), not an ANSI divide-by-zero
+    # task kill; the keep flag stays 0 via the n_words floor
+    return F.when(total > 0, F.round((total - no_punct) / total, 4))
 
 
 def avg_word_len_col(text_col: str) -> Column:
