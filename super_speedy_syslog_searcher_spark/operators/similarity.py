@@ -170,7 +170,10 @@ def norm_col(a) -> Column:
 
 
 def cosine_col(a, b) -> Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+    # zero-norm side → cosine undefined → NULL (threshold/rank filters
+    # drop it), never an ANSI divide-by-zero task kill
+    denom = norm_col(a) * norm_col(b)
+    return F.when(denom > 0, dot_col(a, b) / denom)
 
 
 def _scored(cand: DataFrame) -> DataFrame:
@@ -179,10 +182,13 @@ def _scored(cand: DataFrame) -> DataFrame:
     inline ``cosine_col`` re-derived both norms per candidate). Same
     value bit-for-bit: ``dot/(qnorm*cnorm)`` with ``norm = sqrt(dot(v,v))``
     is the exact expression ``cosine_col`` expands to, so the DuckDB
-    oracles are unchanged."""
+    oracles are unchanged. A zero-norm vector has no direction: its
+    pairs score NULL and are dropped (it is nobody's neighbor and has
+    none), rather than killing the task under ANSI division."""
+    denom = F.col("qnorm") * F.col("cnorm")
     return cand.withColumn(
-        "sim", dot_col(F.col("qv"), F.col("cv")) / (F.col("qnorm") * F.col("cnorm"))
-    )
+        "sim", F.when(denom > 0, dot_col(F.col("qv"), F.col("cv")) / denom)
+    ).filter(F.col("sim").isNotNull())
 
 
 def cosine_topk(

@@ -109,3 +109,28 @@ def test_parameterized_ops_survive_degenerate_docs(spark):
         [("e", "s", [], 0)], "doc_id string, source string, tokens array<int>, n_tok int"
     )
     mixture_weights(toks, {"s": 1.0}).collect()
+
+
+def test_similarity_ops_survive_zero_norm_vectors(spark):
+    from super_speedy_syslog_searcher_spark.operators.similarity import (
+        cosine_dup_pairs,
+        cosine_topk,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    rows = cosine_topk(corpus, queries, k=2).collect()
+    # the zero-norm query has no neighbors; the zero-norm corpus row is
+    # nobody's neighbor
+    assert {r["query_id"] for r in rows} == {10}
+    assert all(r["neighbor_id"] != 2 for r in rows)
+    cosine_topk_lsh(corpus, queries, k=2).collect()
+    cosine_topk_ivf(corpus, queries, k=2).collect()
+    cosine_dup_pairs(corpus, threshold=0.5).collect()
