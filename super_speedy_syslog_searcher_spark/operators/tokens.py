@@ -182,8 +182,11 @@ def mixture_weights(docs: DataFrame, targets: dict[str, float]) -> DataFrame:
     Sources absent from ``targets`` are excluded (rate would be 0).
     """
     spark = docs.sparkSession
+    # a non-positive share means "exclude this source" — same as absent
+    # (and a 0 share would divide by zero in the T aggregate)
     tgt = spark.createDataFrame(
-        sorted(targets.items()), "source string, target_share double"
+        sorted((k, v) for k, v in targets.items() if v > 0),
+        "source string, target_share double",
     )
     per = docs.groupBy("source").agg(F.sum("n_tok").cast("long").alias("n_tok_total"))
     j = per.join(F.broadcast(tgt), "source")

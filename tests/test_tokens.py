@@ -294,3 +294,13 @@ class TestMixtureEdgeCases:
         assert rows["b"]["rate"] == 0.0
         assert rows["a"]["rate"] == 0.0
         assert rows["a"]["expected_tokens"] == 0.0
+
+    def test_zero_share_target_excluded(self, spark):
+        df = spark.createDataFrame(
+            [("d1", "a", [1, 2], 2), ("d2", "b", [3], 1)],
+            "doc_id string, source string, tokens array<int>, n_tok int",
+        )
+        rows = {r["source"]: r for r in
+                mixture_weights(df, {"a": 1.0, "b": 0.0}).collect()}
+        assert sorted(rows) == ["a"]
+        assert rows["a"]["rate"] == 1.0
