@@ -207,6 +207,42 @@ FROM pairs GROUP BY 1, 2
 """
 
 
+LM_BUCKETS = 65536
+
+
+def q_tokens_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed bigram-LM quality score (perplexity filter) per doc."""
+    from .operators.tokens import bigram_logprob
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return bigram_logprob(rendered_docs(spark, sf_dir), n_buckets=LM_BUCKETS)
+
+
+SQL_TOKENS_BIGRAM_LM = f"""
+WITH {_SQL_DOCS.strip()},
+prs AS (
+  SELECT doc_id,
+         unicode(substr(line, i, 1)) AS l,
+         unicode(substr(line, i + 1, 1)) AS r
+  FROM (SELECT doc_id, line, unnest(generate_series(1, length(line) - 1)) AS i
+        FROM docs WHERE length(line) >= 2)
+),
+feats AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(l AS VARCHAR) || ',' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS pb,
+         CAST('0x' || substr(md5(CAST(l AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS ub
+  FROM prs
+),
+pcnt AS (SELECT pb, count(*) AS c_p FROM feats GROUP BY pb),
+ucnt AS (SELECT ub, count(*) AS c_u FROM feats GROUP BY ub)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(ln((c_p + 1) / CAST(c_u + {LM_BUCKETS} AS DOUBLE))), 4) AS mean_logprob,
+       round(exp(-avg(ln((c_p + 1) / CAST(c_u + {LM_BUCKETS} AS DOUBLE)))), 4) AS ppl
+FROM feats JOIN pcnt USING (pb) JOIN ucnt USING (ub)
+GROUP BY doc_id
+"""
+
+
 def q_stream_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING face of sequence packing: readStream over the
     tokenized corpus → stateful per-source offset carry
@@ -250,6 +286,7 @@ QUERIES = {
     "tokens_mixture": q_tokens_mixture,
     "tokens_bpe_pairs": q_tokens_bpe_pairs,
     "tokens_assemble": q_tokens_assemble,
+    "tokens_bigram_lm": q_tokens_bigram_lm,
     "stream_tokens_pack": q_stream_tokens_pack,
 }
 
@@ -259,5 +296,6 @@ ORACLES = {
     "tokens_mixture": SQL_TOKENS_MIXTURE,
     "tokens_bpe_pairs": SQL_TOKENS_BPE_PAIRS,
     "tokens_assemble": SQL_TOKENS_ASSEMBLE,
+    "tokens_bigram_lm": SQL_TOKENS_BIGRAM_LM,
     "stream_tokens_pack": SQL_TOKENS_PACK,
 }

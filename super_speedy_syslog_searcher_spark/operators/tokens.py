@@ -233,18 +233,64 @@ def bpe_pair_stats(docs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     aggregation collapses hot pairs map-side before the exchange — the
     10^12-row corpus contributes one row per distinct pair per task.
     """
-    t = F.col(tokens_col)
-    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
-    pairs = F.zip_with(
-        t, shifted, lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r")))
-    )
-    exploded = docs.select(
-        "doc_id", F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("p")
-    )
+    exploded = _adjacent_pairs(docs, tokens_col)
     return exploded.groupBy(
         F.col("p.l").cast("bigint").alias("left"),
         F.col("p.r").cast("bigint").alias("right"),
     ).agg(
         F.count("*").alias("n_pairs"),
         F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def _adjacent_pairs(docs: DataFrame, tokens_col: str) -> DataFrame:
+    """(doc_id, p struct<l,r>) — one row per adjacent token pair; the
+    zip-with-shifted-slice build keeps everything in codegen."""
+    t = F.col(tokens_col)
+    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    pairs = F.zip_with(
+        t, shifted, lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r")))
+    )
+    return docs.select(
+        "doc_id", F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("p")
+    )
+
+
+def bigram_logprob(docs: DataFrame, n_buckets: int = 65536, tokens_col: str = "tokens") -> DataFrame:
+    """Hashed bigram-LM quality score (the KenLM-perplexity filter of
+    CCNet/fastText-era pipelines, hash-LM flavored): per document, the
+    mean conditional log-likelihood of each adjacent token pair under a
+    corpus bigram model with add-one smoothing over hashed feature
+    buckets, plus the perplexity form ``exp(-mean)``. Repetitive /
+    in-domain docs score high (low ppl); out-of-distribution token
+    streams score low.
+
+    Hashing bigrams (and unigram contexts) into ``n_buckets`` fixed
+    buckets is what makes this a 100-TB operator: both count tables are
+    bounded, broadcast, and the corpus pair stream map-joins them with
+    no shuffle (the same design as ``curation.dsir_weights``). The only
+    wide exchanges are on the bounded bucket ids and on ``doc_id`` for
+    the per-doc mean. Docs with fewer than 2 tokens produce no row.
+    """
+    from .curation import hash_bucket
+
+    pairs = _adjacent_pairs(docs, tokens_col).select(
+        "doc_id",
+        hash_bucket(F.concat_ws(",", F.col("p.l"), F.col("p.r")), n_buckets).alias("pb"),
+        hash_bucket(F.col("p.l"), n_buckets).alias("ub"),
+    )
+    pcnt = pairs.groupBy("pb").agg(F.count("*").alias("c_p"))
+    ucnt = pairs.groupBy("ub").agg(F.count("*").alias("c_u"))
+    lp = F.log((F.col("c_p") + 1) / (F.col("c_u") + n_buckets))
+    scored = (
+        pairs.join(F.broadcast(pcnt), "pb")
+        .join(F.broadcast(ucnt), "ub")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_bigrams"), F.avg(lp).alias("_m"))
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("_m", 4).alias("mean_logprob"),
+        F.round(F.exp(-F.col("_m")), 4).alias("ppl"),
     )

@@ -35,6 +35,7 @@ from super_speedy_syslog_searcher_spark.operators.textstats import (
 )
 from super_speedy_syslog_searcher_spark.operators.tokens import (
     assemble_sequences,
+    bigram_logprob,
     bpe_pair_stats,
     mixture_weights,
     pack_sequences,
@@ -58,7 +59,7 @@ TEXT_OPS = [
     tfidf_top_terms,
 ]
 
-TOKEN_OPS = [pack_sequences, assemble_sequences, vocab_stats, bpe_pair_stats]
+TOKEN_OPS = [pack_sequences, assemble_sequences, vocab_stats, bpe_pair_stats, bigram_logprob]
 
 
 def _text_df(spark, rows):

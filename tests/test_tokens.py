@@ -304,3 +304,62 @@ class TestMixtureEdgeCases:
                 mixture_weights(df, {"a": 1.0, "b": 0.0}).collect()}
         assert sorted(rows) == ["a"]
         assert rows["a"]["rate"] == 1.0
+
+
+class TestBigramLogprob:
+    def test_matches_python_reference(self, spark):
+        import hashlib
+        import math
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import bigram_logprob
+
+        B = 64
+        docs = [("a", [1, 2, 3, 1, 2]), ("b", [9, 9, 9]), ("c", [5])]
+
+        def bucket(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % B
+
+        feats = []
+        for doc_id, toks in docs:
+            for l, r in zip(toks, toks[1:]):
+                feats.append((doc_id, bucket(f"{l},{r}"), bucket(str(l))))
+        cp, cu = {}, {}
+        for _, pb, ub in feats:
+            cp[pb] = cp.get(pb, 0) + 1
+            cu[ub] = cu.get(ub, 0) + 1
+        want = {}
+        for doc_id, _ in docs:
+            lps = [math.log((cp[pb] + 1) / (cu[ub] + B))
+                   for d, pb, ub in feats if d == doc_id]
+            if lps:
+                m = sum(lps) / len(lps)
+                want[doc_id] = (len(lps), round(m, 4), round(math.exp(-m), 4))
+
+        df = spark.createDataFrame(
+            [(d, "s", t, len(t)) for d, t in docs],
+            "doc_id string, source string, tokens array<int>, n_tok int",
+        )
+        got = {r["doc_id"]: (r["n_bigrams"], r["mean_logprob"], r["ppl"])
+               for r in bigram_logprob(df, n_buckets=B).collect()}
+        assert got == want  # doc "c" (1 token) absent from both
+
+    def test_common_bigrams_score_higher(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import bigram_logprob
+
+        docs = [(f"common{i}", "s", [1, 2] * 10, 20) for i in range(5)]
+        docs.append(("rare", "s", [7, 8, 9, 10, 11, 12], 6))
+        df = spark.createDataFrame(
+            docs, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+        rows = {r["doc_id"]: r["mean_logprob"] for r in bigram_logprob(df).collect()}
+        assert rows["common0"] > rows["rare"]
+
+    def test_count_tables_are_broadcast(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import bigram_logprob
+
+        df = spark.createDataFrame(
+            [("a", "s", [1, 2, 3], 3)],
+            "doc_id string, source string, tokens array<int>, n_tok int",
+        )
+        plan = bigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") >= 2
