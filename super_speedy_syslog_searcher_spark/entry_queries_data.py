@@ -490,6 +490,38 @@ WHERE l.vec_id < r.vec_id AND list_cosine_similarity(l.v, r.v) >= 0.99
 """
 
 
+def q_embed_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure over the embedding near-dup graph: the
+    keep/drop surface for embedding-level dedup (same pointer-jumping
+    closure the text near-dup pipeline uses, dedup.connected_components)."""
+    from .operators.dedup import connected_components
+
+    pairs = cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99)
+    return connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "cluster_id", "cluster_size"
+    )
+
+
+SQL_EMBED_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE pairs AS ({SQL_EMBED_COSINE_DUP}),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT node AS vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM labels
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -596,6 +628,7 @@ QUERIES = {
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
     "embed_cosine_dup": q_embed_cosine_dup,
+    "embed_dedup_components": q_embed_dedup_components,
     "multimodal_extract": q_multimodal_extract,
     "multimodal_real_decode": q_multimodal_real_decode,
 }
@@ -616,6 +649,7 @@ ORACLES = {
     "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
     "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),
     "embed_cosine_dup": SQL_EMBED_COSINE_DUP,
+    "embed_dedup_components": SQL_EMBED_DEDUP_COMPONENTS,
     "multimodal_extract": SQL_MULTIMODAL_EXTRACT,
     "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
 }
