@@ -119,6 +119,17 @@ def main() -> None:
             "window over the full stream, no per-source single task.",
         ),
         (
+            "Hashed bigram-LM quality score (bounded count tables broadcast)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.tokens", fromlist=["bigram_logprob"]
+            ).bigram_logprob(docs),
+            "Both count tables are keyed on FIXED hash buckets, so they "
+            "broadcast at any corpus size and the pair stream map-joins "
+            "them without shuffling; the only wide exchanges are the "
+            "bounded bucket aggregates and the per-doc mean (map-side "
+            "partial agg).",
+        ),
+        (
             "Benchmark decontamination (bench grams broadcast)",
             EQC.q_decontaminate(spark, SF),
             "The corpus gram stream map-joins a BroadcastExchange of the "
