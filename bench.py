@@ -75,7 +75,12 @@ def run_bench(spark, sf_dir: str) -> dict:
     def q_e2e():
         msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
         enriched = enrich(msgs, EQ.enrichment_df(spark))
-        route_write(enriched, out_dir)
+        # bounded-file fan-out: the (sink_key, salt) pre-shuffle costs one
+        # exchange but caps commit work at ~file_tasks files instead of
+        # tasks × sinks — measured 1.6-1.7× faster at EVERY host-contention
+        # level (BENCH.md round 3), and the right shape at 10^12 rows where
+        # unbounded small files would swamp the table's metadata layer
+        route_write(enriched, out_dir, file_tasks=2 * spark.sparkContext.defaultParallelism)
         sink_counts_from_path(spark, out_dir).collect()
 
     # q2: parse-only throughput (the UDF hot path)

@@ -54,7 +54,9 @@ for r in range(runs + 1):
     t0 = time.time()
     msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR)
     enriched = enrich(msgs, EQ.enrichment_df(spark))
-    route_write(enriched, out_dir)
+    # bounded-file fan-out (see bench.py q_e2e): caps commit work at
+    # ~2 files/core instead of 4 tasks/core × sinks
+    route_write(enriched, out_dir, file_tasks=2 * cores)
     sink_counts_from_path(spark, out_dir).collect()
     dt = time.time() - t0
     if r == 0:
