@@ -401,6 +401,61 @@ def _sql_gram(n: int) -> str:
     return " || ' ' || ".join(f"ws[x+{k}]" if k else "ws[x]" for k in range(n))
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level variant: mask only the benchmark-overlapping words;
+    same corpus-seeded bench as ``decontaminate``."""
+    from .operators.curation import decontaminate_spans
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = (
+        d.filter(F.col("doc_id") % 25 == 0)
+        .select(F.col("doc_id").alias("bench_id"), F.expr("substr(text, 1, 120)").alias("text"))
+        .unionByName(
+            spark.createDataFrame([(-1, DECON_ABSENT)], "bench_id long, text string")
+        )
+    )
+    return decontaminate_spans(d, bench, n=DECON_N)
+
+
+SQL_DECONTAMINATE_SPANS = f"""
+WITH bench AS (
+  SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 25 = 0
+  UNION ALL SELECT '{DECON_ABSENT}' AS text
+),
+bw AS (SELECT string_split(text, ' ') AS ws FROM bench),
+bgrams AS (
+  SELECT DISTINCT {_sql_gram(DECON_N)} AS gram
+  FROM bw, unnest(generate_series(1, greatest(len(ws) - {DECON_N - 1}, 0))) AS t(x)
+  WHERE len(ws) >= {DECON_N}
+),
+tw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+tgrams AS (
+  SELECT doc_id, x - 1 AS pos, {_sql_gram(DECON_N)} AS gram
+  FROM tw, unnest(generate_series(1, greatest(len(ws) - {DECON_N - 1}, 0))) AS t(x)
+  WHERE len(ws) >= {DECON_N}
+),
+hs AS (
+  SELECT t.doc_id, list(DISTINCT t.pos) AS starts
+  FROM tgrams t JOIN bgrams b USING (gram) GROUP BY t.doc_id
+),
+mw AS (
+  SELECT doc_id, ws, COALESCE(starts, []) AS hs FROM tw LEFT JOIN hs USING (doc_id)
+),
+masked AS (
+  SELECT doc_id, ws,
+         list_transform(generate_series(1, len(ws)),
+             i -> CASE WHEN len(list_filter(hs, p -> p <= i - 1 AND p > i - 1 - {DECON_N})) > 0
+                       THEN '<MASKED>' ELSE ws[i] END) AS mws
+  FROM mw
+)
+SELECT doc_id,
+       array_to_string(mws, ' ') AS clean_text,
+       CAST(len(list_filter(mws, w -> w = '<MASKED>')) AS BIGINT) AS n_masked_words,
+       CAST(len(ws) AS BIGINT) AS n_words
+FROM masked
+"""
+
+
 SQL_DECONTAMINATE = f"""
 WITH bench AS (
   SELECT doc_id AS bench_id, substr(text, 1, 120) AS text
@@ -475,6 +530,7 @@ GROUP BY doc_id
 QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "decontaminate": q_decontaminate,
+    "decontaminate_spans": q_decontaminate_spans,
     "dsir_weights": q_dsir_weights,
     "text_repetition": q_text_repetition,
     "clean_boilerplate": q_clean_boilerplate,
@@ -487,6 +543,7 @@ QUERIES = {
 ORACLES = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
     "decontaminate": SQL_DECONTAMINATE,
+    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "text_repetition": SQL_TEXT_REPETITION,
     "clean_boilerplate": SQL_CLEAN_BOILERPLATE,

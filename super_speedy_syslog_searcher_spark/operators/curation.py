@@ -436,3 +436,62 @@ def dsir_weights(
             F.round(F.avg("lr"), 4).alias("dsir_weight"),
         )
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    mask: str = "<MASKED>",
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping a contaminated
+    document (``decontaminate``), replace just the words covered by any
+    benchmark-overlapping ``n``-gram with ``mask`` (the surgical variant
+    modern code/datasets use so one leaked eval question doesn't cost a
+    whole document).
+
+    Same scale shape as ``decontaminate``: benchmark grams broadcast,
+    corpus never shuffles for matching; the per-doc hit-window set is
+    aggregated from hit rows only (rare), and the rebuild is pure array
+    algebra in codegen — a word is masked iff some hit gram starting at
+    position p ≤ i covers index i (p > i - n).
+
+    Returns ``doc_id, clean_text, n_masked_words, n_words``.
+    """
+    from .dedup import word_ngrams_col
+
+    words = F.split(F.col(text_col), " ")
+    base = docs.select(F.col(id_col).alias("doc_id"), words.alias("ws"))
+    # doc grams WITH their word-start index (posexplode keeps position)
+    tg = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_col(text_col, n)).alias("pos", "gram"),
+    )
+    bgrams = (
+        bench.select(
+            F.explode(F.array_distinct(word_ngrams_col(bench_text_col, n))).alias("gram")
+        ).distinct()
+    )
+    hits = (
+        tg.join(F.broadcast(bgrams), "gram")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("hit_starts"))
+    )
+    joined = base.join(hits, "doc_id", "left").select(
+        "doc_id", "ws", F.coalesce("hit_starts", F.array().cast("array<int>")).alias("hs")
+    )
+    # word i is covered iff ∃ start p ∈ hs with i-n < p ≤ i
+    covered = lambda i: F.exists("hs", lambda p: (p <= i) & (p > i - n))
+    masked = F.transform(
+        "ws", lambda w, i: F.when(covered(i), F.lit(mask)).otherwise(w)
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", masked).alias("clean_text"),
+        F.size(F.filter(masked, lambda w: w == mask)).cast("long").alias("n_masked_words"),
+        F.size("ws").cast("long").alias("n_words"),
+    )

@@ -410,3 +410,38 @@ class TestCurationEdgeCases:
         rows = {r["doc_id"]: r["dsir_weight"] for r in
                 dsir_weights(df, F.col("lang") == "nope", n_buckets=64).collect()}
         assert rows["a"] == rows["b"]
+
+
+class TestDecontaminateSpans:
+    W = "w1 w2 w3 w4 w5 w6 w7 w8"  # one 8-gram
+
+    def _run(self, spark, docs, bench, **kw):
+        d = spark.createDataFrame(docs, "doc_id string, text string")
+        b = spark.createDataFrame(bench, "bench_id string, text string")
+        from super_speedy_syslog_searcher_spark.operators.curation import decontaminate_spans
+
+        return {r["doc_id"]: r for r in decontaminate_spans(d, b, **kw).collect()}
+
+    def test_masks_only_the_overlap(self, spark):
+        rows = self._run(
+            spark,
+            [("d1", "pre " + self.W + " post"), ("d2", "a b c d e f g h")],
+            [("b1", self.W)],
+        )
+        assert rows["d1"]["clean_text"] == "pre " + " ".join(["<MASKED>"] * 8) + " post"
+        assert rows["d1"]["n_masked_words"] == 8
+        assert rows["d1"]["n_words"] == 10
+        assert rows["d2"]["clean_text"] == "a b c d e f g h"
+        assert rows["d2"]["n_masked_words"] == 0
+
+    def test_overlapping_hits_union_their_spans(self, spark):
+        # two hit grams starting at 0 and 1 → words 0..8 masked (9 words)
+        text = self.W + " w9 tail"
+        rows = self._run(spark, [("d1", text)], [("b1", self.W + " w9")])
+        assert rows["d1"]["n_masked_words"] == 9
+        assert rows["d1"]["clean_text"].endswith(" tail")
+
+    def test_short_doc_untouched(self, spark):
+        rows = self._run(spark, [("d1", "just a few words")], [("b1", self.W)])
+        assert rows["d1"]["clean_text"] == "just a few words"
+        assert rows["d1"]["n_masked_words"] == 0
