@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark.operators.curation import (
     decontaminate,
+    decontaminate_spans,
     drop_boilerplate_lines,
     dsir_weights,
     length_quantiles,
@@ -102,6 +103,7 @@ def test_parameterized_ops_survive_degenerate_docs(spark):
     d = _text_df(spark, [("e", ""), ("n", "plain words here")])
     bench = spark.createDataFrame([], "bench_id string, text string")
     decontaminate(d, bench).collect()
+    decontaminate_spans(d, bench).collect()
     lang = d.withColumn("lang", F.lit("en"))
     dsir_weights(lang, F.col("lang") == "nope").collect()
     stratified_sample(lang, {"en": 50}).collect()
