@@ -15,15 +15,20 @@ Container-level structures (headers, CRC32 checksums, record framing,
 chunk rollover) follow the public EVTX layout exactly and are verified
 on read.  The binary-XML decode covers the feature set real Windows
 event logs use: fragment header, open/close element (inline AND
-chunk-offset name references), attributes, unicode value text,
-TEMPLATE INSTANCES (0x0C — inline definition on first use per chunk,
-offset back-reference after) with normal/optional SUBSTITUTIONS
-(0x0D/0x0E) and typed substitution values (null, utf-16 string, the
-signed/unsigned 8-64-bit integers, FILETIME), nesting, EOF.  Records
-using tokens/value types outside this set yield their record framing
-(id, ts) with ``xml = NULL`` and an ``error`` note rather than failing
-the task — the same row-level containment as the multimodal codecs and
-the journal reader.
+chunk-offset name references), attributes, unicode value text, CDATA
+sections (0x07), character/entity references (0x08/0x09), TEMPLATE
+INSTANCES (0x0C — inline definition on first use per chunk, offset
+back-reference after; expansion depth-bounded so a self-referencing
+definition stays a contained record error) with normal/optional
+SUBSTITUTIONS (0x0D/0x0E) and the full public typed-value table: null,
+utf-16 + ANSI strings, the signed/unsigned 8-64-bit integers,
+float32/64, bool, binary (hex), GUID, SID, hex32/64, FILETIME, and
+0x80-flag arrays of these — the set the reference renders via the
+``evtx`` crate (evtxreader.rs:181-260).  Records using tokens/value
+types outside this set yield their record framing (id, ts) with
+``xml = NULL`` and an ``error`` note rather than failing the task —
+the same row-level containment as the multimodal codecs and the
+journal reader.
 
 Spark realization: one evtx file = one binary cell (the reference's
 unit of work, one ``EvtxReader`` per file); a ``mapInPandas`` stage
@@ -60,6 +65,18 @@ _INT_FMTS = {
     0x07: "<i", 0x08: "<I", 0x09: "<q", 0x0A: "<Q",
 }
 
+# fixed per-element byte widths for array (0x80-flag) rendering
+_FIXED_SIZES = {
+    0x03: 1, 0x04: 1, 0x05: 2, 0x06: 2, 0x07: 4, 0x08: 4, 0x09: 8, 0x0A: 8,
+    0x0B: 4, 0x0C: 8, 0x0D: 4, 0x0F: 16, 0x11: 8, 0x14: 4, 0x15: 8,
+}
+
+# template expansion depth bound: real binxml nests template instances at
+# most a few levels deep; a crafted definition that back-references itself
+# would otherwise recurse to RecursionError, escaping the per-record
+# containment (ADVICE r3 — one bad record must not kill the file/task)
+_MAX_TEMPLATE_DEPTH = 8
+
 
 def _filetime(unix_us: int) -> int:
     return (unix_us + _FILETIME_EPOCH_US) * 10
@@ -87,16 +104,75 @@ def _guid(tid: int) -> bytes:
     return struct.pack("<IIII", tid & 0xFFFFFFFF, 0x11111111, 0x22222222, 0x33333333)
 
 
+class CData:
+    """CDATA-section leaf in a writer tree (token 0x07)."""
+
+    __slots__ = ("text",)
+
+    def __init__(self, text: str) -> None:
+        self.text = text
+
+
+class CharRef:
+    """Character entity reference leaf ``&#NNNN;`` (token 0x08)."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value: int) -> None:
+        self.value = value
+
+
+class EntityRef:
+    """Named entity reference leaf ``&name;`` (token 0x09)."""
+
+    __slots__ = ("name",)
+
+    def __init__(self, name: str) -> None:
+        self.name = name
+
+
 def _enc_value(vtype: int, v) -> bytes:
+    if vtype & 0x80:  # array: concatenated element encodings
+        base = vtype & 0x7F
+        if base == 0x01:  # utf-16 strings, each null-terminated
+            return b"".join(str(x).encode("utf-16-le") + b"\x00\x00" for x in v)
+        return b"".join(_enc_value(base, x) for x in v)
     if vtype == 0x00:
         return b""
     if vtype == 0x01:
         return str(v).encode("utf-16-le")
+    if vtype == 0x02:  # ANSI (codepage) string
+        return str(v).encode("latin-1")
     fmt = _INT_FMTS.get(vtype)
     if fmt is not None:
         return struct.pack(fmt, int(v))
+    if vtype == 0x0B:  # float32
+        return struct.pack("<f", float(v))
+    if vtype == 0x0C:  # float64
+        return struct.pack("<d", float(v))
+    if vtype == 0x0D:  # bool (u32)
+        return struct.pack("<I", 1 if v else 0)
+    if vtype == 0x0E:  # binary blob
+        return bytes(v)
+    if vtype == 0x0F:  # GUID from text "{xxxxxxxx-xxxx-xxxx-xxxx-xxxxxxxxxxxx}"
+        s = str(v).strip("{}").replace("-", "")
+        d1, d2, d3 = int(s[0:8], 16), int(s[8:12], 16), int(s[12:16], 16)
+        return struct.pack("<IHH", d1, d2, d3) + bytes.fromhex(s[16:])
     if vtype == 0x11:  # FILETIME from unix µs
         return struct.pack("<Q", _filetime(int(v)))
+    if vtype == 0x13:  # SID from "S-1-<auth>-<sub>-..." text
+        parts = str(v).split("-")
+        rev, auth = int(parts[1]), int(parts[2])
+        subs = [int(p) for p in parts[3:]]
+        return (
+            struct.pack("<BB", rev, len(subs))
+            + auth.to_bytes(6, "big")
+            + b"".join(struct.pack("<I", s) for s in subs)
+        )
+    if vtype == 0x14:  # hex int32 from int or "0x..." text
+        return struct.pack("<I", int(str(v), 0) & 0xFFFFFFFF)
+    if vtype == 0x15:  # hex int64
+        return struct.pack("<Q", int(str(v), 0) & 0xFFFFFFFFFFFFFFFF)
     raise ValueError(f"writer: unsupported substitution value type {vtype:#x}")
 
 
@@ -145,7 +221,25 @@ class EvtxWriter:
         out.append(0x05)  # ValueText
         out.append(0x01)  # StringType
         enc = str(text).encode("utf-16-le")
-        out += struct.pack("<H", len(str(text))) + enc
+        # length is the UTF-16 CODE-UNIT count (len(enc)//2), not Python
+        # code points — astral chars occupy two units (ADVICE r3)
+        out += struct.pack("<H", len(enc) // 2) + enc
+
+    def _emit_leaf(self, out: bytearray, chunk_base: int, names: dict[str, int], value) -> None:
+        if isinstance(value, Sub):
+            self._emit_sub(out, value)
+        elif isinstance(value, CData):
+            out.append(0x07)
+            enc = str(value.text).encode("utf-16-le")
+            out += struct.pack("<H", len(enc) // 2) + enc
+        elif isinstance(value, CharRef):
+            out.append(0x08)
+            out += struct.pack("<H", value.value)
+        elif isinstance(value, EntityRef):
+            out.append(0x09)
+            self._emit_name(out, chunk_base, names, value.name)
+        else:
+            self._emit_text(out, value)
 
     def _emit_sub(self, out: bytearray, sub: Sub) -> None:
         out.append(0x0E if sub.optional else 0x0D)
@@ -180,10 +274,11 @@ class EvtxWriter:
         if isinstance(value, dict):
             for k, v in value.items():
                 self._emit_element(out, chunk_base, names, k, v)
-        elif isinstance(value, Sub):
-            self._emit_sub(out, value)
+        elif isinstance(value, list):  # mixed content: sequence of leaves
+            for v in value:
+                self._emit_leaf(out, chunk_base, names, v)
         else:
-            self._emit_text(out, value)
+            self._emit_leaf(out, chunk_base, names, value)
         out.append(0x04)  # EndElement
         struct.pack_into("<I", out, size_at, len(out) - size_at - 4)
 
@@ -316,20 +411,59 @@ def _read_name(chunk: bytes, off: int) -> tuple[str, int]:
 
 
 def _render_value(vtype: int, raw: bytes) -> str:
-    """Substitution value → rendered text (deterministic)."""
+    """Substitution value → rendered text (deterministic).  Covers the
+    public EVTX value-type table incl. the exotic types the reference's
+    ``evtx`` crate renders (evtxreader.rs:181-260): ANSI string, float,
+    bool, binary, GUID, SID, hex32/64, FILETIME, and 0x80-flag arrays."""
+    if vtype & 0x80:  # array of base type
+        base = vtype & 0x7F
+        if base == 0x01:  # null-terminated utf-16 strings
+            items = raw.decode("utf-16-le").split("\x00")
+            if items and items[-1] == "":
+                items.pop()
+            return ",".join(items)
+        esize = _FIXED_SIZES.get(base)
+        if esize is None or len(raw) % esize:
+            raise _BinXmlUnsupported(f"array of value type {base:#x}")
+        return ",".join(
+            _render_value(base, raw[i : i + esize]) for i in range(0, len(raw), esize)
+        )
     if vtype == 0x00:  # NullType
         return ""
     if vtype == 0x01:  # utf-16 string
         return raw.decode("utf-16-le")
+    if vtype == 0x02:  # ANSI (codepage) string
+        return raw.decode("latin-1")
     fmt = _INT_FMTS.get(vtype)
     if fmt is not None:
         return str(struct.unpack(fmt, raw)[0])
+    if vtype == 0x0B:  # float32
+        return repr(struct.unpack("<f", raw)[0])
+    if vtype == 0x0C:  # float64
+        return repr(struct.unpack("<d", raw)[0])
+    if vtype == 0x0D:  # bool (u32)
+        return "true" if struct.unpack("<I", raw)[0] else "false"
+    if vtype == 0x0E:  # binary → uppercase hex (Windows EventData rendering)
+        return raw.hex().upper()
+    if vtype == 0x0F:  # GUID → {xxxxxxxx-xxxx-xxxx-xxxx-xxxxxxxxxxxx}
+        d1, d2, d3 = struct.unpack_from("<IHH", raw)
+        tail = raw[8:16].hex()
+        return f"{{{d1:08x}-{d2:04x}-{d3:04x}-{tail[:4]}-{tail[4:]}}}"
     if vtype == 0x11:  # FILETIME → ISO-8601 with µs, UTC
         us = _unix_us(struct.unpack("<Q", raw)[0])
         from datetime import datetime, timedelta, timezone
 
         dt = datetime(1970, 1, 1, tzinfo=timezone.utc) + timedelta(seconds=us // 1_000_000)
         return dt.strftime("%Y-%m-%dT%H:%M:%S.") + f"{us % 1_000_000:06d}Z"
+    if vtype == 0x13:  # SID → S-R-A-S1-S2-...
+        rev, n_sub = raw[0], raw[1]
+        auth = int.from_bytes(raw[2:8], "big")
+        subs = struct.unpack_from(f"<{n_sub}I", raw, 8) if n_sub else ()
+        return "-".join(["S", str(rev), str(auth), *map(str, subs)])
+    if vtype == 0x14:  # hex int32
+        return f"0x{struct.unpack('<I', raw)[0]:x}"
+    if vtype == 0x15:  # hex int64
+        return f"0x{struct.unpack('<Q', raw)[0]:x}"
     raise _BinXmlUnsupported(f"substitution value type {vtype:#x}")
 
 
@@ -343,9 +477,16 @@ def _read_text_value(chunk: bytes, pos: int) -> tuple[str, int]:
     return chunk[pos : pos + n_chars * 2].decode("utf-16-le"), pos + n_chars * 2
 
 
-def _parse_binxml(chunk: bytes, pos: int, end: int, subs: Optional[list[str]] = None) -> str:
+def _parse_binxml(
+    chunk: bytes, pos: int, end: int, subs: Optional[list[str]] = None, depth: int = 0
+) -> str:
     """Token walk → rendered XML string.  ``subs`` carries the rendered
-    substitution values while expanding a template definition."""
+    substitution values while expanding a template definition; ``depth``
+    counts template-expansion nesting and is bounded so a crafted
+    definition that back-references itself stays a contained per-record
+    error instead of a RecursionError that kills the whole file."""
+    if depth > _MAX_TEMPLATE_DEPTH:
+        raise EvtxFormatError(f"template expansion deeper than {_MAX_TEMPLATE_DEPTH}")
     parts: list[str] = []
     stack: list[str] = []
     while pos < end:
@@ -405,6 +546,24 @@ def _parse_binxml(chunk: bytes, pos: int, end: int, subs: Optional[list[str]] = 
         elif tok in (0x05, 0x45):  # ValueText
             text, pos = _read_text_value(chunk, pos)
             parts.append(text)
+        elif tok in (0x07, 0x47):  # CDATASection (u16 n_chars + utf-16 text)
+            (n_chars,) = struct.unpack_from("<H", chunk, pos + 1)
+            pos += 3
+            text = chunk[pos : pos + n_chars * 2].decode("utf-16-le")
+            pos += n_chars * 2
+            parts.append(f"<![CDATA[{text}]]>")
+        elif tok in (0x08, 0x48):  # CharRef (u16 code point)
+            (cp,) = struct.unpack_from("<H", chunk, pos + 1)
+            pos += 3
+            parts.append(f"&#{cp};")
+        elif tok in (0x09, 0x49):  # EntityRef (u32 name offset)
+            (eoff,) = struct.unpack_from("<I", chunk, pos + 1)
+            pos += 5
+            if eoff == pos:  # inline name
+                ename, pos = _read_name(chunk, eoff)
+            else:
+                ename, _ = _read_name(chunk, eoff)
+            parts.append(f"&{ename};")
         elif tok in (0x0D, 0x0E):  # Normal/OptionalSubstitution
             if subs is None:
                 raise _BinXmlUnsupported("substitution outside template")
@@ -430,7 +589,7 @@ def _parse_binxml(chunk: bytes, pos: int, end: int, subs: Optional[list[str]] = 
             for size, vt in descs:
                 vals.append(_render_value(vt, chunk[pos : pos + size]))
                 pos += size
-            parts.append(_parse_binxml(chunk, frag0, frag0 + data_size, subs=vals))
+            parts.append(_parse_binxml(chunk, frag0, frag0 + data_size, subs=vals, depth=depth + 1))
         elif tok == 0x00:  # EOF
             break
         else:
@@ -483,7 +642,7 @@ def parse_evtx_bytes(buf: bytes, verify_checksums: bool = True) -> list[dict]:
                 xml = _parse_binxml(chunk, pos + _REC_HDR.size, pos + size - 4)
             except _BinXmlUnsupported as e:
                 err = f"binxml outside supported subset: {e}"
-            except (EvtxFormatError, struct.error, IndexError, UnicodeDecodeError) as e:
+            except (EvtxFormatError, struct.error, IndexError, UnicodeDecodeError, RecursionError) as e:
                 # framing + checksums were fine, so contain a malformed
                 # payload (e.g. a template offset pointing nowhere) to
                 # this record instead of failing the file

