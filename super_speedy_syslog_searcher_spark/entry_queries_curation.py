@@ -287,19 +287,21 @@ counts AS (
   SELECT doc_id, n_chars, n, gram, count(*) AS cnt FROM grams GROUP BY ALL
 ),
 per_doc AS (
+  -- top-n-gram = the MOST FREQUENT gram (Gopher), tie -> longer gram:
+  -- lexicographic struct max on (cnt, len), same as Spark's struct max
   SELECT doc_id, n_chars,
          sum(CASE WHEN n = 1 THEN cnt END) AS n_words,
          count(CASE WHEN n = 1 THEN 1 END) AS n_distinct,
-         max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS t2,
-         max(CASE WHEN n = 3 THEN cnt * length(gram) END) AS t3,
+         max(CASE WHEN n = 2 THEN struct_pack(c := cnt, l := length(gram)) END) AS t2s,
+         max(CASE WHEN n = 3 THEN struct_pack(c := cnt, l := length(gram)) END) AS t3s,
          sum(CASE WHEN n = 5 AND cnt > 1 THEN cnt * length(gram) END) AS d5
   FROM counts GROUP BY doc_id, n_chars
 ),
 fracs AS (
   SELECT doc_id, n_chars, CAST(n_words AS BIGINT) AS n_words,
          round((n_words - n_distinct) / CAST(n_words AS DOUBLE), 4) AS dup_word_frac,
-         round(COALESCE(t2, 0) / CAST(n_chars AS DOUBLE), 4) AS top2gram_frac,
-         round(COALESCE(t3, 0) / CAST(n_chars AS DOUBLE), 4) AS top3gram_frac,
+         round(COALESCE(t2s.c * t2s.l, 0) / CAST(n_chars AS DOUBLE), 4) AS top2gram_frac,
+         round(COALESCE(t3s.c * t3s.l, 0) / CAST(n_chars AS DOUBLE), 4) AS top3gram_frac,
          round(COALESCE(d5, 0) / CAST(n_chars AS DOUBLE), 4) AS dup5gram_frac
   FROM per_doc
 )

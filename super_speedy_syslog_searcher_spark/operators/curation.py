@@ -180,6 +180,13 @@ def repetition_stats(
     occurrences; inner spaces included keeps both engines' arithmetic in
     integers until the final division).
 
+    top2/top3gram_frac follow the paper: the coverage of the MOST
+    FREQUENT n-gram (max cnt), not the max coverage over all grams — a
+    longer-but-rarer gram can no longer win (ADVICE r3). Ties on cnt
+    break toward the longer gram (maximizing the reported coverage among
+    equally-frequent grams), which also makes the output deterministic:
+    equal (cnt, len) ties all yield the same cnt*len product.
+
     All n-gram orders are tagged into ONE exploded stream, so the whole
     operator is: one explode, one (doc, n, gram) count aggregate, one
     per-doc aggregate, one join to the doc-length table. Map-side partial
@@ -212,15 +219,21 @@ def repetition_stats(
         F.count("*").alias("cnt")
     )
     gchars = F.col("cnt") * F.length("gram")
+    # most-frequent gram, tie → longer: lexicographic struct max on (cnt, len)
+    freq_key = F.struct(F.col("cnt").alias("c"), F.length("gram").alias("l"))
     per_doc = counts.groupBy(id_col, "n_chars").agg(
         F.sum(F.when(F.col("n") == 1, F.col("cnt"))).alias("n_words"),
         F.count(F.when(F.col("n") == 1, True)).alias("n_distinct_words"),
-        F.max(F.when(F.col("n") == 2, gchars)).alias("_top2"),
-        F.max(F.when(F.col("n") == 3, gchars)).alias("_top3"),
+        F.max(F.when(F.col("n") == 2, freq_key)).alias("_top2s"),
+        F.max(F.when(F.col("n") == 3, freq_key)).alias("_top3s"),
         F.sum(F.when((F.col("n") == 5) & (F.col("cnt") > 1), gchars)).alias("_dup5"),
     )
-    top2 = F.round(F.coalesce(F.col("_top2"), F.lit(0)) / F.col("n_chars"), 4)
-    top3 = F.round(F.coalesce(F.col("_top3"), F.lit(0)) / F.col("n_chars"), 4)
+    top2 = F.round(
+        F.coalesce(F.col("_top2s.c") * F.col("_top2s.l"), F.lit(0)) / F.col("n_chars"), 4
+    )
+    top3 = F.round(
+        F.coalesce(F.col("_top3s.c") * F.col("_top3s.l"), F.lit(0)) / F.col("n_chars"), 4
+    )
     dup5 = F.round(F.coalesce(F.col("_dup5"), F.lit(0)) / F.col("n_chars"), 4)
     dupw = F.round(
         (F.col("n_words") - F.col("n_distinct_words")) / F.col("n_words"), 4

@@ -133,7 +133,7 @@ PACK_OUT_SCHEMA = (
     "seq_off long, chunk_len long, chunk_sum long"
 )
 
-PACK_STATE_SCHEMA = "next_start long"
+PACK_STATE_SCHEMA = "next_start long, last_doc_id string"
 
 
 def pack_sequences_stateful(docs_stream: DataFrame, max_len: int = 512) -> DataFrame:
@@ -147,8 +147,11 @@ def pack_sequences_stateful(docs_stream: DataFrame, max_len: int = 512) -> DataF
     order. Docs are sorted by doc_id WITHIN a micro-batch; across
     batches the stream must deliver each source's docs in nondecreasing
     doc_id order (the append-only log shape — new docs get higher ids).
-    An out-of-order late doc is a re-pack upstream, not a silent
-    misplacement here.
+    The contract is ENFORCED, not assumed: the state carries the
+    last-seen doc_id per source and a batch whose min doc_id regresses
+    below it raises with both ids named — an out-of-order late doc is a
+    loud re-pack-upstream signal, never a silent misplacement at the
+    current stream offset.
 
     Scale notes: state is ONE long per source; per-batch work is
     O(tokens in batch) with a numpy prefix sum per doc; the grouping
@@ -159,10 +162,16 @@ def pack_sequences_stateful(docs_stream: DataFrame, max_len: int = 512) -> DataF
         import numpy as np
 
         source = key[0]
-        start = state.get[0] if state.exists else 0
+        start, last_doc = (state.get[0], state.get[1]) if state.exists else (0, None)
         rows = []
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values("doc_id")
+        if len(pdf) and last_doc is not None and pdf["doc_id"].iloc[0] <= last_doc:
+            raise ValueError(
+                f"pack_sequences_stateful: source {source!r} received doc_id "
+                f"{pdf['doc_id'].iloc[0]!r} after already packing {last_doc!r} — "
+                "cross-batch doc_id order regressed; re-pack upstream"
+            )
         for doc_id, toks in zip(pdf["doc_id"], pdf["tokens"]):
             toks = np.asarray(toks, dtype=np.int64)
             n = int(toks.size)
@@ -178,7 +187,9 @@ def pack_sequences_stateful(docs_stream: DataFrame, max_len: int = 512) -> DataF
                     g1 - g0, int(cs[g1 - start] - cs[g0 - start]),
                 ))
             start += n
-        state.update((start,))
+        if len(pdf):
+            last_doc = pdf["doc_id"].iloc[-1]
+        state.update((start, last_doc))
         if rows:
             yield pd.DataFrame(
                 rows,

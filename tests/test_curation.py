@@ -144,7 +144,14 @@ def _gopher_ref(text):
         return c
 
     c1, c2, c3, c5 = counts(1), counts(2), counts(3), counts(5)
-    top = lambda c: max((cnt * len(g) for g, cnt in c.items()), default=0)
+
+    def top(c):
+        # Gopher: coverage of the MOST FREQUENT gram; tie -> longer gram
+        if not c:
+            return 0
+        cnt, ln = max((cnt, len(g)) for g, cnt in c.items())
+        return cnt * ln
+
     dup = sum(cnt * len(g) for g, cnt in c5.items() if cnt > 1)
     return {
         "n_words": len(words),
@@ -162,6 +169,10 @@ class TestRepetitionStats:
             "aa bb cc dd ee ff gg hh ii jj kk ll mm nn oo pp qq rr ss tt",
             "spam spam spam spam spam spam eggs spam spam spam spam spam",
             "the cat sat on the mat the cat sat on the mat again",
+            # distinguishes the Gopher definition from max-coverage: the
+            # long bigram (cnt 2, len 19) would win on coverage, but the
+            # MOST FREQUENT bigram is "a b" (cnt 3, len 3)
+            "longword1 longword2 longword1 longword2 a b a b a b",
         ]
         df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
         got = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}

@@ -222,3 +222,37 @@ def test_stateful_packing_carries_offset_across_batches(spark, tmp_path):
     # sequences 2 and 3 of source s — proof the carry crossed the restart
     d2_seqs = sorted(r[1] for r in got if r[2] == "d2")
     assert d2_seqs == [2, 3]
+
+
+def test_pack_stateful_out_of_order_doc_raises(spark, tmp_path):
+    """ADVICE r3: a late doc whose doc_id regresses below the last packed
+    one must fail loudly (re-pack upstream), not pack silently at the
+    current stream offset."""
+    from super_speedy_syslog_searcher_spark.streaming.stateful import pack_sequences_stateful
+
+    schema = "doc_id string, source string, tokens array<int>"
+    in_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "chunks")
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        stream = spark.readStream.schema(spark.read.parquet(in_dir).schema).parquet(in_dir)
+        q = (
+            pack_sequences_stateful(stream, max_len=8)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    run_once([("d5", "s", [1, 2, 3])], "overwrite")
+    from pyspark.errors import PySparkException
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((PySparkException, Py4JJavaError)) as ei:
+        run_once([("d2", "s", [4, 5])], "append")  # regresses below d5
+    assert "doc_id order regressed" in str(ei.value) or "re-pack upstream" in str(ei.value)
