@@ -107,6 +107,8 @@ class JournalWriter:
         self,
         compact: bool = False,
         xz_min_payload: Optional[int] = None,
+        lz4_min_payload: Optional[int] = None,
+        zstd_min_payload: Optional[int] = None,
         machine_id: bytes = b"\x01" * 16,
         boot_id: bytes = b"\x02" * 16,
         seqnum_id: bytes = b"\x03" * 16,
@@ -114,6 +116,8 @@ class JournalWriter:
     ):
         self.compact = compact
         self.xz_min = xz_min_payload
+        self.lz4_min = lz4_min_payload
+        self.zstd_min = zstd_min_payload
         self.machine_id = machine_id
         self.boot_id = boot_id
         self.seqnum_id = seqnum_id
@@ -136,6 +140,10 @@ class JournalWriter:
         incompatible = HEADER_INCOMPATIBLE_COMPACT if compact else 0
         if self.xz_min is not None:
             incompatible |= HEADER_INCOMPATIBLE_COMPRESSED_XZ
+        if self.lz4_min is not None:
+            incompatible |= HEADER_INCOMPATIBLE_COMPRESSED_LZ4
+        if self.zstd_min is not None:
+            incompatible |= HEADER_INCOMPATIBLE_COMPRESSED_ZSTD
 
         chunks: list[bytes] = []
         pos = _HEADER_FIXED_SIZE  # header_size == our fixed prefix
@@ -177,6 +185,17 @@ class JournalWriter:
                 if self.xz_min is not None and len(payload) >= self.xz_min:
                     flags = OBJECT_COMPRESSED_XZ
                     stored = lzma.compress(payload, format=lzma.FORMAT_XZ)
+                elif self.lz4_min is not None and len(payload) >= self.lz4_min:
+                    # systemd layout: le64 uncompressed size + LZ4 block
+                    from ..functions.lz4_pure import lz4_block_compress_stored
+
+                    flags = OBJECT_COMPRESSED_LZ4
+                    stored = struct.pack("<Q", len(payload)) + lz4_block_compress_stored(payload)
+                elif self.zstd_min is not None and len(payload) >= self.zstd_min:
+                    from ..functions.lz4_pure import zstd_frame_compress_raw
+
+                    flags = OBJECT_COMPRESSED_ZSTD
+                    stored = zstd_frame_compress_raw(payload)
                 body = b"\x00" * data_fixed + stored
                 payload_off[payload] = emit(
                     _OBJ_HDR.pack(OBJECT_DATA, flags, 16 + len(body)) + body
@@ -260,18 +279,36 @@ def _decompress(flags: int, stored: bytes) -> bytes:
     if flags & OBJECT_COMPRESSED_XZ:
         return lzma.decompress(stored)
     if flags & OBJECT_COMPRESSED_LZ4:
+        # systemd layout: le64 uncompressed size + LZ4 BLOCK data
+        size = struct.unpack_from("<Q", stored)[0]
         try:
             import lz4.block  # type: ignore
-        except ImportError as e:  # pragma: no cover - codec not in container
-            raise JournalFormatError("lz4-compressed data object; lz4 codec unavailable") from e
-        size = struct.unpack_from("<Q", stored)[0]
-        return lz4.block.decompress(stored[8:], uncompressed_size=size)
+
+            return lz4.block.decompress(stored[8:], uncompressed_size=size)
+        except ImportError:
+            # pure-Python fallback (functions/lz4_pure — full block decoder)
+            from ..functions.lz4_pure import Lz4FormatError, lz4_block_decompress
+
+            try:
+                return lz4_block_decompress(stored[8:], uncompressed_size=size)
+            except Lz4FormatError as e:
+                raise JournalFormatError(f"lz4 data object: {e}") from e
     if flags & OBJECT_COMPRESSED_ZSTD:
         try:
             import zstandard  # type: ignore
-        except ImportError as e:  # pragma: no cover - codec not in container
-            raise JournalFormatError("zstd-compressed data object; zstd codec unavailable") from e
-        return zstandard.ZstdDecompressor().decompress(stored)
+
+            return zstandard.ZstdDecompressor().decompress(stored)
+        except ImportError:
+            from ..functions.lz4_pure import (
+                UnsupportedCodec,
+                ZstdFormatError,
+                zstd_frame_decompress_subset,
+            )
+
+            try:
+                return zstd_frame_decompress_subset(stored)
+            except (UnsupportedCodec, ZstdFormatError) as e:
+                raise JournalFormatError(f"zstd data object: {e}") from e
     return stored
 
 

@@ -26,7 +26,10 @@ EVTX = "evtx"
 JOURNAL = "journal"
 UNPARSABLE = "unparsable"
 
-COMPRESSION_SUFFIXES = (".gz", ".bz2", ".lz4", ".xz", ".tar")
+# reference set (filepreprocessor.rs) + ".zst": the reference links zstd
+# only for journal objects, but this engine's codec sniff decodes .zst
+# inputs, so the name rules strip it too
+COMPRESSION_SUFFIXES = (".gz", ".bz2", ".lz4", ".xz", ".tar", ".zst")
 ROTATION_RE = re.compile(r"(\.\d+|\.old|\.bak|~)$")
 FIXEDSTRUCT_NAMES = ("utmp", "utmpx", "wtmp", "wtmpx", "btmp", "btmpx", "lastlog", "lastlogx", "acct", "pacct")
 # the reference's full skiplist of known non-log extensions
@@ -139,7 +142,7 @@ def filetype_col(source_col: Column, unparseable_are_text: bool = False) -> Colu
     base = F.lower(F.element_at(F.split(source_col, "/"), -1))
     # strip (repeatedly enough for practical cases: 2 passes) rotation+compression
     for _ in range(2):
-        base = F.regexp_replace(base, r"(\.gz|\.bz2|\.lz4|\.xz|\.tar)$", "")
+        base = F.regexp_replace(base, r"(\.gz|\.bz2|\.lz4|\.xz|\.tar|\.zst)$", "")
         base = F.regexp_replace(base, r"(\.\d+|\.old|\.bak|~)$", "")
     stem = F.regexp_replace(base, r"\.[^.]*$", "")
     fixed_names = list(FIXEDSTRUCT_NAMES)

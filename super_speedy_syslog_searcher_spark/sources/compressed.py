@@ -10,8 +10,11 @@ codec step — this module is that on-ramp:
 
   ``spark.read.format("binaryFile")`` (one row per file, distributed)
   → magic-byte codec sniff → stdlib decompress (gzip/bz2/lzma; lz4 and
-  zstandard gated behind import) → tokenized docs table
-  ``(doc_id, tokens, n_tok, source)`` ready for ``parse_messages_fused``.
+  zstandard gated behind import) → tar member expansion (one tarball =
+  one logical source per parseable member, ``process_path_tar``
+  semantics) → tokenized docs table ``(doc_id, tokens, n_tok, source)``
+  ready for ``parse_messages_fused``; or ``read_archive_files`` for the
+  typed binary on-ramp (evtx/journal/fixedstruct members).
 
 Codec selection is by MAGIC BYTES, not extension — a ``.gz`` that is
 actually plain text parses fine, matching the reference's behavior of
@@ -73,19 +76,149 @@ def decompress_payload(buf: bytes) -> tuple[bytes, Optional[str], Optional[str]]
             elif codec == "lz4":
                 try:
                     import lz4.frame  # type: ignore
+
+                    buf = lz4.frame.decompress(buf)
                 except ImportError:
-                    return buf, "+".join(codec_chain) or None, "lz4 codec unavailable"
-                buf = lz4.frame.decompress(buf)
+                    # pure-Python frame decoder (functions/lz4_pure)
+                    from ..functions.lz4_pure import lz4_frame_decompress
+
+                    buf = lz4_frame_decompress(buf)
             elif codec == "zst":
                 try:
                     import zstandard  # type: ignore
+
+                    buf = zstandard.ZstdDecompressor().decompress(buf)
                 except ImportError:
-                    return buf, "+".join(codec_chain) or None, "zstd codec unavailable"
-                buf = zstandard.ZstdDecompressor().decompress(buf)
+                    # raw/RLE-block subset decoder; entropy-coded blocks
+                    # raise UnsupportedCodec -> contained error row below
+                    from ..functions.lz4_pure import zstd_frame_decompress_subset
+
+                    buf = zstd_frame_decompress_subset(buf)
         except Exception as e:  # corrupt stream → contained error row
             return buf, "+".join(codec_chain + [codec]), f"{codec}: {e}"
         codec_chain.append(codec)
     return buf, "+".join(codec_chain) or None, None
+
+
+def _chain(codec: Optional[str], step: str) -> str:
+    return f"{codec}+{step}" if codec else step
+
+
+def _looks_tar(data: bytes, name: str) -> bool:
+    """ustar/pax/gnu magic at offset 257; pre-POSIX (v7) tars have no
+    magic, so fall back to the codec-stripped name ending in ``.tar``."""
+    if len(data) > 262 and data[257:262] == b"ustar":
+        return True
+    base = name.lower()
+    for suf in (".gz", ".bz2", ".lz4", ".xz", ".zst"):
+        if base.endswith(suf):
+            base = base[: -len(suf)]
+    return base.endswith(".tar")
+
+
+def expand_tar_members(data: bytes) -> list[tuple[str, Optional[bytes], Optional[str]]]:
+    """Tar byte stream → [(member_name, payload|None, error|None)] with the
+    reference's member rules (``process_path_tar``,
+    /root/reference/src/readers/filepreprocessor.rs:772-976; member open
+    blockreader.rs:4031):
+
+    * non-file entries (dirs, links) are skipped;
+    * empty members yield an error row (``FileErrEmpty``);
+    * a compressed member yields the reference's "cannot extract <codec>
+      type from a tar archived file" error row;
+    * a nested archive yields "nested archives are not supported";
+    * everything else yields its bytes for downstream typing.
+    """
+    import io
+    import tarfile
+
+    out: list[tuple[str, Optional[bytes], Optional[str]]] = []
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
+        for m in tf:
+            if not m.isfile():
+                continue
+            low = m.name.lower()
+            if m.size == 0:
+                out.append((m.name, None, "empty member"))
+                continue
+            if low.endswith(".tar") or low.endswith(".tgz"):
+                out.append((m.name, None, "nested archives are not supported"))
+                continue
+            comp = next(
+                (s for s in (".gz", ".bz2", ".lz4", ".xz", ".zst") if low.endswith(s)), None
+            )
+            if comp is not None:
+                out.append(
+                    (m.name, None, f"cannot extract {comp[1:]} type from a tar archived file")
+                )
+                continue
+            f = tf.extractfile(m)
+            out.append((m.name, f.read() if f is not None else None, None))
+    return out
+
+
+def expand_file(path: str, buf: bytes) -> list[tuple[str, str, Optional[bytes], Optional[str], Optional[str]]]:
+    """One physical file → [(doc_id, source, payload|None, codec|None,
+    error|None)] rows.  A plain/compressed file is one row; a tar (bare
+    or ``.tar.gz``/``.tar.xz`` …) expands to one row per member with the
+    reference's ``file.tar|member`` doc_id convention (SUBPATH_SEP '|',
+    blockreader.rs:286)."""
+    name = path.rsplit("/", 1)[-1]
+    data, codec, err = decompress_payload(buf)
+    if err is not None:
+        return [(name, _strip_source_name(path), None, codec, err)]
+    if _looks_tar(data, name):
+        try:
+            members = expand_tar_members(data)
+        except Exception as e:  # corrupt archive → contained file-level row
+            return [(name, _strip_source_name(path), None, _chain(codec, "tar"), f"tar: {e}")]
+        return [
+            (f"{name}|{member}", _strip_source_name(member), payload, _chain(codec, "tar"), merr)
+            for member, payload, merr in members
+        ]
+    return [(name, _strip_source_name(path), data, codec, None)]
+
+
+def read_archive_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Raw-file on-ramp with archive expansion: every physical file (plain,
+    compressed, tar, compressed tar) → one row per logical source
+    ``(doc_id, source, filetype, payload binary, codec, ok, error)``.
+
+    ``filetype`` applies the catalog rules to the member/file name, so
+    ``.evtx``/``.journal``/fixedstruct members inside a tar route to their
+    native readers (the reference's FileValid(..., FileTypeArchive::Tar)
+    arm, filepreprocessor.rs:882-953) while text members feed
+    ``read_compressed_docs``-style tokenization."""
+    import pandas as pd
+
+    from .catalog import guess_filetype
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    schema = (
+        "doc_id string, source string, filetype string, payload binary, "
+        "codec string, ok boolean, error string"
+    )
+    cols = ["doc_id", "source", "filetype", "payload", "codec", "ok", "error"]
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                buf = bytes(content) if content is not None else b""
+                for doc_id, source, payload, codec, err in expand_file(path, buf):
+                    member_name = doc_id.rsplit("|", 1)[-1]
+                    rows.append({
+                        "doc_id": doc_id,
+                        "source": source,
+                        "filetype": guess_filetype(member_name),
+                        "payload": payload,
+                        "codec": codec,
+                        "ok": err is None,
+                        "error": err,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(_gen, schema=schema)
 
 
 def _strip_source_name(path: str) -> str:
@@ -119,9 +252,11 @@ def read_compressed_docs(
     """Compressed (or plain) text files → tokenized docs table
     (doc_id, tokens array<int>, n_tok, source, codec, ok, error).
 
-    ``doc_id`` is the file basename; ``source`` is the rotation/
-    compression-stripped name, so ``app.log.1.gz`` and ``app.log`` merge
-    into one source — the reference's rotation semantics."""
+    ``doc_id`` is the file basename (``file.tar|member`` for tar members —
+    a tarball is one source per parseable member, filepreprocessor.rs:772);
+    ``source`` is the rotation/compression-stripped name, so
+    ``app.log.1.gz`` and ``app.log`` merge into one source — the
+    reference's rotation semantics."""
     import pandas as pd
 
     from ..functions.codec import encode_text
@@ -137,22 +272,21 @@ def read_compressed_docs(
         for pdf in batches:
             rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
-                name = path.rsplit("/", 1)[-1]
                 buf = bytes(content) if content is not None else b""
-                data, codec, err = decompress_payload(buf)
-                tokens: Optional[list[int]] = None
-                if err is None:
-                    text = data.decode(encoding, "replace")
-                    tokens = encode_text(text.rstrip("\n"))
-                rows.append({
-                    "doc_id": name,
-                    "tokens": tokens,
-                    "n_tok": len(tokens) if tokens is not None else 0,
-                    "source": _strip_source_name(path),
-                    "codec": codec,
-                    "ok": err is None,
-                    "error": err,
-                })
+                for doc_id, source, payload, codec, err in expand_file(path, buf):
+                    tokens: Optional[list[int]] = None
+                    if err is None and payload is not None:
+                        text = payload.decode(encoding, "replace")
+                        tokens = encode_text(text.rstrip("\n"))
+                    rows.append({
+                        "doc_id": doc_id,
+                        "tokens": tokens,
+                        "n_tok": len(tokens) if tokens is not None else 0,
+                        "source": source,
+                        "codec": codec,
+                        "ok": err is None,
+                        "error": err,
+                    })
             yield pd.DataFrame(
                 rows,
                 columns=["doc_id", "tokens", "n_tok", "source", "codec", "ok", "error"],

@@ -104,3 +104,153 @@ def test_compressed_docs_feed_the_parser(spark, tmp_path):
     msgs = parse_messages_fused(docs, lock_patterns=False).orderBy("msg_no").collect()
     assert len(msgs) == 2
     assert [str(m.ts) for m in msgs] == ["2023-06-01 10:00:00", "2023-06-01 10:00:01"]
+
+
+# ---------------------------------------------------------------------------
+# tar member expansion (process_path_tar, filepreprocessor.rs:772-976;
+# member open blockreader.rs:4031; SUBPATH_SEP '|' blockreader.rs:286)
+# ---------------------------------------------------------------------------
+
+import io
+import tarfile
+
+
+def _make_tar(members):
+    """members: list of (name, bytes | None-for-dir)."""
+    bio = io.BytesIO()
+    with tarfile.open(fileobj=bio, mode="w") as tf:
+        for name, data in members:
+            if data is None:
+                ti = tarfile.TarInfo(name)
+                ti.type = tarfile.DIRTYPE
+                tf.addfile(ti)
+            else:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                tf.addfile(ti, io.BytesIO(data))
+    return bio.getvalue()
+
+
+def test_expand_tar_member_rules():
+    from super_speedy_syslog_searcher_spark.sources.compressed import expand_tar_members
+
+    tar = _make_tar([
+        ("logs/", None),                       # dir: skipped
+        ("logs/app.log", TEXT),                # plain member
+        ("logs/empty.log", b""),               # empty -> error row
+        ("logs/inner.tar", b"x" * 10),         # nested archive -> error row
+        ("logs/zipped.log.gz", gzip.compress(TEXT)),  # compressed member -> error row
+    ])
+    got = {m: (p, e) for m, p, e in expand_tar_members(tar)}
+    assert set(got) == {"logs/app.log", "logs/empty.log", "logs/inner.tar", "logs/zipped.log.gz"}
+    assert got["logs/app.log"] == (TEXT, None)
+    assert got["logs/empty.log"][1] == "empty member"
+    assert got["logs/inner.tar"][1] == "nested archives are not supported"
+    assert got["logs/zipped.log.gz"][1] == "cannot extract gz type from a tar archived file"
+
+
+def test_tar_and_tar_gz_end_to_end(spark, tmp_path):
+    """logs.tar and logs.tar.gz each expand to one doc per member with the
+    'file.tar|member' doc_id convention, and the text members parse."""
+    from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tar = _make_tar([("a/app.log", TEXT), ("b/sys.log.1", TEXT)])
+    (tmp_path / "logs.tar").write_bytes(tar)
+    (tmp_path / "logs2.tar.gz").write_bytes(gzip.compress(tar))
+
+    docs = read_compressed_docs(spark, str(tmp_path)).orderBy("doc_id").collect()
+    by_id = {r.doc_id: r for r in docs}
+    assert set(by_id) == {
+        "logs.tar|a/app.log", "logs.tar|b/sys.log.1",
+        "logs2.tar.gz|a/app.log", "logs2.tar.gz|b/sys.log.1",
+    }
+    expected_tokens = encode_text(TEXT.decode().rstrip("\n"))
+    for did, r in by_id.items():
+        assert r.ok and list(r.tokens) == expected_tokens, did
+    # codec chain records the unwrap path; rotation strip applies to members
+    assert by_id["logs.tar|a/app.log"].codec == "tar"
+    assert by_id["logs2.tar.gz|a/app.log"].codec == "gz+tar"
+    assert by_id["logs.tar|b/sys.log.1"].source == "sys.log"
+
+    msgs = parse_messages_fused(
+        read_compressed_docs(spark, str(tmp_path))
+        .filter("ok")
+        .select("doc_id", "tokens", "n_tok", "source"),
+        lock_patterns=False,
+    ).collect()
+    assert len(msgs) == 2 * 4  # two syslines per member doc
+
+
+def test_corrupt_tar_contained(spark, tmp_path):
+    # gz wrapping garbage that *names* itself .tar: unwraps, fails to open,
+    # contained to one error row for the file
+    (tmp_path / "bad.tar.gz").write_bytes(gzip.compress(b"definitely not a tarball"))
+    (rows,) = read_compressed_docs(spark, str(tmp_path)).collect()
+    assert not rows.ok and "tar" in rows.error
+
+
+def test_archive_files_typed_binary_members(spark, tmp_path):
+    """read_archive_files types members with the catalog rules: an .evtx
+    member inside a tar routes to the native evtx reader (the reference's
+    Evtx{archival_type: Tar} FileValid arm, filepreprocessor.rs:882)."""
+    from super_speedy_syslog_searcher_spark.operators.evtx_native import (
+        EvtxWriter,
+        parse_evtx_native,
+    )
+    from super_speedy_syslog_searcher_spark.sources.compressed import read_archive_files
+
+    w = EvtxWriter()
+    w.add_record(7, 1_700_000_000_000_000, {"Event": {"ID": "7"}})
+    evtx = w.build()
+    tar = _make_tar([("win/System.evtx", evtx), ("var/app.log", TEXT)])
+    (tmp_path / "mixed.tar").write_bytes(tar)
+
+    files = read_archive_files(spark, str(tmp_path))
+    rows = {r.doc_id: r for r in files.collect()}
+    assert rows["mixed.tar|win/System.evtx"].filetype == "evtx"
+    assert rows["mixed.tar|var/app.log"].filetype == "text"
+    assert all(r.ok for r in rows.values())
+
+    evtx_docs = files.filter("filetype = 'evtx' AND ok").selectExpr(
+        "doc_id", "source", "payload"
+    )
+    recs = parse_evtx_native(evtx_docs).collect()
+    assert len(recs) == 1 and recs[0].record_id == 7 and recs[0].xml == "<Event><ID>7</ID></Event>"
+
+
+def test_lz4_and_zst_inputs_via_pure_fallback(spark, tmp_path):
+    """.log.lz4 / .log.zst inputs decode through functions/lz4_pure when
+    the native wheels are absent (VERDICT r3 next-round #9)."""
+    from super_speedy_syslog_searcher_spark.sources.compressed import (
+        read_compressed_docs as rcd,
+    )
+    from super_speedy_syslog_searcher_spark.functions.lz4_pure import (
+        lz4_frame_compress_stored,
+        zstd_frame_compress_raw,
+    )
+
+    (tmp_path / "app.log.lz4").write_bytes(lz4_frame_compress_stored(TEXT))
+    (tmp_path / "app.log.zst").write_bytes(zstd_frame_compress_raw(TEXT))
+    docs = {r.doc_id: r for r in rcd(spark, str(tmp_path)).collect()}
+    expected_tokens = encode_text(TEXT.decode().rstrip("\n"))
+    for did, codec in [("app.log.lz4", "lz4"), ("app.log.zst", "zst")]:
+        r = docs[did]
+        assert r.ok and r.error is None and r.codec == codec
+        assert r.source == "app.log"
+        assert list(r.tokens) == expected_tokens
+
+
+def test_entropy_coded_zst_contained(spark, tmp_path):
+    import struct as _s
+
+    # valid zstd frame with an entropy-coded block: contained error row
+    frame = (
+        _s.pack("<I", 0xFD2FB528)
+        + bytes([0x20, 5])
+        + (1 | (2 << 1) | (5 << 3)).to_bytes(3, "little")
+        + b"\x00" * 5
+    )
+    (tmp_path / "deep.log.zst").write_bytes(frame)
+    (rows,) = read_compressed_docs(spark, str(tmp_path)).collect()
+    assert not rows.ok and "zst" in rows.error
