@@ -195,15 +195,25 @@ ORACLE_TRUNC_TS = "CASE WHEN user_id % 8 IN (0,1,4) THEN ts ELSE date_trunc('sec
 # pipeline queries
 # ---------------------------------------------------------------------------
 def q_pipe_parse_recover(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end roundtrip: every event's rendered line must parse back to
-    its own timestamp (per-family truncation)."""
+    """End-to-end roundtrip + per-row token equality (north_rule /
+    input_hint invariant) in ONE query (r3 registry consolidation —
+    absorbs the former ``pipe_token_equality``): every event's rendered
+    line must parse back to its own timestamp (per-family truncation),
+    and every message's token array after the full docs→split→parse→
+    sessionize path must equal the original rendering codepoint for
+    codepoint — checked via (count, sum, position-weighted sum) of the
+    codepoints; the weighted sum catches reorderings plain sums miss."""
+    _utc(spark)
     msgs = _with_event_id(parsed_messages(spark, sf_dir))
-    return msgs.select("event_id", "ts")
-
-
-SQL_PIPE_PARSE_RECOVER = f"""
-SELECT event_id, {ORACLE_TRUNC_TS} AS ts FROM events
-"""
+    return msgs.select(
+        "event_id",
+        "ts",
+        F.size("tokens").cast("bigint").alias("n_tok"),
+        F.expr("aggregate(tokens, 0L, (a, t) -> a + CAST(t AS BIGINT))").alias("tok_sum"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)), (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
+        ).alias("tok_wsum"),
+    )
 
 
 def q_pipe_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,27 +452,13 @@ END || ' eid=' || event_id
 """
 
 
-def q_pipe_token_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-row token-array equality (north_rule / input_hint invariant):
-    every message's token array, after the full docs→split→parse→
-    sessionize path, must equal the original rendering codepoint for
-    codepoint. Checked via (count, sum, position-weighted sum) of the
-    codepoints — the weighted sum catches reorderings plain sums miss."""
-    _utc(spark)
-    msgs = _with_event_id(parsed_messages(spark, sf_dir))
-    return msgs.select(
-        "event_id",
-        F.size("tokens").cast("bigint").alias("n_tok"),
-        F.expr("aggregate(tokens, 0L, (a, t) -> a + CAST(t AS BIGINT))").alias("tok_sum"),
-        F.expr(
-            "aggregate(zip_with(tokens, sequence(1, size(tokens)), (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
-        ).alias("tok_wsum"),
-    )
-
-
-SQL_PIPE_TOKEN_EQUALITY = f"""
-WITH lines AS (SELECT event_id, ({_SQL_LINE_EXPR}) AS line FROM events)
-SELECT event_id,
+# twin of the consolidated q_pipe_parse_recover (timestamp roundtrip +
+# token-array equality in one query)
+SQL_PIPE_PARSE_RECOVER = f"""
+WITH lines AS (
+  SELECT event_id, ({ORACLE_TRUNC_TS}) AS ts, ({_SQL_LINE_EXPR}) AS line FROM events
+)
+SELECT event_id, ts,
   CAST(length(line) AS BIGINT) AS n_tok,
   CAST(list_sum(list_transform(generate_series(1, length(line)), i -> unicode(substr(line, i, 1)))) AS BIGINT) AS tok_sum,
   CAST(list_sum(list_transform(generate_series(1, length(line)), i -> i * unicode(substr(line, i, 1)))) AS BIGINT) AS tok_wsum
@@ -651,7 +647,6 @@ QUERIES: dict = {
     "pipe_year_rollover": q_pipe_year_rollover,
     "events_sessionize_gap": q_events_sessionize_gap,
     "pipe_output_project": q_pipe_output_project,
-    "pipe_token_equality": q_pipe_token_equality,
     "pipe_rejects": q_pipe_rejects,
     "pipe_tz_normalize": q_pipe_tz_normalize,
     "stream_enrich_sinks": q_stream_enrich_sinks,
@@ -668,7 +663,6 @@ ORACLES: dict = {
     "pipe_year_rollover": SQL_PIPE_YEAR_ROLLOVER,
     "events_sessionize_gap": SQL_EVENTS_SESSIONIZE_GAP,
     "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
-    "pipe_token_equality": SQL_PIPE_TOKEN_EQUALITY,
     "pipe_rejects": SQL_PIPE_REJECTS,
     "pipe_tz_normalize": SQL_PIPE_TZ_NORMALIZE,
     "stream_enrich_sinks": SQL_PIPE_ENRICH_SINKS,

@@ -135,8 +135,10 @@ def journal_native_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → real ``.journal`` container bytes, one file per user.
 
     Layout mix is deterministic by user_id: even users write COMPACT
-    files, users ≡ 1 (mod 4) XZ-compress payloads ≥ 24 bytes — so one
-    corpus exercises all four reader paths.  Entries are written in
+    files; users ≡ 1/2/3 (mod 4) compress payloads ≥ 24 bytes with
+    XZ/LZ4/zstd respectively (LZ4 and zstd decode through the
+    pure-Python fallback in this container) — so one corpus exercises
+    every reader path.  Entries are written in
     (ts, event_id) order with seqnum = file position + 1, matching how
     journald appends; even event_ids carry a _SOURCE_REALTIME_TIMESTAMP
     500 µs later (which must NOT win under the reference's compiled-in
@@ -150,9 +152,14 @@ def journal_native_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
         uid = int(pdf["user_id"].iloc[0])
+        # per-user codec mix: every supported data-object compression
+        # (none/xz/lz4/zstd — the latter two through the pure-Python
+        # fallback, functions/lz4_pure) is exercised by the driver gate
         w = JournalWriter(
             compact=(uid % 2 == 0),
             xz_min_payload=(24 if uid % 4 == 1 else None),
+            lz4_min_payload=(24 if uid % 4 == 2 else None),
+            zstd_min_payload=(24 if uid % 4 == 3 else None),
             first_array_capacity=4,
         )
         for ts, eid, etype in zip(pdf["ts"], pdf["event_id"], pdf["event_type"]):
@@ -176,59 +183,54 @@ def journal_native_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_journal_native_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native journal container → entries; checks BOTH timestamp
-    precedences at once: ``ts`` is the reference's compiled-in realtime
-    choice (journal.rs:123), ``ts_src`` re-derives journalctl's
-    source-fallback from the parsed fields map."""
-    from .operators.journal_native import parse_journal_native
-
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    docs = journal_native_corpus(spark, sf_dir)
-    parsed = parse_journal_native(docs)
-    src_us = F.element_at("fields", "_SOURCE_REALTIME_TIMESTAMP").cast("long")
-    return parsed.filter(F.col("entry_no") >= 0).select(
-        F.element_at("fields", "_PID").cast("bigint").alias("event_id"),
-        "ts",
-        F.timestamp_micros(F.coalesce(src_us, F.col("realtime_us"))).alias("ts_src"),
-        F.col("seqnum").cast("bigint").alias("seqnum"),
-        F.col("n_fields").cast("int").alias("n_fields"),
-    )
-
-
-SQL_JOURNAL_NATIVE_PARSE = """
-SELECT event_id,
-       ts,
-       CASE WHEN event_id % 2 = 0 THEN make_timestamp(epoch_us(ts) + 500)
-            ELSE ts END AS ts_src,
-       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seqnum,
-       CAST(CASE WHEN event_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_fields
-FROM events
-"""
-
-
 _SEEK_CUTOFF_US = 1705363200000000  # 2024-01-16 00:00:00 UTC
 
 
-def q_journal_native_seek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seek pushdown: ``after_us`` skips pre-cutoff entries BEFORE their
-    data objects are fetched — the analogue of the reference's
-    sd_journal_seek_realtime_usec analyze step (journalreader.rs:
-    1172-1196)."""
+def q_journal_native_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native journal container → entries, full parse AND seek pushdown in
+    ONE query (r3 registry consolidation — absorbs the former
+    ``journal_native_seek``).  The ``probe='full'`` rows check both
+    timestamp precedences at once: ``ts`` is the reference's compiled-in
+    realtime choice (journal.rs:123), ``ts_src`` re-derives journalctl's
+    source-fallback from the parsed fields map.  The ``probe='seek'``
+    rows re-walk the corpus with ``after_us`` — the analogue of the
+    reference's sd_journal_seek_realtime_usec analyze step
+    (journalreader.rs:1172-1196): pre-cutoff entries are skipped BEFORE
+    their data objects are fetched."""
     from .operators.journal_native import parse_journal_native
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     docs = journal_native_corpus(spark, sf_dir)
-    parsed = parse_journal_native(docs, after_us=_SEEK_CUTOFF_US)
-    return parsed.filter(F.col("entry_no") >= 0).select(
-        F.element_at("fields", "_PID").cast("bigint").alias("event_id"),
-        "ts",
+
+    def proj(parsed: DataFrame, probe: str) -> DataFrame:
+        src_us = F.element_at("fields", "_SOURCE_REALTIME_TIMESTAMP").cast("long")
+        return parsed.filter(F.col("entry_no") >= 0).select(
+            F.element_at("fields", "_PID").cast("bigint").alias("event_id"),
+            "ts",
+            F.timestamp_micros(F.coalesce(src_us, F.col("realtime_us"))).alias("ts_src"),
+            F.col("seqnum").cast("bigint").alias("seqnum"),
+            F.col("n_fields").cast("int").alias("n_fields"),
+            F.lit(probe).alias("probe"),
+        )
+
+    return proj(parse_journal_native(docs), "full").unionByName(
+        proj(parse_journal_native(docs, after_us=_SEEK_CUTOFF_US), "seek")
     )
 
 
-SQL_JOURNAL_NATIVE_SEEK = f"""
-SELECT event_id, ts FROM events
-WHERE epoch_us(ts) >= {_SEEK_CUTOFF_US}
+SQL_JOURNAL_NATIVE_PARSE = f"""
+WITH allrows AS (
+  SELECT event_id,
+         ts,
+         CASE WHEN event_id % 2 = 0 THEN make_timestamp(epoch_us(ts) + 500)
+              ELSE ts END AS ts_src,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seqnum,
+         CAST(CASE WHEN event_id % 2 = 0 THEN 3 ELSE 2 END AS INT) AS n_fields
+  FROM events
+)
+SELECT *, 'full' AS probe FROM allrows
+UNION ALL
+SELECT *, 'seek' AS probe FROM allrows WHERE epoch_us(ts) >= {_SEEK_CUTOFF_US}
 """
 
 
@@ -398,7 +400,6 @@ QUERIES = {
     "fixedstruct_decode": q_fixedstruct_decode,
     "journal_export_parse": q_journal_export_parse,
     "journal_native_parse": q_journal_native_parse,
-    "journal_native_seek": q_journal_native_seek,
     "evtx_order": q_evtx_order,
     "evtx_native_order": q_evtx_native_order,
 }
@@ -407,7 +408,6 @@ ORACLES = {
     "fixedstruct_decode": SQL_FIXEDSTRUCT_DECODE,
     "journal_export_parse": SQL_JOURNAL_EXPORT_PARSE,
     "journal_native_parse": SQL_JOURNAL_NATIVE_PARSE,
-    "journal_native_seek": SQL_JOURNAL_NATIVE_SEEK,
     "evtx_order": SQL_EVTX_ORDER,
     "evtx_native_order": SQL_EVTX_NATIVE_ORDER,
 }

@@ -21,7 +21,6 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from .operators.multimodal import extract_media_meta
 from .operators.similarity import cosine_dup_pairs, cosine_topk, cosine_topk_lsh
 from .operators.textstats import (
     content_fingerprint,
@@ -195,7 +194,12 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 # text analysis
 # ---------------------------------------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return quality_stats(_docs(spark, sf_dir))
+    """Quality scoring + token counting in ONE query (r3 registry
+    consolidation — absorbs the former ``text_token_count``): both are
+    per-doc map-only Column pipelines over ``documents``, joined on
+    doc_id."""
+    d = _docs(spark, sf_dir)
+    return quality_stats(d).join(token_counts(d), "doc_id")
 
 
 SQL_TEXT_QUALITY = """
@@ -211,7 +215,9 @@ SELECT doc_id,
   CASE WHEN len(ws) >= 10
         AND round(list_sum(list_transform(ws, x -> length(x))) * 1.0 / len(ws), 4) >= 2.0
         AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text), 4) <= 0.2
-       THEN 1 ELSE 0 END AS keep
+       THEN 1 ELSE 0 END AS keep,
+  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
 FROM w
 """
 
@@ -227,18 +233,6 @@ SELECT doc_id,
   CASE WHEN round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) > 0.02
        THEN 'en' ELSE 'unk' END AS predicted_lang
 FROM w
-"""
-
-
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return token_counts(_docs(spark, sf_dir))
-
-
-SQL_TEXT_TOKEN_COUNT = """
-SELECT doc_id,
-  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
-FROM documents
 """
 
 
@@ -477,10 +471,6 @@ SELECT query_id, rank, neighbor_id FROM (
 """
 
 
-def q_embed_cosine_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99)
-
-
 SQL_EMBED_COSINE_DUP = f"""
 WITH {SQL_EMBS2},
 d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embs2)
@@ -525,28 +515,10 @@ FROM labels
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
-def q_multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    media = d.select(
-        F.col("doc_id").cast("string").alias("media_id"),
-        F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
-        F.col("text").cast("binary").alias("payload"),
-    )
-    return extract_media_meta(media).select("media_id", "kind", "n_bytes", "header_byte", "width", "height", "duration_ms")
-
-
-SQL_MULTIMODAL_EXTRACT = """
-SELECT CAST(doc_id AS VARCHAR) AS media_id,
-  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-  strlen(text) AS n_bytes,
-  CAST(CASE WHEN strlen(text) > 0 THEN ascii(substr(text, 1, 1)) END AS INT) AS header_byte,
-  CAST(CASE WHEN doc_id % 3 = 0 AND strlen(text) > 0 THEN ascii(substr(text, 1, 1)) * 4 + 32 END AS INT) AS width,
-  CAST(CASE WHEN doc_id % 3 = 0 AND strlen(text) > 0 THEN ascii(substr(text, 2, 1)) * 2 + 16 END AS INT) AS height,
-  CAST(CASE WHEN doc_id % 3 != 0 AND strlen(text) > 0 THEN strlen(text) * 10 END AS BIGINT) AS duration_ms
-FROM documents
-"""
-
-
+# (the former multimodal_extract driver query — stub-decode metadata over
+# fake payloads — was absorbed by the r3 registry consolidation: the REAL
+# codec query below supersedes it, and extract_media_meta keeps dedicated
+# pytest coverage in tests/test_dataops.py)
 def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec path end-to-end: deterministic PNG/GIF/BMP/JPEG/WAV/MP4
     payloads are built from doc_id, then parsed back by the pure-Python
@@ -620,16 +592,13 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
-    "text_token_count": q_text_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "text_tfidf": q_text_tfidf,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
-    "embed_cosine_dup": q_embed_cosine_dup,
     "embed_dedup_components": q_embed_dedup_components,
-    "multimodal_extract": q_multimodal_extract,
     "multimodal_real_decode": q_multimodal_real_decode,
 }
 
@@ -641,15 +610,12 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "text_langid": SQL_TEXT_LANGID,
-    "text_token_count": SQL_TEXT_TOKEN_COUNT,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_tfidf": SQL_TEXT_TFIDF,
     "doc_winnow": SQL_DOC_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
     "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),
-    "embed_cosine_dup": SQL_EMBED_COSINE_DUP,
     "embed_dedup_components": SQL_EMBED_DEDUP_COMPONENTS,
-    "multimodal_extract": SQL_MULTIMODAL_EXTRACT,
     "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
 }

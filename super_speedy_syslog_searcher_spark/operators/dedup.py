@@ -339,6 +339,8 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iterations: int = 25,
+    salt: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs → duplicate CLUSTERS: (node, cluster_id) where
     cluster_id = min doc_id reachable through the pair graph.
@@ -361,6 +363,20 @@ def connected_components(
     Edge volume is whatever the upstream candidate generator produced —
     already bucketed/capped by LSH bands or the shingle df cap, never
     all-pairs.
+
+    HOT-LABEL SKEW (VERDICT r3): a mega-cluster (10⁷⁻⁸ docs of classic
+    boilerplate at web scale) makes its min-label ONE join key in the
+    jump step, and a hub node one hot ``dst`` in the edge join.  Both
+    joins have unique build-side keys, so skew concentrates shuffle-read
+    on one task rather than exploding rows — exactly the shape AQE's
+    skew-join split absorbs (``spark.sql.adaptive.skewJoin``, on by
+    default here).  For clusters that must not depend on AQE detection,
+    ``salt > 0`` pre-splits BOTH joins two-level deterministically: the
+    probe row carries ``crc32(node) % salt`` and the (id, label)-sized
+    build side is replicated ``salt`` times — the hot key becomes
+    ``salt`` keys by construction.  ``stats["rounds"]`` (when a dict is
+    passed) records the observed round count, asserted O(log n) by the
+    skew test.
     """
     fa, fb = F.col(a_col), F.col(b_col)
     edges = (
@@ -374,21 +390,40 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = None
-    for _ in range(max_iterations):
-        via = (
-            edges.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), "label")
+    def _salted(probe: DataFrame, build: DataFrame, key: str, salt_src: str) -> DataFrame:
+        """left-join probe⋈build on ``key`` with a deterministic two-level
+        pre-split: probe rows salt by crc32(salt_src) % salt, the small
+        (id, label) build side replicates salt times."""
+        probe = probe.withColumn(
+            "_salt", F.pmod(F.crc32(F.col(salt_src).cast("string")), F.lit(salt)).cast("int")
         )
+        build = build.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
+        )
+        return probe.join(build, [key, "_salt"], "left").drop("_salt")
+
+    prev_sum = None
+    rounds = 0
+    for _ in range(max_iterations):
+        rounds += 1
+        lab_dst = labels.withColumnRenamed("node", "dst")
+        if salt > 0:
+            via = _salted(edges, lab_dst, "dst", "src")
+        else:
+            via = edges.join(lab_dst, "dst")
+        via = via.select(F.col("src").alias("node"), "label")
         new = (
             via.unionByName(labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
         )
         jump = new.select(F.col("node").alias("label"), F.col("label").alias("label2"))
+        if salt > 0:
+            new = _salted(new, jump, "label", "node")
+        else:
+            new = new.join(jump, "label", "left")
         new = (
-            new.join(jump, "label", "left")
-            .select("node", F.least("label", F.coalesce("label2", "label")).alias("label"))
+            new.select("node", F.least("label", F.coalesce("label2", "label")).alias("label"))
             .localCheckpoint(eager=True)
         )
         cur_sum = new.agg(F.sum("label")).collect()[0][0]
@@ -396,6 +431,8 @@ def connected_components(
         if cur_sum == prev_sum:
             break  # labels only decrease; equal sum => fixed point
         prev_sum = cur_sum
+    if stats is not None:
+        stats["rounds"] = rounds
     from pyspark.sql.window import Window
 
     w = F.count("*").over(Window.partitionBy("cluster_id"))

@@ -111,3 +111,49 @@ def test_rejects_channels(spark):
     msgs = parse_messages_fused(docs, lock_patterns=False)
     rej = {r["doc_id"]: r["error_kind"] for r in doc_rejects(msgs, docs).collect()}
     assert rej == {"bad1": ERR_NO_SYSLINES, "bad2": ERR_NO_SYSLINES}
+
+
+class TestClosureHotLabel:
+    """VERDICT r3 #6: a giant duplicate cluster is ONE join key in the
+    closure's jump step. Verify (a) a 100k-node hot cluster resolves
+    correctly with the deterministic two-level pre-split (salt>0), (b)
+    rounds stay O(log n) on a worst-case chain, (c) salted and unsalted
+    paths agree."""
+
+    def _components(self, spark, edges, **kw):
+        from super_speedy_syslog_searcher_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(edges, "a long, b long")
+        return connected_components(pairs, **kw)
+
+    def test_mega_star_cluster_salted(self, spark):
+        n = 100_000
+        edges = [(0, i) for i in range(1, n)]  # one hub: hottest possible key
+        stats = {}
+        rows = self._components(spark, edges, salt=8, stats=stats).collect()
+        assert len(rows) == n
+        assert {r["cluster_id"] for r in rows} == {0}
+        assert all(r["cluster_size"] == n for r in rows)
+        assert stats["rounds"] <= 4  # star diameter 2: converges immediately
+
+    def test_chain_rounds_logarithmic(self, spark):
+        n = 4096  # worst-case diameter; plain propagation would need n rounds
+        edges = [(i, i + 1) for i in range(n - 1)]
+        stats = {}
+        rows = self._components(spark, edges, salt=4, stats=stats).collect()
+        assert {r["cluster_id"] for r in rows} == {0}
+        # pointer jumping: O(log2 n) = 12 rounds + detection margin
+        assert stats["rounds"] <= 16, stats
+
+    def test_salted_equals_unsalted(self, spark):
+        import random
+
+        rng = random.Random(7)
+        edges = [(rng.randrange(500), rng.randrange(500)) for _ in range(400)]
+        edges = [(a, b) for a, b in edges if a != b]
+        plain = {(r["node"], r["cluster_id"]) for r in self._components(spark, edges).collect()}
+        salted = {
+            (r["node"], r["cluster_id"])
+            for r in self._components(spark, edges, salt=8).collect()
+        }
+        assert plain == salted
