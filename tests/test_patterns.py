@@ -182,6 +182,55 @@ FULL_DISPATCH_TZ_OVERRIDES = {
 }
 
 
+def test_full_dispatch_overrides_pinned_to_reference():
+    """Every override must be justified by the reference's OWN data, not a
+    hand-chosen constant. For each of the 7 lines:
+
+    1. the tz applied comes from the line's own text — a named abbrev
+       resolved through the reference's MAP_TZZ_TO_TZz (tzmap.py mirrors
+       it byte-for-byte, verified by test_tz_map_matches_reference) or a
+       literal numeric offset — and must equal the override;
+    2. at least one embedded case for the line records NO tz
+       (tz_offset_secs null/0) — that is the divergence being pinned;
+    3. when the reference table embeds the SAME line under a second,
+       tz-bearing entry (it does for the 4 YAKT/YEKT forms, entries
+       143/148 vs 144/149), that entry's recorded offset must equal the
+       override — i.e. full dispatch matches the reference's other
+       expectation byte-exactly, and the two reference expectations
+       conflict with each other, not with this engine.
+    """
+    import json
+    import re as _re
+    from pathlib import Path
+
+    cases = json.loads((Path(__file__).parent / "data" / "ref_dtpd_cases.json").read_text())
+    by_line: dict[str, list] = {}
+    for c in cases:
+        by_line.setdefault(c["line"], []).append(c)
+
+    for line, off in FULL_DISPATCH_TZ_OVERRIDES.items():
+        recs = by_line[line]
+        # (2) the divergent (no-tz) expectation exists in the table
+        assert any(not r["tz_offset_secs"] for r in recs), line
+        # (1) the override is derivable from the line text + reference tz map
+        m = _re.search(r"[+-]\d\d:?\d\d(?!\d)", line)
+        if m:
+            text_off = offset_str_to_minutes(m.group(0)) * 60
+        else:
+            named = [
+                resolve_tz_abbrev(tok)
+                for tok in _re.findall(r"\b[A-Z]{2,6}\b", line)
+                if resolve_tz_abbrev(tok) not in (None, "")
+            ]
+            assert named, f"no tz token found in {line!r}"
+            text_off = offset_str_to_minutes(named[0]) * 60
+        assert text_off == off, f"{line!r}: text tz {text_off} != override {off}"
+        # (3) any duplicate tz-bearing embedded case agrees with the override
+        for r in recs:
+            if r["tz_offset_secs"]:
+                assert r["tz_offset_secs"] == off, (line, r["entry"])
+
+
 def test_reference_case_matrix():
     """Every embedded test case from the reference's 173-entry table
     (tests/data/ref_dtpd_cases.json, extracted from
