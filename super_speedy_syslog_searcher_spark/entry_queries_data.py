@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
+    duplicate_substring_spans,
     exact_dedup_groups,
     minhash_lsh_dedup_pairs,
     ngram_jaccard_pairs,
@@ -60,6 +61,46 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# docs3: the substring-dedup corpus. The base corpus's only cross-doc
+# duplication is whole-doc replicas, which would never exercise span
+# merging — so docs 50-74 (those long enough) each donate a SPLICE doc:
+# their first 30 words, a doc-unique separator word, then their words
+# 31-60. The splice doc gets TWO maximal spans (the separator's k-gram
+# neighborhood is unique), and the donor doc gets partial spans instead
+# of a whole-doc one. Identical string algebra on both engines.
+SQL_DOCS3 = """
+docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id,
+         array_to_string(ws[1:30], ' ') || ' uniqsep' || doc_id || ' ' ||
+         array_to_string(ws[31:60], ' ') AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+  WHERE len(ws) >= 61 AND doc_id >= 50 AND doc_id < 75
+)
+"""
+
+
+def _docs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    w = F.split(F.col("text"), " ")
+    splice = (
+        d.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 75) & (F.size(w) >= 61))
+        .select(
+            (F.col("doc_id") + 300000).alias("doc_id"),
+            F.concat(
+                F.array_join(F.slice(w, 1, 30), " "),
+                F.lit(" uniqsep"),
+                F.col("doc_id").cast("string"),
+                F.lit(" "),
+                F.array_join(F.slice(w, 31, 30), " "),
+            ).alias("text"),
+        )
+    )
+    return d.unionByName(splice)
+
+
 def _embs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
     dup = e.filter(F.col("vec_id") < 10).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
@@ -85,6 +126,43 @@ SQL_DEDUP_EXACT = f"""
 WITH {SQL_DOCS2}
 SELECT min(doc_id) AS keeper, count(*) AS n_copies, md5(text) AS fp
 FROM docs2 GROUP BY text
+"""
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated spans (Lee et al. 2021) at the word
+    10-gram grain over the splice-seeded corpus: one row per maximal
+    duplicated span, ``(doc_id, span_start, span_end, dup_words)``."""
+    return duplicate_substring_spans(_docs3(spark, sf_dir), k=10)
+
+
+_SUBSTR_K = 10
+_SUBSTR_GRAM = " || ' ' || ".join(f"ws[x+{i}]" for i in range(_SUBSTR_K))
+SQL_DEDUP_SUBSTRING = f"""
+WITH {SQL_DOCS3},
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM docs3),
+grams AS (
+  SELECT doc_id, x - 1 AS pos, {_SUBSTR_GRAM} AS g
+  FROM w, unnest(generate_series(1, len(ws) - {_SUBSTR_K} + 1)) AS t(x)
+  WHERE len(ws) >= {_SUBSTR_K}
+),
+dupg AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dp AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {_SUBSTR_K}
+         THEN 0 ELSE 1 END AS newi
+  FROM dp
+),
+isl2 AS (
+  SELECT doc_id, pos, sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl
+)
+SELECT doc_id,
+  CAST(min(pos) AS BIGINT) AS span_start,
+  CAST(max(pos) + {_SUBSTR_K} - 1 AS BIGINT) AS span_end,
+  CAST(max(pos) - min(pos) + {_SUBSTR_K} AS BIGINT) AS dup_words
+FROM isl2 GROUP BY doc_id, island
 """
 
 
@@ -194,12 +272,13 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 # text analysis
 # ---------------------------------------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + token counting in ONE query (r3 registry
-    consolidation — absorbs the former ``text_token_count``): both are
-    per-doc map-only Column pipelines over ``documents``, joined on
-    doc_id."""
+    """Quality scoring + token counting + language-ID in ONE query
+    (registry consolidation — r3 absorbed the former ``text_token_count``,
+    r4 absorbs ``text_langid`` to make room for ``dedup_substring``): all
+    three are per-doc map-only Column pipelines over ``documents``,
+    joined on doc_id."""
     d = _docs(spark, sf_dir)
-    return quality_stats(d).join(token_counts(d), "doc_id")
+    return quality_stats(d).join(token_counts(d), "doc_id").join(langid(d), "doc_id")
 
 
 SQL_TEXT_QUALITY = """
@@ -217,18 +296,7 @@ SELECT doc_id,
         AND round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g'))) * 1.0 / length(text), 4) <= 0.2
        THEN 1 ELSE 0 END AS keep,
   len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
-  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens
-FROM w
-"""
-
-
-def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return langid(_docs(spark, sf_dir))
-
-
-SQL_TEXT_LANGID = """
-WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
-SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
   round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) AS en_score,
   CASE WHEN round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) > 0.02
        THEN 'en' ELSE 'unk' END AS predicted_lang
@@ -590,8 +658,8 @@ QUERIES = {
     "dedup_components": q_dedup_components,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_substring": q_dedup_substring,
     "text_quality": q_text_quality,
-    "text_langid": q_text_langid,
     "doc_fingerprint": q_doc_fingerprint,
     "text_tfidf": q_text_tfidf,
     "doc_winnow": q_doc_winnow,
@@ -608,8 +676,8 @@ ORACLES = {
     "dedup_components": SQL_DEDUP_COMPONENTS,
     "dedup_minhash_lsh": _SQL_JACCARD_BODY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "dedup_substring": SQL_DEDUP_SUBSTRING,
     "text_quality": SQL_TEXT_QUALITY,
-    "text_langid": SQL_TEXT_LANGID,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "text_tfidf": SQL_TEXT_TFIDF,
     "doc_winnow": SQL_DOC_WINNOW,

@@ -440,3 +440,76 @@ def connected_components(
         labels.select(F.col("node"), F.col("label").alias("cluster_id"))
         .withColumn("cluster_size", w.cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplicate spans (Lee et al. 2021, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr criterion)
+# ---------------------------------------------------------------------------
+def duplicate_substring_spans(
+    df: DataFrame,
+    k: int = 10,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal duplicated word spans per document: every word k-gram that
+    occurs in ≥ ``min_df`` distinct documents marks its k-word interval
+    as duplicated; overlapping/adjacent intervals merge into maximal
+    spans (the per-doc removal surface of ExactSubstr dedup — Lee et al.
+    use suffix arrays over the concatenated corpus; the k-gram grain is
+    the shuffle-friendly equivalent with match length quantized to k).
+
+    Returns one row per maximal span: ``(doc_id, span_start, span_end,
+    dup_words)`` — 0-based word positions, end inclusive,
+    ``dup_words = span_end - span_start + 1``.
+
+    Shape at 10^12 docs, in order:
+
+    1. positioned grams ``(doc_id, pos, gram)`` — pure zip_with/posexplode
+       Column algebra, no Python, no distinct (positions matter);
+    2. ``groupBy(gram).agg(countDistinct(doc_id))`` — ONE exchange keyed
+       by the gram with map-side partial aggregation absorbing repeats;
+       df ≥ min_df keeps only genuinely cross-doc grams (the output is
+       bounded by the duplicated-gram vocabulary, far below the stream);
+    3. ``leftsemi`` join of the positioned stream against the duplicated
+       set — both sides hash-partition on the same gram key, so the join
+       is co-partitioned with step 2's exchange (AQE reuses it) and
+       never widens rows; hot grams (boilerplate) are handled by AQE
+       skew-split, and the stream side carries only (doc_id, pos);
+    4. gaps-and-islands per doc: new island when ``pos - lag(pos) > k``
+       (interval [pos, pos+k-1] no longer touches the previous one) —
+       the window partitions by doc_id, bounded by doc length, no skew.
+
+    Grams are joined as strings for exactness (the oracle reproduces them
+    verbatim); at petabyte scale substitute ``F.xxhash64(gram)`` as the
+    join key to cut shuffle width — collision odds per corpus are
+    ~n²/2⁶⁵ and only ever ADD a span, never lose one.
+    """
+    from pyspark.sql.window import Window
+
+    grams = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(word_ngrams_col(text_col, k)).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    dup_pos = grams.join(dup_grams, "gram", "leftsemi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup_pos.withColumn(
+        "newi",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("island", F.sum("newi").over(w))
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + k - 1).cast("long").alias("span_end"),
+            (F.max("pos") - F.min("pos") + k).cast("long").alias("dup_words"),
+        )
+        .select("doc_id", "span_start", "span_end", "dup_words")
+    )
