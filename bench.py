@@ -124,6 +124,11 @@ def run_bench(spark, sf_dir: str) -> dict:
 
         EQD.q_dedup_simhash(spark, sf_dir).count()
 
+    def q_substring():
+        from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
+
+        EQD.q_dedup_substring(spark, sf_dir).count()
+
     # q8: token-domain headline — GPT-style sequence packing (two-phase
     # distributed prefix sum + chunk assembly) over the pre-materialized
     # corpus, so the timed region is the packing operator, not the render
@@ -142,6 +147,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("summary_rollup", q_summary)
     timed("dedup_minhash_lsh", q_dedup)
     timed("dedup_simhash", q_simhash)
+    timed("dedup_substring", q_substring)
     timed("ann_cosine_topk", q_ann)
     timed("tokens_pack", q_pack)
 

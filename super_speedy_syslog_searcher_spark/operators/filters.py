@@ -45,11 +45,37 @@ def dt_after_or_before(ts_col: Column, a=None, b=None) -> Column:
     return cond
 
 
-def dt_between(df: DataFrame, a=None, b=None, ts_col: str = "ts") -> DataFrame:
-    """The ``-a``/``-b`` window filter."""
+def dt_between(
+    df: DataFrame,
+    a=None,
+    b=None,
+    ts_col: str = "ts",
+    date_partition_col: str | None = None,
+) -> DataFrame:
+    """The ``-a``/``-b`` window filter (F1-F3, inclusive both ends).
+
+    The ``ts`` predicate alone already reaches the parquet scan as a
+    pushed filter (row-group min/max pruning — the F4/F5 "seek" analogue
+    on an unpartitioned table). When the table is date-partitioned — the
+    standard layout for a petabyte log store — pass
+    ``date_partition_col`` and the equivalent DATE bounds are emitted as
+    a second predicate on that column, which Catalyst turns into
+    PartitionFilters: whole day-directories are skipped at planning time
+    instead of being opened for their footers. The date bounds are the
+    closed interval [date(a), date(b)] — a superset of the ts window, so
+    the row-level ts predicate still decides membership exactly.
+    """
     if a is None and b is None:
         return df
-    return df.filter(dt_after_or_before(F.col(ts_col), a, b))
+    out = df.filter(dt_after_or_before(F.col(ts_col), a, b))
+    if date_partition_col is not None:
+        cond = F.lit(True)
+        if a is not None:
+            cond = cond & (F.col(date_partition_col) >= F.lit(a.date()))
+        if b is not None:
+            cond = cond & (F.col(date_partition_col) <= F.lit(b.date()))
+        out = out.filter(cond)
+    return out
 
 
 def dt_pass_filters(ts: datetime, a: datetime | None, b: datetime | None) -> str:

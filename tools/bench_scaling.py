@@ -119,6 +119,8 @@ def main() -> None:
     ap.add_argument("--cores", default="4,16")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=None)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset each leg to exactly N CPUs (cluster-container semantics)")
     args = ap.parse_args()
 
     corpus = materialize(args.factor, args.sf)
@@ -131,10 +133,16 @@ def main() -> None:
         # partitionBy parquet) is identical.
         out_dir = os.path.join("/dev/shm/s4spark_scale", f"out_{cores}")
         env = dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1", MKL_NUM_THREADS="1")
-        proc = subprocess.run(
-            [sys.executable, "-c", WORKER % {"repo": REPO}, corpus, str(cores), "1", out_dir],
-            capture_output=True, text=True, timeout=3000, env=env,
-        )
+        cmd = [sys.executable, "-c", WORKER % {"repo": REPO}, corpus, str(cores), "1", out_dir]
+        if args.pin:
+            # pin the whole process tree (JVM + Python workers) to exactly
+            # N CPUs: local[N] only bounds TASK slots — GC, netty IO and
+            # parquet-flush threads otherwise bleed past N cores, which
+            # flatters the low-parallelism leg and understates efficiency.
+            # With the pin, "N cores" means what it means on a cluster
+            # where the container cpuset is the executor's core budget.
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3000, env=env)
         line = [ln for ln in proc.stdout.splitlines() if ln.startswith("RESULT ")]
         if not line:
             print(proc.stdout[-3000:], file=sys.stderr)

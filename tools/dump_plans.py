@@ -130,6 +130,17 @@ def main() -> None:
             "partial agg).",
         ),
         (
+            "Exact-substring duplicate spans (gram-keyed df filter + per-doc islands)",
+            EQD.q_dedup_substring(spark, SF),
+            "Positioned word k-grams are pure zip_with/posexplode Column "
+            "algebra; the cross-doc df filter is ONE gram-keyed exchange "
+            "with map-side partial aggregation (bounded by the duplicated-"
+            "gram vocabulary), the join-back is a leftsemi on the same key "
+            "(broadcast here, co-partitioned SMJ at scale), and the span "
+            "merge windows partition by doc_id — never a global window, "
+            "never a cross join.",
+        ),
+        (
             "Benchmark decontamination (bench grams broadcast)",
             EQC.q_decontaminate(spark, SF),
             "The corpus gram stream map-joins a BroadcastExchange of the "
