@@ -202,12 +202,35 @@ def lsh_candidate_pairs(
     k: int = 256,
     bands: int = 64,
     n: int = 3,
+    pair_mode: str = "all",
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing ≥1 LSH band bucket.
 
     bands × rows-per-band = k; P(candidate | jaccard=j) = 1-(1-j^r)^b.
     Bucket join only — never a cross join; the join key is (band_no,
     bucket) so buckets from different bands never collide.
+
+    ``pair_mode``:
+
+    * ``"all"`` — every in-bucket pair (the classic contract; feeds the
+      per-pair exact-Jaccard verify). Within one bucket this is
+      quadratic: a web-scale near-duplicate MEGA-cluster (10⁶⁻⁸ copies
+      of the same boilerplate landing in the same bucket of every band)
+      would emit O(bands · m²) pair rows — 10¹²⁺ from a single cluster —
+      before distinct. Use it when buckets are known bounded (exact
+      dedup ran upstream) or pairs themselves are the product.
+    * ``"star"`` — each bucket member pairs only with the bucket's min
+      id: O(m) edges per bucket, one window shuffle, and the minhash
+      UDF runs ONCE (no self-join, so no second scan of the banded
+      plan). Star edges have the same transitive closure as the
+      all-pairs clique (every member reaches the root), so duplicate
+      CLUSTERS via ``connected_components`` are identical —
+      ``tests/test_skew.py`` asserts the equivalence. What changes is
+      per-pair verification semantics: a downstream exact-Jaccard
+      filter sees only (root, member) pairs, so verify-then-close can
+      split clusters the all-pairs graph would keep whole. This is the
+      100-TB shape for UNVERIFIED LSH dedup (candidates → closure →
+      keep min per cluster), the standard web-dedup pipeline.
     """
     # docs with no n-grams (fewer than n words) would all share the
     # all-zero signature and therefore EVERY band bucket — at corpus
@@ -221,6 +244,18 @@ def lsh_candidate_pairs(
         "id",
         F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias("band", "bucket"),
     )
+    if pair_mode == "star":
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bucket")
+        starred = banded.withColumn("root", F.min("id").over(w))
+        return (
+            starred.filter(F.col("id") != F.col("root"))
+            .select(F.col("root").alias("a"), F.col("id").alias("b"))
+            .distinct()
+        )
+    if pair_mode != "all":
+        raise ValueError(f"pair_mode must be 'all' or 'star', got {pair_mode!r}")
     a = banded.select(F.col("id").alias("a"), "band", "bucket")
     b = banded.select(F.col("id").alias("b"), "band", "bucket")
     return a.join(b, ["band", "bucket"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()

@@ -157,3 +157,72 @@ class TestClosureHotLabel:
             for r in self._components(spark, edges, salt=8).collect()
         }
         assert plain == salted
+
+
+class TestLshStarPairs:
+    """lsh_candidate_pairs(pair_mode='star'): the mega-bucket fix — a
+    web-scale near-duplicate cluster lands in the SAME bucket of every
+    band, and all-pairs emission is O(bands·m²) from that one cluster.
+    Star emission (member → bucket-min root) is O(m) per bucket and has
+    the same transitive closure as the all-pairs clique."""
+
+    def _docs(self, spark):
+        # 3 near-dup families + unique docs: family text differs by a
+        # 1-word suffix so members share most shingles (and therefore
+        # most band buckets) without being byte-identical. Numeric ids —
+        # the closure's fixed-point detection sums labels (same contract
+        # as the documents table's bigint doc_id).
+        rows = []
+        base = [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+            "one two three four five six seven eight nine ten eleven",
+            "red orange yellow green blue indigo violet cyan magenta",
+        ]
+        did = 0
+        for text in base:
+            for i in range(12):
+                rows.append((did, f"{text} v{i % 3}"))
+                did += 1
+        for i in range(10):
+            rows.append((did, f"document {i} about topic{i} entirely unrelated {i*7} {i*13}"))
+            did += 1
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_star_closure_equals_allpairs_closure(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import (
+            connected_components,
+            lsh_candidate_pairs,
+        )
+
+        docs = self._docs(spark)
+        allp = lsh_candidate_pairs(docs, k=64, bands=16, pair_mode="all")
+        star = lsh_candidate_pairs(docs, k=64, bands=16, pair_mode="star")
+        c_all = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(allp, a_col="a", b_col="b").collect()
+        }
+        c_star = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components(star, a_col="a", b_col="b").collect()
+        }
+        assert c_all == c_star and len(c_all) > 0
+
+    def test_star_edges_linear_in_mega_cluster(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs
+
+        n = 3000  # identical docs: all-pairs would be ~4.5M pair rows
+        docs = spark.createDataFrame(
+            [(i, "the same boilerplate line repeated across the whole web corpus")
+             for i in range(n)],
+            "doc_id long, text string",
+        )
+        star = lsh_candidate_pairs(docs, k=64, bands=16, pair_mode="star")
+        edges = star.count()
+        assert edges == n - 1  # every member → the one root, once
+
+    def test_bad_mode_rejected(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs
+
+        docs = spark.createDataFrame([("d0", "a b c d")], "doc_id string, text string")
+        with pytest.raises(ValueError):
+            lsh_candidate_pairs(docs, pair_mode="chain")
