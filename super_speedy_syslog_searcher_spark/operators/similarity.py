@@ -247,6 +247,13 @@ def cosine_dup_pairs(
         vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("bucket", bucket_udf(F.col("v")))
         .withColumn("nrm", norm_col(F.col("v")))
+        # materialize once: the bucket self-join would otherwise run the
+        # bucket UDF + norm (and the full vector scan) twice — the same
+        # double-ArrowEvalPython shape fixed in dedup.lsh_candidate_pairs.
+        # The join already exchanges the vector payload on both sides, so
+        # the checkpoint write is the same cost class as the shuffle it
+        # sits next to; measured ~25% faster at sf0.1.
+        .localCheckpoint(eager=False)
     )
     l = b.select(F.col("id").alias("a"), F.col("v").alias("qv"), F.col("nrm").alias("qnorm"), "bucket")
     r = b.select(F.col("id").alias("b"), F.col("v").alias("cv"), F.col("nrm").alias("cnorm"), "bucket")
