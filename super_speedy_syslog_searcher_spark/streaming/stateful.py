@@ -204,3 +204,75 @@ def pack_sequences_stateful(docs_stream: DataFrame, max_len: int = 512) -> DataF
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DEDUP_OUT_SCHEMA = "doc_id string, source string, fp string, n_dups_in_batch int"
+DEDUP_STATE_SCHEMA = "first_doc_id string"
+
+
+def dedup_exact_stateful(docs_stream: DataFrame, ttl_ms: int = 0) -> DataFrame:
+    """Streaming exact dedup: emit the FIRST occurrence of each content
+    fingerprint across micro-batches, drop every later re-delivery.
+
+    An at-least-once log source (kafka replay, crawl re-fetch, agent
+    retry after a partial ack) re-delivers identical payloads across
+    batches; the batch operator (``operators.dedup.exact_dedup_groups``,
+    reference analogue: the printed-offset dedup that keeps a processed
+    block from printing twice, /root/reference/src/readers/
+    blockreader.rs read-cache discipline) cannot see across batch
+    boundaries. Here the GROUP KEY IS THE FINGERPRINT itself
+    (md5(text), the same 16-byte key the batch op shuffles on), so the
+    state store holds ONE tiny row per distinct fingerprint — its
+    first doc_id — never a per-key set and never a growing blob:
+    state size = distinct corpus fingerprints, the floor for exact
+    streaming dedup.
+
+    Within a batch, the winner is the min doc_id (deterministic,
+    matching the batch op's ``keeper = min(id)``); ``n_dups_in_batch``
+    counts suppressed same-batch copies so downstream metrics can
+    account for dropped volume.
+
+    ``ttl_ms > 0`` bounds state with a processing-time eviction: a
+    fingerprint idle longer than the TTL is forgotten and a later
+    re-delivery is treated as new — the standard recall-for-memory
+    trade; leave 0 for exact semantics.
+    """
+    timeout = GroupStateTimeout.ProcessingTimeTimeout if ttl_ms > 0 else GroupStateTimeout.NoTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        fp = key[0]
+        if state.hasTimedOut:
+            state.remove()
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values("doc_id")
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)
+        if state.exists:
+            return  # every row in this batch is a re-delivery
+        state.update((str(pdf["doc_id"].iloc[0]),))
+        yield pd.DataFrame(
+            [
+                {
+                    "doc_id": pdf["doc_id"].iloc[0],
+                    "source": pdf["source"].iloc[0],
+                    "fp": fp,
+                    "n_dups_in_batch": int(len(pdf) - 1),
+                }
+            ]
+        )
+
+    from pyspark.sql import functions as F
+
+    hashed = docs_stream.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("fp")
+    )
+    return hashed.groupBy("fp").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

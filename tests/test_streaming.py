@@ -256,3 +256,61 @@ def test_pack_stateful_out_of_order_doc_raises(spark, tmp_path):
     with pytest.raises((PySparkException, Py4JJavaError)) as ei:
         run_once([("d2", "s", [4, 5])], "append")  # regresses below d5
     assert "doc_id order regressed" in str(ei.value) or "re-pack upstream" in str(ei.value)
+
+
+def test_stateful_exact_dedup_across_batches(spark, tmp_path):
+    """dedup_exact_stateful must keep the first occurrence of each text
+    across micro-batches and a checkpoint restart: batch 1 emits the
+    keepers, batch 2 (pure re-deliveries + one new text) emits only the
+    new text — and the keeper set equals the batch operator's."""
+    from super_speedy_syslog_searcher_spark.operators.dedup import exact_dedup_groups
+    from super_speedy_syslog_searcher_spark.streaming.stateful import dedup_exact_stateful
+
+    in_dir = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "keepers")
+
+    batch1 = [(f"d{i:03d}", "srcA" if i % 2 == 0 else "srcB",
+               f"unique text number {i // 2}") for i in range(20)]
+    # every batch-1 text re-delivered with NEW doc ids + one genuinely new
+    batch2 = [(f"e{i:03d}", "srcC", f"unique text number {i}") for i in range(10)]
+    batch2.append(("f000", "srcC", "a brand new text"))
+
+    schema = "doc_id string, source string, text string"
+
+    def run_once(rows, mode):
+        # parquet sink: supports restart-from-checkpoint (memory doesn't)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            dedup_exact_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once(batch1, "overwrite")
+    rows1 = spark.read.parquet(out_dir).collect()
+    got1 = {(r["doc_id"], r["fp"]) for r in rows1}
+    # batch1 has each text twice (i//2): keeper = min doc_id, 10 keepers
+    assert len(got1) == 10
+    assert all(d.startswith("d") for d, _ in got1)
+    assert {r["n_dups_in_batch"] for r in rows1} == {1}  # each text arrived twice
+
+    # restart from checkpoint with batch 2 appended: only the new text emits
+    run_once(batch2, "append")
+    got2 = {(r["doc_id"], r["fp"]) for r in spark.read.parquet(out_dir).collect()}
+    new = got2 - got1
+    assert len(new) == 1 and next(iter(new))[0] == "f000"
+
+    # keeper set == the batch operator over batch-1 data (arrival order
+    # == doc_id order here, so first-arrival == min(doc_id))
+    batch_keepers = {
+        (r["keeper"], r["fp"])
+        for r in exact_dedup_groups(spark.createDataFrame(batch1, schema)).collect()
+    }
+    assert got1 == batch_keepers
