@@ -226,3 +226,39 @@ class TestLshStarPairs:
         docs = spark.createDataFrame([("d0", "a b c d")], "doc_id string, text string")
         with pytest.raises(ValueError):
             lsh_candidate_pairs(docs, pair_mode="chain")
+
+
+class TestSelfJoinSingleUdf:
+    """Plan regression for the double-ArrowEvalPython fix: the band
+    self-joins must read the materialized (checkpointed) narrow table on
+    BOTH sides instead of re-executing the hashing UDF and corpus scan
+    per side."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(i, f"some words here {i % 5} making shingles {i % 3} overlap")
+             for i in range(40)],
+            "doc_id long, text string",
+        )
+
+    def test_minhash_pairs_plan(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs
+
+        plan = (
+            lsh_candidate_pairs(self._docs(spark), k=64, bands=16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        # the UDF runs once, inside the checkpoint materialization job —
+        # the pair-join plan itself re-executes nothing
+        assert "ArrowEvalPython" not in plan, plan
+        assert plan.count("Scan ExistingRDD") == 2, plan
+
+    def test_simhash_pairs_plan(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import simhash_pairs
+
+        plan = (
+            simhash_pairs(self._docs(spark))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan, plan
+        assert plan.count("Scan ExistingRDD") == 2, plan
