@@ -29,6 +29,8 @@ Scale shapes (100 TB review):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -294,3 +296,117 @@ def bigram_logprob(docs: DataFrame, n_buckets: int = 65536, tokens_col: str = "t
         F.round("_m", 4).alias("mean_logprob"),
         F.round(F.exp(-F.col("_m")), 4).alias("ppl"),
     )
+
+
+def train_bpe(
+    docs: DataFrame,
+    num_merges: int = 50,
+    min_freq: int = 2,
+    tokens_col: str = "tokens",
+) -> tuple[list[tuple[int, int, int, int, int]], DataFrame]:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+    iterative loop ``bpe_pair_stats`` is the inner counting step of:
+    each round counts adjacent pairs over the WHOLE corpus, promotes the
+    most frequent pair to a fresh token id, rewrites the corpus with the
+    merge applied (greedy left-to-right, the textbook semantics), and
+    repeats. Returns ``(merges, merged_docs)`` where ``merges`` is
+    ``[(merge_no, left, right, new_id, n_pairs), ...]`` and
+    ``merged_docs`` has ``tokens_col`` rewritten under all merges.
+
+    Determinism: ties on frequency break to the smallest (left, right)
+    pair, so the merge table is a pure function of the corpus.
+
+    Scale shape (100 TB): each round is ONE pair-count aggregate (pure
+    JVM zip-with pair build, map-side partial agg over the bounded pair
+    vocabulary — see ``bpe_pair_stats``), a 1-row ``limit(1)`` collect
+    of the winner, and a map-only vectorized rewrite. The rewrite UDF
+    flattens the whole Arrow batch once and resolves the merge over the
+    flat array: match positions come from one numpy comparison, overlap
+    resolution (``aaa`` under merge ``(a,a)``) walks only the MATCH
+    positions — O(matches), never O(tokens) Python — and doc boundaries
+    mask cross-doc false pairs. ``localCheckpoint`` per round truncates
+    lineage (num_merges rounds would otherwise stack num_merges UDF
+    plans, the same discipline as ``dedup.connected_components``).
+    Driver state is one (left, right, new_id) triple per round —
+    bounded by num_merges, never corpus-scale.
+    """
+    from pyspark.sql import types as T
+
+    from .dedup import _flatten_segments
+
+    def make_merge_udf(left: int, right: int, new_id: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def _apply(tokens: pd.Series) -> pd.Series:
+            flat, offsets, lens = _flatten_segments(tokens)
+            n_docs = len(tokens)
+            if flat.size == 0:
+                return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
+            flat = flat.astype(np.int64, copy=True)
+            ends = offsets + lens  # doc end positions (exclusive)
+            # candidate positions: flat[i]==left and flat[i+1]==right,
+            # where i+1 is inside the same doc (mask the last slot of
+            # every doc so pairs never span documents)
+            cand = np.zeros(flat.size, dtype=bool)
+            if flat.size >= 2:
+                cand[:-1] = (flat[:-1] == left) & (flat[1:] == right)
+            cand[ends[lens > 0] - 1] = False  # nonempty docs' final slots
+            matches = np.flatnonzero(cand)
+            if matches.size:
+                # greedy left-to-right: drop a match that starts on the
+                # RIGHT slot of the previous kept match (only possible
+                # when left == right, e.g. 'aaa'); O(matches) walk
+                if left == right:
+                    kept = []
+                    last = -2
+                    for m in matches.tolist():
+                        if m == last + 1:
+                            continue
+                        kept.append(m)
+                        last = m
+                    matches = np.asarray(kept, dtype=np.int64)
+                flat[matches] = new_id
+                drop = np.zeros(flat.size, dtype=bool)
+                drop[matches + 1] = True
+                # per-doc new lengths: subtract merges inside each doc.
+                # reduceat runs over NONEMPTY docs only (an empty doc's
+                # offset may equal flat.size, which reduceat rejects, and
+                # repeated offsets would read the next segment); int64
+                # cast because add.reduceat over bool saturates at True.
+                merged_per_doc = np.zeros(n_docs, dtype=np.int64)
+                ne = lens > 0
+                if ne.any():
+                    merged_per_doc[ne] = np.add.reduceat(
+                        drop.astype(np.int64), offsets[ne]
+                    )
+                flat = flat[~drop]
+                lens2 = lens - merged_per_doc
+            else:
+                lens2 = lens
+            out_off = np.concatenate(([0], np.cumsum(lens2)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
+            flat32 = flat.astype(np.int32)
+            return pd.Series(
+                [flat32[out_off[i]: out_off[i] + lens2[i]] for i in range(n_docs)]
+            )
+
+        return _apply
+
+    cur = docs
+    next_id_row = docs.agg(F.max(F.array_max(F.col(tokens_col)))).collect()[0][0]
+    next_id = int(next_id_row) + 1 if next_id_row is not None else 0
+    merges: list[tuple[int, int, int, int, int]] = []
+    for round_no in range(num_merges):
+        top = (
+            bpe_pair_stats(cur, tokens_col=tokens_col)
+            .filter(F.col("n_pairs") >= min_freq)
+            .orderBy(F.desc("n_pairs"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, n_pairs = int(top[0]["left"]), int(top[0]["right"]), int(top[0]["n_pairs"])
+        merges.append((round_no, left, right, next_id, n_pairs))
+        cur = cur.withColumn(tokens_col, make_merge_udf(left, right, next_id)(F.col(tokens_col)))
+        cur = cur.localCheckpoint(eager=True)
+        next_id += 1
+    return merges, cur

@@ -363,3 +363,78 @@ class TestBigramLogprob:
         )
         plan = bigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("BroadcastHashJoin") >= 2
+
+
+class TestTrainBpe:
+    """Distributed BPE training must reproduce the textbook sequential
+    algorithm exactly: same merge table (greedy most-frequent pair,
+    ties to smallest (left, right)), same rewritten corpus."""
+
+    @staticmethod
+    def _python_bpe(docs, num_merges, min_freq=2):
+        from collections import Counter
+
+        docs = {d: list(t) for d, t in docs}
+        next_id = max((max(t) for t in docs.values() if t), default=-1) + 1
+        merges = []
+        for rnd in range(num_merges):
+            counts = Counter()
+            for t in docs.values():
+                i = 0
+                while i < len(t) - 1:
+                    counts[(t[i], t[i + 1])] += 1
+                    i += 1
+            counts = {p: c for p, c in counts.items() if c >= min_freq}
+            if not counts:
+                break
+            # max count, ties -> smallest pair
+            pair = min(counts, key=lambda p: (-counts[p], p))
+            merges.append((rnd, pair[0], pair[1], next_id, counts[pair]))
+            for d, t in docs.items():
+                out, i = [], 0
+                while i < len(t):
+                    if i < len(t) - 1 and (t[i], t[i + 1]) == pair:
+                        out.append(next_id)
+                        i += 2
+                    else:
+                        out.append(t[i])
+                        i += 1
+                docs[d] = out
+            next_id += 1
+        return merges, docs
+
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import train_bpe
+
+        rng = random.Random(11)
+        rows = []
+        for i in range(40):
+            # small alphabet so pairs repeat; lengths 0..30 incl. empties
+            n = rng.randrange(0, 31)
+            rows.append((f"d{i:03d}", [rng.randrange(8) for _ in range(n)]))
+        # a run of repeats exercises the overlapping-match (aaa) path
+        rows.append(("runs", [5] * 17 + [2, 5, 5, 5]))
+
+        df = spark.createDataFrame(
+            [(d, t, len(t), "s") for d, t in rows],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        got_merges, got_docs = train_bpe(df, num_merges=10, min_freq=2)
+        want_merges, want_docs = self._python_bpe(rows, num_merges=10, min_freq=2)
+
+        assert got_merges == want_merges
+        got = {r["doc_id"]: list(r["tokens"]) for r in got_docs.collect()}
+        assert got == want_docs
+
+    def test_early_stop_below_min_freq(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import train_bpe
+
+        df = spark.createDataFrame(
+            [("a", [1, 2, 3], 3, "s"), ("b", [4, 5, 6], 3, "s")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        merges, out = train_bpe(df, num_merges=5, min_freq=2)  # every pair unique
+        assert merges == []
+        assert {tuple(r["tokens"]) for r in out.collect()} == {(1, 2, 3), (4, 5, 6)}
