@@ -410,3 +410,76 @@ def train_bpe(
         cur = cur.localCheckpoint(eager=True)
         next_id += 1
     return merges, cur
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[int, int, int, int, int]] | list[tuple[int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Encode a corpus with a learned BPE merge table — the inference
+    half of ``train_bpe``. ``merges`` is the training output (rows
+    ``(merge_no, left, right, new_id, n_pairs)``) or bare
+    ``(left, right, new_id)`` triples; merges apply in table order
+    (training order = priority order), each greedy left-to-right.
+
+    Scale shape: ONE map-only Python stage for the whole table — the
+    UDF flattens each Arrow batch once and applies every merge as a
+    numpy pass over the flat array (match positions from one vector
+    comparison, O(matches) overlap walk, boolean-mask compaction);
+    chaining ``len(merges)`` single-merge stages would pay the
+    Arrow (de)serialization per merge instead of once. The merge table
+    rides into executors via the closure — bounded by vocabulary
+    growth, never corpus-scale. Invariant (tested):
+    ``apply_bpe(corpus, train_bpe(corpus)[0])`` equals training's own
+    rewritten corpus.
+    """
+    from pyspark.sql import types as T
+
+    from .dedup import _flatten_segments
+
+    triples = [
+        (int(m[1]), int(m[2]), int(m[3])) if len(m) >= 5 else (int(m[0]), int(m[1]), int(m[2]))
+        for m in merges
+    ]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(tokens: pd.Series) -> pd.Series:
+        flat, offsets, lens = _flatten_segments(tokens)
+        n_docs = len(tokens)
+        if flat.size == 0:
+            return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
+        flat = flat.astype(np.int64, copy=True)
+        lens = lens.astype(np.int64, copy=True)
+        for left, right, new_id in triples:
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
+            ends = offsets + lens
+            cand = np.zeros(flat.size, dtype=bool)
+            if flat.size >= 2:
+                cand[:-1] = (flat[:-1] == left) & (flat[1:] == right)
+            cand[ends[lens > 0] - 1] = False
+            matches = np.flatnonzero(cand)
+            if matches.size == 0:
+                continue
+            if left == right:
+                kept, last = [], -2
+                for m in matches.tolist():
+                    if m == last + 1:
+                        continue
+                    kept.append(m)
+                    last = m
+                matches = np.asarray(kept, dtype=np.int64)
+            flat[matches] = new_id
+            drop = np.zeros(flat.size, dtype=bool)
+            drop[matches + 1] = True
+            merged_per_doc = np.zeros(n_docs, dtype=np.int64)
+            ne = lens > 0
+            if ne.any():
+                merged_per_doc[ne] = np.add.reduceat(drop.astype(np.int64), offsets[ne])
+            flat = flat[~drop]
+            lens = lens - merged_per_doc
+        out_off = np.concatenate(([0], np.cumsum(lens)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
+        flat32 = flat.astype(np.int32)
+        return pd.Series([flat32[out_off[i]: out_off[i] + lens[i]] for i in range(n_docs)])
+
+    return docs.withColumn(tokens_col, _encode(F.col(tokens_col)))

@@ -438,3 +438,42 @@ class TestTrainBpe:
         merges, out = train_bpe(df, num_merges=5, min_freq=2)  # every pair unique
         assert merges == []
         assert {tuple(r["tokens"]) for r in out.collect()} == {(1, 2, 3), (4, 5, 6)}
+
+
+class TestApplyBpe:
+    def test_roundtrip_reproduces_training_corpus(self, spark):
+        """Encoding the raw corpus with the learned merge table must equal
+        training's own rewritten corpus — the train/inference invariant."""
+        import random
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import apply_bpe, train_bpe
+
+        rng = random.Random(23)
+        rows = [
+            (f"d{i:03d}", [rng.randrange(6) for _ in range(rng.randrange(0, 25))])
+            for i in range(30)
+        ] + [("runs", [3] * 11)]
+        df = spark.createDataFrame(
+            [(d, t, len(t), "s") for d, t in rows],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        merges, trained = train_bpe(df, num_merges=6, min_freq=2)
+        assert merges  # the corpus has repeating pairs
+        encoded = apply_bpe(df, merges)
+        got = {r["doc_id"]: list(r["tokens"]) for r in encoded.collect()}
+        want = {r["doc_id"]: list(r["tokens"]) for r in trained.collect()}
+        assert got == want
+
+    def test_single_python_stage(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import apply_bpe
+
+        df = spark.createDataFrame(
+            [("a", [1, 1, 2], 3, "s")],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+        plan = (
+            apply_bpe(df, [(1, 1, 9), (9, 2, 10)])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("ArrowEvalPython") == 1  # whole table, one stage
+        assert [list(r["tokens"]) for r in apply_bpe(df, [(1, 1, 9), (9, 2, 10)]).collect()] == [[10]]
