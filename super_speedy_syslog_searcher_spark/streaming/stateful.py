@@ -248,11 +248,13 @@ def dedup_exact_stateful(docs_stream: DataFrame, ttl_ms: int = 0) -> DataFrame:
         if len(pdf) == 0:
             return
         pdf = pdf.sort_values("doc_id")
-        if ttl_ms > 0:
-            state.setTimeoutDuration(ttl_ms)
         if state.exists:
+            if ttl_ms > 0:
+                state.setTimeoutDuration(ttl_ms)  # re-delivery refreshes the TTL
             return  # every row in this batch is a re-delivery
         state.update((str(pdf["doc_id"].iloc[0]),))
+        if ttl_ms > 0:
+            state.setTimeoutDuration(ttl_ms)  # set AFTER update: needs live state
         yield pd.DataFrame(
             [
                 {

@@ -314,3 +314,43 @@ def test_stateful_exact_dedup_across_batches(spark, tmp_path):
         for r in exact_dedup_groups(spark.createDataFrame(batch1, schema)).collect()
     }
     assert got1 == batch_keepers
+
+
+def test_stateful_exact_dedup_ttl_eviction(spark, tmp_path):
+    """ttl_ms > 0 bounds state: a fingerprint idle past the TTL is
+    evicted (swept on the next trigger that has no data for it), so a
+    later re-delivery is treated as new — the documented
+    recall-for-memory trade."""
+    import time as _time
+
+    from super_speedy_syslog_searcher_spark.streaming.stateful import dedup_exact_stateful
+
+    in_dir = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "keepers")
+    schema = "doc_id string, source string, text string"
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            dedup_exact_stateful(stream, ttl_ms=1)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once([("a1", "s", "text alpha")], "overwrite")
+    _time.sleep(1.5)  # let the 1 ms TTL lapse in wall time
+    # a trigger WITHOUT data for the key sweeps its timed-out state
+    run_once([("b1", "s", "text beta")], "append")
+    # the evicted fingerprint re-delivers → emitted again as new
+    run_once([("a2", "s", "text alpha")], "append")
+
+    rows = spark.read.parquet(out_dir).collect()
+    emitted = sorted(r["doc_id"] for r in rows)
+    assert emitted == ["a1", "a2", "b1"]
