@@ -272,13 +272,19 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 # text analysis
 # ---------------------------------------------------------------------------
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring + token counting + language-ID in ONE query
-    (registry consolidation — r3 absorbed the former ``text_token_count``,
-    r4 absorbs ``text_langid`` to make room for ``dedup_substring``): all
-    three are per-doc map-only Column pipelines over ``documents``,
-    joined on doc_id."""
+    """Quality scoring + token counting + language-ID + content
+    fingerprint in ONE query (registry consolidation — r3 absorbed the
+    former ``text_token_count``, r4 absorbed ``text_langid`` to make
+    room for ``dedup_substring`` and ``doc_fingerprint`` to make room
+    for ``docs_shuffle``): all four are per-doc map-only Column
+    pipelines over ``documents``, joined on doc_id."""
     d = _docs(spark, sf_dir)
-    return quality_stats(d).join(token_counts(d), "doc_id").join(langid(d), "doc_id")
+    return (
+        quality_stats(d)
+        .join(token_counts(d), "doc_id")
+        .join(langid(d), "doc_id")
+        .join(content_fingerprint(d), "doc_id")
+    )
 
 
 SQL_TEXT_QUALITY = """
@@ -299,19 +305,32 @@ SELECT doc_id,
   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bpe_tokens,
   round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) AS en_score,
   CASE WHEN round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) > 0.02
-       THEN 'en' ELSE 'unk' END AS predicted_lang
+       THEN 'en' ELSE 'unk' END AS predicted_lang,
+  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+  length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
 FROM w
 """
 
 
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return content_fingerprint(_docs(spark, sf_dir))
+def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic resume-stable global training-order shuffle
+    (``tokens.global_shuffle``): every doc ranked by md5('s4:'||doc_id).
+    The oracle recomputes the full permutation with a plain row_number
+    window — verifying the engine's range-partition + frozen-pid rank
+    attach against the single-window definition, the same two-phase
+    machinery the k-way merge rank uses (merge.with_global_rank)."""
+    from .operators.tokens import global_shuffle
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    return global_shuffle(d, seed="s4").select(
+        F.col("doc_id"), F.col("shuffle_rank")
+    )
 
 
-SQL_DOC_FINGERPRINT = """
+SQL_DOCS_SHUFFLE = """
 SELECT doc_id,
-  md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-  length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
+       CAST(row_number() OVER (ORDER BY md5('s4:' || CAST(doc_id AS VARCHAR)), doc_id)
+            - 1 AS BIGINT) AS shuffle_rank
 FROM documents
 """
 
@@ -660,7 +679,7 @@ QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_substring": q_dedup_substring,
     "text_quality": q_text_quality,
-    "doc_fingerprint": q_doc_fingerprint,
+    "docs_shuffle": q_docs_shuffle,
     "text_tfidf": q_text_tfidf,
     "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -678,7 +697,7 @@ ORACLES = {
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_substring": SQL_DEDUP_SUBSTRING,
     "text_quality": SQL_TEXT_QUALITY,
-    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "docs_shuffle": SQL_DOCS_SHUFFLE,
     "text_tfidf": SQL_TEXT_TFIDF,
     "doc_winnow": SQL_DOC_WINNOW,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

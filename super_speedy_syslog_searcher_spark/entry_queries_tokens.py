@@ -16,20 +16,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .entry_queries import _SQL_LINE_EXPR, rendered_docs
-from .operators.tokens import bpe_pair_stats, mixture_weights, pack_sequences, vocab_stats
+from .operators.tokens import bpe_pair_stats, pack_sequences, vocab_stats
 
 PACK_MAX_LEN = 512
 
-MIX_TARGETS = {
-    "ev0": 0.25,
-    "ev1": 0.20,
-    "ev2": 0.15,
-    "ev3": 0.10,
-    "ev4": 0.10,
-    "ev5": 0.08,
-    "ev6": 0.07,
-    "ev7": 0.05,
+MIX_TARGETS_PPM = {
+    "ev0": 250_000,
+    "ev1": 200_000,
+    "ev2": 150_000,
+    "ev3": 100_000,
+    "ev4": 100_000,
+    "ev5": 80_000,
+    "ev6": 70_000,
+    "ev7": 50_000,
 }
+MIX_BUCKETS = 1_000_000
 
 _SQL_DOCS = f"""
 docs AS (
@@ -156,30 +157,69 @@ FROM toks GROUP BY token
 
 
 def q_tokens_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source sampling rates hitting the target token mixture with
-    max retention (rate ≤ 1 everywhere, = 1 for the binding source)."""
+    """Mixture sampling applied END-TO-END (upgrades the former
+    rates-only row): per source, the exact integer keep-bucket threshold
+    realizing the target token mixture at max retention, plus the
+    ACHIEVED kept doc/token totals from the deterministically sampled
+    corpus (``tokens.sample_to_mixture``). Every output column is an
+    integer, so the oracle match is exact — the kept SET, not just the
+    rate table, is verified. ``mixture_weights`` (the float rate face)
+    stays covered by its own pytest equivalence to these thresholds."""
+    from .operators.tokens import mixture_sample_stats
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return mixture_weights(rendered_docs(spark, sf_dir), MIX_TARGETS)
+    return mixture_sample_stats(
+        rendered_docs(spark, sf_dir), MIX_TARGETS_PPM, n_buckets=MIX_BUCKETS
+    )
 
 
-_MIX_CASE = "CASE source " + " ".join(
-    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS.items())
+_MIX_PPM_CASE = "CASE source " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_TARGETS_PPM.items())
 ) + " END"
 
+# Exact-integer twin of tokens._mixture_thresholds: binding source via
+# cross-multiplied fraction comparison (HUGEINT — products reach ~1e19),
+# keep_buckets = ceil(ppm_s*nb*NB / (pb*n_tok_s)), keep rule = md5 bucket
+# of the doc id below the threshold. No float touches any compared value.
 SQL_TOKENS_MIXTURE = f"""
 WITH {_SQL_DOCS.strip()},
-per AS (
-  SELECT source, CAST(sum(length(line)) AS BIGINT) AS n_tok_total,
-         {_MIX_CASE} AS target_share
-  FROM docs GROUP BY source
+sized AS (
+  SELECT source, doc_id, CAST(length(line) AS BIGINT) AS n_tok FROM docs
 ),
-tmax AS (SELECT min(n_tok_total / target_share) AS t FROM per)
-SELECT source, n_tok_total, target_share,
-       CASE WHEN n_tok_total > 0
-            THEN round(target_share * t / n_tok_total, 6)
-            ELSE 0.0 END AS rate,
-       round(target_share * t, 4) AS expected_tokens
-FROM per, tmax
+per AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS n_tok_total,
+         CAST({_MIX_PPM_CASE} AS BIGINT) AS ppm
+  FROM sized GROUP BY source
+  HAVING ppm IS NOT NULL AND ppm > 0
+),
+bind AS (
+  SELECT s.n_tok_total AS nb, s.ppm AS pb FROM per s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM per t
+    WHERE CAST(t.n_tok_total AS HUGEINT) * s.ppm < CAST(s.n_tok_total AS HUGEINT) * t.ppm
+       OR (CAST(t.n_tok_total AS HUGEINT) * s.ppm = CAST(s.n_tok_total AS HUGEINT) * t.ppm
+           AND t.source < s.source))
+),
+thr AS (
+  SELECT source, n_tok_total, ppm,
+         CASE WHEN nb = 0 OR n_tok_total = 0 THEN 0
+              ELSE CAST((CAST(ppm AS HUGEINT) * nb * {MIX_BUCKETS}
+                         + CAST(pb AS HUGEINT) * n_tok_total - 1)
+                        // (CAST(pb AS HUGEINT) * n_tok_total) AS BIGINT)
+         END AS keep_buckets
+  FROM per, bind
+),
+kept AS (
+  SELECT s.source, count(*) AS n_docs_kept, sum(s.n_tok) AS n_tok_kept
+  FROM sized s JOIN thr USING (source)
+  WHERE CAST('0x' || substr(md5(s.doc_id), 1, 8) AS BIGINT) % {MIX_BUCKETS}
+        < thr.keep_buckets
+  GROUP BY s.source
+)
+SELECT t.source, t.n_tok_total, t.ppm AS target_ppm, t.keep_buckets,
+       CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+       CAST(COALESCE(k.n_tok_kept, 0) AS BIGINT) AS n_tok_kept
+FROM thr t LEFT JOIN kept k USING (source)
 """
 
 
@@ -211,35 +251,64 @@ LM_BUCKETS = 65536
 
 
 def q_tokens_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed bigram-LM quality score (perplexity filter) per doc."""
-    from .operators.tokens import bigram_logprob
+    """Hashed bigram-LM quality score per doc, UPGRADED with CCNet-style
+    per-source head/middle/tail perplexity bucketing (Wenzek et al.
+    2020): exact tertile thresholds from a (source, ppl, count)
+    histogram — the slice selection CCNet trains its LM filter for,
+    verified value-for-value against the DuckDB twin."""
+    from .operators.tokens import bigram_logprob, perplexity_buckets
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return bigram_logprob(rendered_docs(spark, sf_dir), n_buckets=LM_BUCKETS)
+    scored = bigram_logprob(
+        rendered_docs(spark, sf_dir), n_buckets=LM_BUCKETS, carry_cols=("source",)
+    )
+    return perplexity_buckets(scored).select(
+        "doc_id", "source", "n_bigrams", "mean_logprob", "ppl", "ppl_bucket"
+    )
 
 
 SQL_TOKENS_BIGRAM_LM = f"""
 WITH {_SQL_DOCS.strip()},
 prs AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          unicode(substr(line, i, 1)) AS l,
          unicode(substr(line, i + 1, 1)) AS r
-  FROM (SELECT doc_id, line, unnest(generate_series(1, length(line) - 1)) AS i
+  FROM (SELECT doc_id, source, line, unnest(generate_series(1, length(line) - 1)) AS i
         FROM docs WHERE length(line) >= 2)
 ),
 feats AS (
-  SELECT doc_id,
+  SELECT doc_id, source,
          CAST('0x' || substr(md5(CAST(l AS VARCHAR) || ',' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS pb,
          CAST('0x' || substr(md5(CAST(l AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS ub
   FROM prs
 ),
 pcnt AS (SELECT pb, count(*) AS c_p FROM feats GROUP BY pb),
-ucnt AS (SELECT ub, count(*) AS c_u FROM feats GROUP BY ub)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       round(avg(ln((c_p + 1) / CAST(c_u + {LM_BUCKETS} AS DOUBLE))), 4) AS mean_logprob,
-       round(exp(-avg(ln((c_p + 1) / CAST(c_u + {LM_BUCKETS} AS DOUBLE)))), 4) AS ppl
-FROM feats JOIN pcnt USING (pb) JOIN ucnt USING (ub)
-GROUP BY doc_id
+ucnt AS (SELECT ub, count(*) AS c_u FROM feats GROUP BY ub),
+scored AS (
+  SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(ln((c_p + 1) / CAST(c_u + {LM_BUCKETS} AS DOUBLE))), 4) AS mean_logprob,
+         round(exp(-avg(ln((c_p + 1) / CAST(c_u + {LM_BUCKETS} AS DOUBLE)))), 4) AS ppl
+  FROM feats JOIN pcnt USING (pb) JOIN ucnt USING (ub)
+  GROUP BY doc_id, source
+),
+hist AS (SELECT source, ppl, count(*) AS cnt FROM scored GROUP BY source, ppl),
+cum AS (
+  SELECT source, ppl,
+         sum(cnt) OVER (PARTITION BY source ORDER BY ppl) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS total
+  FROM hist
+),
+thr AS (
+  SELECT source,
+         min(CASE WHEN cum * 3 >= total THEN ppl END) AS t1,
+         min(CASE WHEN cum * 3 >= 2 * total THEN ppl END) AS t2
+  FROM cum GROUP BY source
+)
+SELECT s.doc_id, s.source, s.n_bigrams, s.mean_logprob, s.ppl,
+       CASE WHEN s.ppl <= t.t1 THEN 'head'
+            WHEN s.ppl <= t.t2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM scored s JOIN thr t USING (source)
 """
 
 

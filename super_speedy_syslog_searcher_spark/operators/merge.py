@@ -67,10 +67,15 @@ def global_sort(
     return df.repartitionByRange(n, *keys).sortWithinPartitions(*keys)
 
 
-def with_global_rank(sorted_df: DataFrame) -> DataFrame:
+def with_global_rank(
+    sorted_df: DataFrame, keys: list[str] | None = None, rank_col: str = "rank"
+) -> DataFrame:
     """Attach a global dense rank without a single-partition window:
     per-partition row counts are tiny (num_partitions rows) and are
     broadcast back as offsets — the standard scalable zipWithIndex.
+    ``keys`` defaults to the merge SORT_KEYS; callers that range-sorted
+    on a different composite (e.g. ``tokens.global_shuffle``) pass their
+    own.
 
     The partition id is frozen with ``localCheckpoint`` BEFORE it is read:
     the counts job and the downstream rank job otherwise each re-execute
@@ -94,9 +99,11 @@ def with_global_rank(sorted_df: DataFrame) -> DataFrame:
     offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("_pid").orderBy(*[F.col(k).asc_nulls_last() for k in SORT_KEYS])
+    w = Window.partitionBy("_pid").orderBy(
+        *[F.col(k).asc_nulls_last() for k in (keys or SORT_KEYS)]
+    )
     return (
         with_pid.withColumn("_rn", F.row_number().over(w))
-        .withColumn("rank", (offmap[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
+        .withColumn(rank_col, (offmap[F.col("_pid")] + F.col("_rn") - 1).cast("long"))
         .drop("_pid", "_rn")
     )

@@ -245,7 +245,9 @@ def bpe_pair_stats(docs: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
-def _adjacent_pairs(docs: DataFrame, tokens_col: str) -> DataFrame:
+def _adjacent_pairs(
+    docs: DataFrame, tokens_col: str, carry_cols: list[str] | None = None
+) -> DataFrame:
     """(doc_id, p struct<l,r>) — one row per adjacent token pair; the
     zip-with-shifted-slice build keeps everything in codegen."""
     t = F.col(tokens_col)
@@ -254,11 +256,18 @@ def _adjacent_pairs(docs: DataFrame, tokens_col: str) -> DataFrame:
         t, shifted, lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r")))
     )
     return docs.select(
-        "doc_id", F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("p")
+        "doc_id",
+        *(carry_cols or []),
+        F.explode(F.filter(pairs, lambda x: x.isNotNull())).alias("p"),
     )
 
 
-def bigram_logprob(docs: DataFrame, n_buckets: int = 65536, tokens_col: str = "tokens") -> DataFrame:
+def bigram_logprob(
+    docs: DataFrame,
+    n_buckets: int = 65536,
+    tokens_col: str = "tokens",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Hashed bigram-LM quality score (the KenLM-perplexity filter of
     CCNet/fastText-era pipelines, hash-LM flavored): per document, the
     mean conditional log-likelihood of each adjacent token pair under a
@@ -273,11 +282,15 @@ def bigram_logprob(docs: DataFrame, n_buckets: int = 65536, tokens_col: str = "t
     no shuffle (the same design as ``curation.dsir_weights``). The only
     wide exchanges are on the bounded bucket ids and on ``doc_id`` for
     the per-doc mean. Docs with fewer than 2 tokens produce no row.
+    ``carry_cols`` ride through unchanged (doc-functional columns such
+    as ``source`` — free to carry through the doc_id groupBy).
     """
     from .curation import hash_bucket
 
-    pairs = _adjacent_pairs(docs, tokens_col).select(
+    carry = list(carry_cols)
+    pairs = _adjacent_pairs(docs, tokens_col, carry_cols=carry).select(
         "doc_id",
+        *carry,
         hash_bucket(F.concat_ws(",", F.col("p.l"), F.col("p.r")), n_buckets).alias("pb"),
         hash_bucket(F.col("p.l"), n_buckets).alias("ub"),
     )
@@ -287,11 +300,12 @@ def bigram_logprob(docs: DataFrame, n_buckets: int = 65536, tokens_col: str = "t
     scored = (
         pairs.join(F.broadcast(pcnt), "pb")
         .join(F.broadcast(ucnt), "ub")
-        .groupBy("doc_id")
+        .groupBy("doc_id", *carry)
         .agg(F.count("*").cast("long").alias("n_bigrams"), F.avg(lp).alias("_m"))
     )
     return scored.select(
         "doc_id",
+        *carry,
         "n_bigrams",
         F.round("_m", 4).alias("mean_logprob"),
         F.round(F.exp(-F.col("_m")), 4).alias("ppl"),
@@ -483,3 +497,192 @@ def apply_bpe(
         return pd.Series([flat32[out_off[i]: out_off[i] + lens[i]] for i in range(n_docs)])
 
     return docs.withColumn(tokens_col, _encode(F.col(tokens_col)))
+
+
+def _mixture_thresholds(
+    docs: DataFrame, targets_ppm: dict[str, int], n_buckets: int
+) -> list[tuple[str, int, int, int]]:
+    """Per-source ``(source, n_tok_total, ppm, keep_buckets)`` for the
+    mixture keep rule, computed in EXACT integer arithmetic.
+
+    With binding source b = argmin over targeted sources of
+    n_tok_s / share_s (tie → lowest source name), the max-retention rate
+    is rate_s = ppm_s·n_tok_b / (ppm_b·n_tok_s) ≤ 1, and the number of
+    kept hash buckets is the count of integers k ≥ 0 with
+    k/n_buckets < rate_s, i.e. ceil(ppm_s·n_tok_b·n_buckets /
+    (ppm_b·n_tok_s)) — never a float, so Spark, the DuckDB oracle, and a
+    resumed job agree on every boundary bucket. The only driver-side
+    data is the |sources|-row totals table.
+    """
+    from fractions import Fraction
+
+    rows = (
+        docs.groupBy("source").agg(F.sum("n_tok").cast("long").alias("n_tok_total")).collect()
+    )
+    per = sorted(
+        (r["source"], int(r["n_tok_total"] or 0))
+        for r in rows
+        if targets_ppm.get(r["source"], 0) > 0
+    )
+    if not per:
+        return []
+    _, nb, pb = min(
+        ((s, n, targets_ppm[s]) for s, n in per),
+        key=lambda x: (Fraction(x[1], x[2]), x[0]),
+    )
+    out = []
+    for s, n in per:
+        ppm = targets_ppm[s]
+        if nb == 0 or n == 0:
+            keep = 0  # a targeted empty source binds T to 0 — keep nothing
+        else:
+            keep = (ppm * nb * n_buckets + pb * n - 1) // (pb * n)
+        out.append((s, n, ppm, keep))
+    return out
+
+
+def sample_to_mixture(
+    docs: DataFrame,
+    targets_ppm: dict[str, int],
+    n_buckets: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`mixture_weights` end-to-end: deterministically keep
+    the subset of docs that tilts the corpus to the target token mixture
+    (shares as integer parts-per-million) with maximum retention — the
+    step that turns the mixture TABLE into the mixture CORPUS.
+
+    Keep rule: md5-bucket(doc_id) < keep_buckets(source), thresholds
+    from :func:`_mixture_thresholds` (exact integers). Map-only after a
+    broadcast of the |sources|-row threshold table: the decision never
+    shuffles, is independent of partition layout (unlike ``sampleBy``),
+    and re-runs / resumed jobs keep byte-identical doc sets.
+    """
+    from .curation import hash_bucket
+
+    spark = docs.sparkSession
+    thr = _mixture_thresholds(docs, targets_ppm, n_buckets)
+    if not thr:
+        return docs.filter(F.lit(False))
+    thr_df = spark.createDataFrame(
+        thr, "source string, n_tok_total long, target_ppm long, keep_buckets long"
+    ).select("source", "keep_buckets")
+    return (
+        docs.join(F.broadcast(thr_df), "source")
+        .filter(hash_bucket(F.col(id_col), n_buckets) < F.col("keep_buckets"))
+        .drop("keep_buckets")
+    )
+
+
+def mixture_sample_stats(
+    docs: DataFrame,
+    targets_ppm: dict[str, int],
+    n_buckets: int = 1_000_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source audit of :func:`sample_to_mixture`: the exact integer
+    threshold plus the ACHIEVED kept doc/token totals — all integers, so
+    the oracle check is exact. One bounded aggregate over the kept set;
+    sources sampled to zero still get a row (kept counts 0)."""
+    from .curation import hash_bucket
+
+    spark = docs.sparkSession
+    thr = _mixture_thresholds(docs, targets_ppm, n_buckets)
+    thr_df = spark.createDataFrame(
+        thr or [("", 0, 0, 0)],
+        "source string, n_tok_total long, target_ppm long, keep_buckets long",
+    )
+    if not thr:
+        return thr_df.filter(F.lit(False))
+    kept = (
+        docs.join(F.broadcast(thr_df.select("source", "keep_buckets")), "source")
+        .filter(hash_bucket(F.col(id_col), n_buckets) < F.col("keep_buckets"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs_kept"),
+            F.sum("n_tok").cast("long").alias("n_tok_kept"),
+        )
+    )
+    return thr_df.join(kept, "source", "left").select(
+        "source",
+        "n_tok_total",
+        "target_ppm",
+        "keep_buckets",
+        F.coalesce("n_docs_kept", F.lit(0)).cast("long").alias("n_docs_kept"),
+        F.coalesce("n_tok_kept", F.lit(0)).cast("long").alias("n_tok_kept"),
+    )
+
+
+def global_shuffle(
+    docs: DataFrame,
+    seed: str = "s4",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic resume-stable global training-order shuffle: rank
+    every doc by ``md5(seed || ':' || doc_id)`` (ties → doc_id). Reruns,
+    resumed jobs, and either engine produce the identical permutation —
+    the property ``df.orderBy(rand(seed))`` does NOT have (rand() is
+    tied to partition layout), and the one a training job needs to
+    restart mid-epoch without reshuffling.
+
+    Scale shape: the hash key is uniform by construction, so
+    ``repartitionByRange`` on it is skew-free regardless of how hot any
+    source/day is; the global rank attaches via the frozen-partition-id
+    offset pattern (``merge.with_global_rank``) — no single-partition
+    window, no driver-side data beyond one row per partition.
+    """
+    from .merge import with_global_rank
+
+    n = num_partitions or int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    keyed = docs.withColumn(
+        "_shuf", F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    )
+    keys = ["_shuf", id_col]
+    cols = [F.col(k).asc_nulls_last() for k in keys]
+    sorted_df = keyed.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    return with_global_rank(sorted_df, keys=keys, rank_col="shuffle_rank").drop("_shuf")
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "ppl",
+    labels: tuple[str, str, str] = ("head", "middle", "tail"),
+) -> DataFrame:
+    """CCNet-style per-stratum perplexity bucketing (Wenzek et al. 2020,
+    §4.3): split each stratum's docs into head / middle / tail thirds of
+    the perplexity distribution — head = lowest-ppl (most in-domain)
+    third, the slice CCNet keeps by default.
+
+    Exact at any scale via the histogram-first pattern of
+    ``curation.length_quantiles``: the raw rows collapse to a
+    (stratum, ppl, count) histogram before any window runs, tertile
+    thresholds t_k = smallest v with cum·3 ≥ k·total are pure integer
+    comparisons over it, and the bounded threshold table broadcasts back
+    onto the scored rows — never a window over row-scale data, never a
+    hot single-stratum task.
+    """
+    hist = scored.groupBy(stratum_col, value_col).agg(F.count("*").alias("cnt"))
+    w_cum = Window.partitionBy(stratum_col).orderBy(value_col)
+    w_all = Window.partitionBy(stratum_col)
+    cum = hist.select(
+        stratum_col,
+        value_col,
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    thr = cum.groupBy(stratum_col).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("total"), F.col(value_col))).alias("_t1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("total"), F.col(value_col))).alias("_t2"),
+    )
+    bucket = (
+        F.when(F.col(value_col) <= F.col("_t1"), F.lit(labels[0]))
+        .when(F.col(value_col) <= F.col("_t2"), F.lit(labels[1]))
+        .otherwise(F.lit(labels[2]))
+    )
+    return (
+        scored.join(F.broadcast(thr), stratum_col)
+        .withColumn("ppl_bucket", bucket)
+        .drop("_t1", "_t2")
+    )

@@ -477,3 +477,207 @@ class TestApplyBpe:
         )
         assert plan.count("ArrowEvalPython") == 1  # whole table, one stage
         assert [list(r["tokens"]) for r in apply_bpe(df, [(1, 1, 9), (9, 2, 10)]).collect()] == [[10]]
+
+
+class TestSampleToMixture:
+    """sample_to_mixture / mixture_sample_stats — exact integer keep rule."""
+
+    def _corpus(self, spark, n_per=60, seed_sizes=(5, 9, 14, 23)):
+        rows = []
+        for si, src in enumerate(["a", "b", "c"]):
+            for i in range(n_per):
+                n = seed_sizes[(si * 7 + i) % len(seed_sizes)] + (i % 5)
+                rows.append((f"{src}-doc{i:04d}", src, [0] * n, n))
+        return spark.createDataFrame(
+            rows, "doc_id string, source string, tokens array<int>, n_tok int"
+        ), rows
+
+    @staticmethod
+    def _py_reference(rows, targets_ppm, n_buckets):
+        """Pure-Python twin of the exact integer rule."""
+        import hashlib
+        from fractions import Fraction
+
+        totals = {}
+        for _, src, _, n in rows:
+            totals[src] = totals.get(src, 0) + n
+        per = sorted((s, n) for s, n in totals.items() if targets_ppm.get(s, 0) > 0)
+        _, nb, pb = min(
+            ((s, n, targets_ppm[s]) for s, n in per),
+            key=lambda x: (Fraction(x[1], x[2]), x[0]),
+        )
+        thr = {}
+        for s, n in per:
+            ppm = targets_ppm[s]
+            thr[s] = 0 if (nb == 0 or n == 0) else (ppm * nb * n_buckets + pb * n - 1) // (pb * n)
+        kept = set()
+        for doc_id, src, _, _ in rows:
+            if src not in thr:
+                continue
+            b = int(hashlib.md5(doc_id.encode()).hexdigest()[:8], 16) % n_buckets
+            if b < thr[src]:
+                kept.add(doc_id)
+        return thr, kept
+
+    def test_kept_set_matches_python_reference_exactly(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            mixture_sample_stats,
+            sample_to_mixture,
+        )
+
+        targets = {"a": 500_000, "b": 300_000, "c": 200_000}
+        nb = 1_000_000
+        df, rows = self._corpus(spark)
+        thr, kept = self._py_reference(rows, targets, nb)
+        got = {r["doc_id"] for r in sample_to_mixture(df, targets, n_buckets=nb).collect()}
+        assert got == kept
+        stats = {r["source"]: r for r in mixture_sample_stats(df, targets, n_buckets=nb).collect()}
+        for s, k in thr.items():
+            assert stats[s]["keep_buckets"] == k
+        # achieved counts tie to the reference kept set
+        from collections import Counter
+
+        want_docs = Counter(src for d, src, _, _ in rows if d in kept)
+        for s in thr:
+            assert stats[s]["n_docs_kept"] == want_docs.get(s, 0)
+
+    def test_binding_source_keeps_everything(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            mixture_sample_stats,
+            sample_to_mixture,
+        )
+
+        # equal corpus sizes, skewed targets → the LOW-share source binds
+        df, rows = self._corpus(spark)
+        targets = {"a": 800_000, "b": 100_000, "c": 100_000}
+        stats = {r["source"]: r for r in mixture_sample_stats(df, targets).collect()}
+        binding = min(
+            stats, key=lambda s: (stats[s]["n_tok_total"] / (targets[s] / 1e6), s)
+        )
+        assert stats[binding]["keep_buckets"] == 1_000_000
+        sampled = sample_to_mixture(df, targets)
+        n_bind = sampled.filter(F.col("source") == binding).count()
+        assert n_bind == sum(1 for _, s, _, _ in rows if s == binding)
+
+    def test_thresholds_agree_with_float_rates(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            mixture_sample_stats,
+        )
+
+        df, _ = self._corpus(spark)
+        ppm = {"a": 450_000, "b": 350_000, "c": 200_000}
+        stats = {r["source"]: r for r in mixture_sample_stats(df, ppm).collect()}
+        rates = {
+            r["source"]: r["rate"]
+            for r in mixture_weights(df, {k: v / 1e6 for k, v in ppm.items()}).collect()
+        }
+        for s, r in rates.items():
+            assert abs(stats[s]["keep_buckets"] / 1_000_000 - r) <= 3e-6
+
+    def test_partition_layout_independence(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import sample_to_mixture
+
+        targets = {"a": 600_000, "b": 250_000, "c": 150_000}
+        df, _ = self._corpus(spark)
+        one = {r["doc_id"] for r in sample_to_mixture(df.repartition(1), targets).collect()}
+        many = {r["doc_id"] for r in sample_to_mixture(df.repartition(13), targets).collect()}
+        assert one == many and one
+
+    def test_no_targets_yields_empty(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            mixture_sample_stats,
+            sample_to_mixture,
+        )
+
+        df, _ = self._corpus(spark)
+        assert sample_to_mixture(df, {}).count() == 0
+        assert mixture_sample_stats(df, {}).count() == 0
+
+
+class TestGlobalShuffle:
+    def _docs(self, spark, n=200):
+        return spark.createDataFrame(
+            [(f"doc{i:05d}",) for i in range(n)], "doc_id string"
+        )
+
+    def test_matches_single_window_permutation(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import global_shuffle
+
+        df = self._docs(spark)
+        got = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, seed="t1").collect()}
+        ref = (
+            df.withColumn("k", F.md5(F.concat_ws(":", F.lit("t1"), F.col("doc_id"))))
+            .withColumn("rank", F.row_number().over(Window.orderBy("k", "doc_id")) - 1)
+        )
+        want = {r["doc_id"]: r["rank"] for r in ref.collect()}
+        assert got == want
+        assert sorted(got.values()) == list(range(len(got)))
+
+    def test_partition_count_invariance(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import global_shuffle
+
+        df = self._docs(spark, n=157)
+        a = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "s", num_partitions=3).collect()}
+        b = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "s", num_partitions=16).collect()}
+        assert a == b
+
+    def test_different_seed_different_order(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import global_shuffle
+
+        df = self._docs(spark, n=100)
+        a = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "s1").collect()}
+        b = {r["doc_id"]: r["shuffle_rank"] for r in global_shuffle(df, "s2").collect()}
+        assert a != b
+        assert sorted(a.values()) == sorted(b.values())
+
+
+class TestPerplexityBuckets:
+    def _scored(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, source string, ppl double")
+
+    def test_tertile_rule_matches_python_reference(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import perplexity_buckets
+
+        rows = [
+            (f"d{s}{i:03d}", s, float(v))
+            for s in ("x", "y")
+            for i, v in enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7])
+        ]
+        got = {
+            (r["doc_id"]): r["ppl_bucket"]
+            for r in perplexity_buckets(self._scored(spark, rows)).collect()
+        }
+        # python reference: t_k = smallest v with (#<=v)*3 >= k*total
+        import collections
+
+        by_src = collections.defaultdict(list)
+        for d, s, v in rows:
+            by_src[s].append(v)
+        want = {}
+        for s, vals in by_src.items():
+            sv = sorted(vals)
+            n = len(sv)
+            t1 = min(v for v in sv if sum(1 for x in sv if x <= v) * 3 >= n)
+            t2 = min(v for v in sv if sum(1 for x in sv if x <= v) * 3 >= 2 * n)
+            for d, s2, v in rows:
+                if s2 == s:
+                    want[d] = "head" if v <= t1 else ("middle" if v <= t2 else "tail")
+        assert got == want
+
+    def test_buckets_are_ordered_and_balanced_on_distinct_values(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import perplexity_buckets
+
+        rows = [(f"d{i:03d}", "s", float(i) * 0.125 + 1.0) for i in range(99)]
+        out = perplexity_buckets(self._scored(spark, rows)).collect()
+        by_bucket = {}
+        for r in out:
+            by_bucket.setdefault(r["ppl_bucket"], []).append(r["ppl"])
+        assert {len(v) for v in by_bucket.values()} == {33}
+        assert max(by_bucket["head"]) < min(by_bucket["middle"]) < max(by_bucket["middle"]) < min(by_bucket["tail"])
+
+    def test_threshold_table_is_broadcast(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import perplexity_buckets
+
+        rows = [(f"d{i:03d}", "s", float(i % 17)) for i in range(60)]
+        plan = perplexity_buckets(self._scored(spark, rows))._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
