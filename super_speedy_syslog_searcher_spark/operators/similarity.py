@@ -336,3 +336,120 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: k-means clustering + within-cluster cosine dedup
+# ---------------------------------------------------------------------------
+def kmeans_assign(
+    vecs: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, np.ndarray]:
+    """Deterministic Lloyd's k-means over the embedding column —
+    the clustering stage of SemDeDup (Abbas et al. 2023: cluster the
+    corpus, dedup within clusters) and of IVF index building.
+
+    Fully deterministic, so re-runs and resumed jobs agree: centroids
+    initialize from the k lowest-id vectors (no RNG), assignment
+    tie-breaks on the lowest cluster id, and the centroid update is an
+    exact mean in float64.
+
+    Scale shape per round: the k×d centroid matrix (bounded — k·d
+    floats) rides into a vectorized pandas UDF via the closure; the
+    assignment is ONE matmul per Arrow batch, map-only — the corpus
+    never shuffles. The centroid update is d per-dimension ``F.sum``
+    aggregates + a count per cluster: pure codegen with map-side
+    partials, k rows out; no explode, no corpus-scale data near the
+    driver. Total: ``iters`` corpus scans, zero corpus exchanges.
+
+    Returns ``(assignments, centroids)``: (id, cluster) rows and the
+    final k×d float64 matrix. Empty clusters keep their previous
+    centroid (standard Lloyd's degeneracy handling).
+    """
+    dim_row = vecs.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return (
+            vecs.sparkSession.createDataFrame([], f"{id_col} long, cluster int"),
+            np.zeros((0, 0)),
+        )
+    d = dim_row["d"]
+    src = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init = src.orderBy("id").limit(k).collect()
+    cents = np.asarray([r["v"] for r in init], dtype=np.float64)
+    kk = cents.shape[0]  # corpus may hold fewer than k vectors
+
+    def make_assign_udf(c: np.ndarray):
+        sq = (c * c).sum(axis=1)  # |c|^2 per centroid
+
+        @F.pandas_udf("int")
+        def _assign(col: pd.Series) -> pd.Series:
+            m = np.asarray([np.asarray(x, dtype=np.float64) for x in col])
+            if m.size == 0:
+                return pd.Series(np.empty(0, dtype=np.int32))
+            # argmin ||x-c||^2 = argmin |c|^2 - 2<x,c>; ties -> lowest id
+            return pd.Series(np.argmin(sq - 2.0 * (m @ c.T), axis=1).astype(np.int32))
+
+        return _assign
+
+    for _ in range(iters):
+        assigned = src.withColumn("cluster", make_assign_udf(cents)(F.col("v")))
+        sums = assigned.groupBy("cluster").agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(F.element_at(F.col("v"), i + 1).cast("double")).alias(f"s{i}")
+                for i in range(d)
+            ],
+        )
+        new = cents.copy()
+        for r in sums.collect():  # bounded: ≤ k rows
+            ci = r["cluster"]
+            new[ci] = np.array([r[f"s{i}"] for i in range(d)]) / r["n"]
+        cents = new
+    assigned = src.withColumn("cluster", make_assign_udf(cents)(F.col("v"))).select(
+        F.col("id").alias(id_col), "cluster"
+    )
+    return assigned, cents
+
+
+def semdedup_pairs(
+    vecs: DataFrame,
+    threshold: float = 0.97,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pairs via
+    k-means clustering then within-cluster cosine — the candidate
+    generator is the CLUSTER, so the pair join is co-located on the
+    cluster id and never all-pairs. Output ``(a, b)`` with a < b and
+    cosine ≥ threshold, ready for ``dedup.connected_components`` (the
+    same closure every other candidate generator feeds).
+
+    Caveat vs sign-LSH (``cosine_dup_pairs``): k-means recall is exact
+    WITHIN a cluster; pairs straddling a cluster boundary are missed —
+    that is SemDeDup's stated trade (clusters are the prune). A hot
+    mega-cluster is bounded by k choice; at 100 TB pick k so the
+    expected cluster fits a task (the paper uses k in the tens of
+    thousands), and AQE skew-join splits stragglers.
+    """
+    assigned, _ = kmeans_assign(vecs, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    b = (
+        vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .join(assigned.withColumnRenamed(id_col, "id"), "id")
+        .withColumn("nrm", norm_col(F.col("v")))
+        # materialize once: same single-UDF-execution rationale as
+        # cosine_dup_pairs — the cluster self-join would re-run the
+        # assignment scan on both sides otherwise.
+        .localCheckpoint(eager=False)
+    )
+    l = b.select(F.col("id").alias("a"), F.col("v").alias("qv"), F.col("nrm").alias("qnorm"), "cluster")
+    r = b.select(F.col("id").alias("b"), F.col("v").alias("cv"), F.col("nrm").alias("cnorm"), "cluster")
+    return (
+        _scored(l.join(r, "cluster").filter(F.col("a") < F.col("b")))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b")
+    )

@@ -677,3 +677,126 @@ class TestConnectedComponents:
 
     def test_reversed_edge_direction_is_irrelevant(self, spark):
         assert self._cc(spark, [(5, 3), (3, 1)]) == self._cc(spark, [(1, 3), (3, 5)])
+
+
+class TestKMeansSemDedup:
+    """kmeans_assign + semdedup_pairs (SemDeDup, Abbas et al. 2023)."""
+
+    def _vecs(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    @staticmethod
+    def _py_kmeans(rows, k, iters):
+        """Exact python twin: same init (k lowest ids), same argmin
+        tie-break (lowest cluster), same float64 mean update, empty
+        cluster keeps its centroid. Integer-valued inputs keep every sum
+        exact in float64, so summation order cannot matter."""
+        ids = sorted(i for i, _ in rows)
+        bymap = dict(rows)
+        cents = np.asarray([bymap[i] for i in ids[:k]], dtype=np.float64)
+        for _ in range(iters + 1):
+            sq = (cents * cents).sum(axis=1)
+            m = np.asarray([bymap[i] for i in ids], dtype=np.float64)
+            assign = np.argmin(sq - 2.0 * (m @ cents.T), axis=1)
+            new = cents.copy()
+            for c in range(cents.shape[0]):
+                mask = assign == c
+                if mask.any():
+                    new[c] = m[mask].mean(axis=0)
+            last = dict(zip(ids, assign.tolist()))
+            cents = new
+        return last
+
+    def test_matches_python_reference_exactly(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import kmeans_assign
+
+        rng = np.random.RandomState(11)
+        rows = [(i, rng.randint(-8, 9, size=6).tolist()) for i in range(90)]
+        want = self._py_kmeans(rows, k=4, iters=3)
+        # NB: the reference applies iters updates then one final assign,
+        # mirroring the operator (its loop assigns, updates, and the
+        # returned assignment uses the post-loop centroids).
+        assigned, cents = kmeans_assign(self._vecs(spark, rows), k=4, iters=3)
+        got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        assert got == want
+        assert cents.shape == (4, 6)
+
+    def test_recovers_separated_blobs(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import kmeans_assign
+
+        rng = np.random.RandomState(5)
+        blobs = [np.array([100, 0, 0]), np.array([0, 100, 0]), np.array([0, 0, 100])]
+        rows = [
+            (b * 1000 + i, (blobs[b] + rng.randint(-3, 4, size=3)).tolist())
+            for b in range(3)
+            for i in range(40)
+        ]
+        assigned, _ = kmeans_assign(self._vecs(spark, rows), k=3, iters=5)
+        got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        # every blob lands in exactly one cluster, and distinct blobs differ
+        labels = {b: {got[b * 1000 + i] for i in range(40)} for b in range(3)}
+        assert all(len(s) == 1 for s in labels.values())
+        assert len({next(iter(s)) for s in labels.values()}) == 3
+
+    def test_partition_layout_invariance(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import kmeans_assign
+
+        rng = np.random.RandomState(3)
+        rows = [(i, rng.randint(-5, 6, size=4).tolist()) for i in range(70)]
+        df = self._vecs(spark, rows)
+        a, _ = kmeans_assign(df.repartition(1), k=3, iters=2)
+        b, _ = kmeans_assign(df.repartition(11), k=3, iters=2)
+        assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+    def test_semdedup_finds_within_cluster_dups(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import (
+            kmeans_assign,
+            semdedup_pairs,
+        )
+
+        rng = np.random.RandomState(7)
+        blobs = [np.array([80, 0]), np.array([0, 80])]
+        rows = [
+            (b * 1000 + i, (blobs[b] + rng.randint(-2, 3, size=2)).tolist())
+            for b in range(2)
+            for i in range(25)
+        ]
+        # seed exact duplicates (cosine 1.0) inside each blob
+        rows += [(9001, rows[0][1]), (9002, rows[25][1])]
+        df = self._vecs(spark, rows)
+        got = {(r["a"], r["b"]) for r in semdedup_pairs(df, threshold=0.999999, k=2, iters=3).collect()}
+        assert (0, 9001) in got or (9001, 0) in got  # a<b ordering
+        assert (1000, 9002) in got
+        # python brute-force within-cluster reference at the same threshold
+        assigned, _ = kmeans_assign(df, k=2, iters=3)
+        cl = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        m = {i: np.asarray(v, dtype=np.float64) for i, v in rows}
+        want = set()
+        for a in m:
+            for b in m:
+                if a < b and cl[a] == cl[b]:
+                    c = m[a] @ m[b] / (np.linalg.norm(m[a]) * np.linalg.norm(m[b]))
+                    if round(c, 6) >= 0.999999:
+                        want.add((a, b))
+        # engine rounds sim to 6dp in _scored? if not, compare directly
+        got_unrounded = {
+            (r["a"], r["b"])
+            for r in semdedup_pairs(df, threshold=0.999999, k=2, iters=3).collect()
+        }
+        assert got_unrounded == want or got == want
+
+    def test_assignment_udf_runs_once_in_pair_join(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.similarity import semdedup_pairs
+
+        rng = np.random.RandomState(2)
+        rows = [(i, rng.randint(-5, 6, size=3).tolist()) for i in range(40)]
+        plan = (
+            semdedup_pairs(self._vecs(spark, rows), threshold=0.9, k=2, iters=1)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("ArrowEvalPython") == 0  # inputs come from the checkpoint
