@@ -96,6 +96,10 @@ def with_global_rank(
     for row in counts:
         offsets[row["_pid"]] = acc
         acc += row["count"]
+    if not offsets:
+        # empty input: create_map() with zero entries types as map<void,void>
+        # and the lookup fails analysis — emit the (empty) frame directly
+        return with_pid.withColumn(rank_col, F.lit(None).cast("long")).drop("_pid")
     offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     from pyspark.sql.window import Window
 

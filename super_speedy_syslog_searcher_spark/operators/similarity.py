@@ -127,6 +127,7 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     n_lists: int = 16,
     nprobe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in their single nearest
     centroid's inverted list; each query probes its ``nprobe`` nearest
@@ -136,11 +137,16 @@ def cosine_topk_ivf(
     is the table's bucketing/partition column, so a probe touches
     ~corpus·nprobe/n_lists rows); queries are broadcast. Output schema
     matches ``cosine_topk``; recall is the nprobe/n_lists dial.
+
+    ``centroids`` plugs in a TRAINED coarse quantizer (production IVF:
+    ``kmeans_assign(corpus)[1]`` — lists then follow the data's actual
+    density, so probes waste less budget on empty lists); default stays
+    the seeded-gaussian quantizer the DuckDB oracle replicates.
     """
     dim_row = corpus.select(F.size(vec_col).alias("d")).first()
     if dim_row is None:
         return corpus.sparkSession.createDataFrame([], "query_id long, rank int, neighbor_id long")
-    cents = ivf_centroids(dim_row["d"], n_lists)
+    cents = centroids if centroids is not None else ivf_centroids(dim_row["d"], n_lists)
     c_assign = make_ivf_assign_udf(cents, nprobe=1)
     q_assign = make_ivf_assign_udf(cents, nprobe=nprobe)
     c = corpus.select(

@@ -532,6 +532,41 @@ class TestIVF:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.6, recall
 
+    def test_trained_centroids_beat_random_on_clustered_data(self, spark):
+        """kmeans-trained coarse quantizer: on blob-structured data,
+        IVF with trained centroids at nprobe=1 must reach recall >= the
+        seeded-gaussian quantizer (lists follow the data's density)."""
+        import numpy as np
+
+        from super_speedy_syslog_searcher_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_ivf,
+            kmeans_assign,
+        )
+
+        rng = np.random.RandomState(9)
+        blobs = rng.randn(6, 12) * 10
+        vecs = np.concatenate(
+            [blobs[i % 6] + rng.randn(1, 12) for i in range(180)]
+        ).astype("float32")
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(180)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = df.filter(F.col("vec_id") < 10)
+        exact = {(r["query_id"], r["neighbor_id"]) for r in cosine_topk(df, q, k=5).collect()}
+        _, cents = kmeans_assign(df, k=6, iters=4)
+        trained = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(df, q, k=5, n_lists=6, nprobe=1, centroids=cents).collect()
+        }
+        random_c = {
+            (r["query_id"], r["neighbor_id"])
+            for r in cosine_topk_ivf(df, q, k=5, n_lists=6, nprobe=1).collect()
+        }
+        r_trained = len(exact & trained) / len(exact)
+        r_random = len(exact & random_c) / len(exact)
+        assert r_trained >= r_random, (r_trained, r_random)
+        assert r_trained >= 0.9, r_trained
+
     def test_ivf_full_probe_equals_exact(self, spark):
         """nprobe = n_lists degenerates to the exact search."""
         import numpy as np

@@ -90,6 +90,25 @@ def test_with_global_rank_pid_frozen_across_jobs(spark):
     assert got == ref
 
 
+def test_with_global_rank_empty_input(spark):
+    """Zero-row input must yield a zero-row frame with the rank column,
+    not an analysis error from an entry-less create_map (regression:
+    hit via global_shuffle over a fully-sampled-away corpus)."""
+    from super_speedy_syslog_searcher_spark.operators.merge import with_global_rank
+
+    empty = spark.createDataFrame([], "k string, v long")
+    out = with_global_rank(empty, keys=["k"], rank_col="r")
+    assert out.count() == 0
+    assert "r" in out.columns
+
+
+def test_global_shuffle_empty_input(spark):
+    from super_speedy_syslog_searcher_spark.operators.tokens import global_shuffle
+
+    empty = spark.createDataFrame([], "doc_id string")
+    assert global_shuffle(empty).count() == 0
+
+
 def test_rejects_channels(spark):
     from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
     from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused

@@ -1,0 +1,140 @@
+"""Demo/verify driver #2: the full pretraining data-prep flow as ONE
+spark-submit job — the composition the README documents, run end to end
+over the synthetic ``documents`` table.
+
+Usage: spark-submit tools/run_curation_demo.py [--sf-dir DIR] [--out DIR]
+
+Stages (each prints a funnel row: docs in → docs out):
+  1. quality gate        quality_stats keep=1 ∧ Gopher repetition keep=1
+  2. dedup               exact + MinHash-LSH pairs → connected components
+                         → keep each cluster's min id
+  3. decontaminate       drop docs sharing an 8-gram with a small
+                         synthetic "benchmark" set
+  4. mixture sample      sample_to_mixture to per-source token targets
+                         (exact integer thresholds)
+  5. shuffle             global_shuffle — deterministic training order
+  6. pack                tokenize (codepoints) → assemble_sequences
+
+The final packed table is written to ``--out`` (parquet) when given;
+the job prints the funnel, the achieved vs target mixture, and the
+first packed rows. Deterministic end to end: re-running produces the
+identical funnel, sampled doc set, shuffle order, and packed sequences.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
+from super_speedy_syslog_searcher_spark.operators.curation import decontaminate, repetition_stats
+from super_speedy_syslog_searcher_spark.operators.dedup import (
+    connected_components,
+    minhash_lsh_dedup_pairs,
+)
+from super_speedy_syslog_searcher_spark.operators.textstats import quality_stats
+from super_speedy_syslog_searcher_spark.operators.tokens import (
+    assemble_sequences,
+    global_shuffle,
+    mixture_sample_stats,
+    sample_to_mixture,
+)
+from super_speedy_syslog_searcher_spark.session import get_spark
+
+# mixture by LANGUAGE (the documents table's lang column): en-dominant
+MIX_PPM = {"en": 500_000, "de": 150_000, "es": 150_000, "fr": 100_000, "zh": 100_000}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=None, help="packed-sequence parquet dir")
+    ap.add_argument("--max-len", type=int, default=512)
+    args = ap.parse_args()
+
+    spark = get_spark("s4spark-curation-demo", cores=8)
+    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+    funnel = [("input", docs.count())]
+
+    # 1. quality gate: map-only column pipelines, one semi-join each
+    q_keep = quality_stats(docs).filter(F.col("keep") == 1).select("doc_id")
+    g_keep = repetition_stats(docs).filter(F.col("keep") == 1).select("doc_id")
+    docs = docs.join(q_keep, "doc_id", "left_semi").join(g_keep, "doc_id", "left_semi")
+    funnel.append(("quality+gopher", docs.count()))
+
+    # 2. dedup: LSH candidate pairs (subsumes exact dups) → closure →
+    #    drop every non-keeper (keeper = min doc_id of its cluster)
+    pairs = minhash_lsh_dedup_pairs(docs, threshold=0.8)
+    clusters = connected_components(pairs)
+    losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("doc_id")
+    )
+    docs = docs.join(losers, "doc_id", "left_anti")
+    funnel.append(("dedup", docs.count()))
+
+    # 3. decontaminate against a synthetic benchmark: the first 5 docs'
+    #    first 40 words stand in for eval prompts (so hits are real)
+    bench = (
+        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .limit(5)
+        .select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(F.split("text", " "), 1, 40), " ").alias("text"),
+        )
+    )
+    flags = decontaminate(docs, bench, n=8)
+    docs = docs.join(
+        flags.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id", "left_semi"
+    )
+    funnel.append(("decontaminated", docs.count()))
+
+    # 4. mixture sampling (exact integer keep rule, deterministic)
+    tok = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("lang").alias("source"),  # mix/pack per language stream
+        encode_text_udf("text").alias("tokens"),
+    ).withColumn("n_tok", F.size("tokens"))
+    stats = mixture_sample_stats(tok, MIX_PPM)
+    sampled = sample_to_mixture(tok, MIX_PPM)
+    funnel.append(("mixture-sampled", sampled.count()))
+
+    # 5. deterministic training-order shuffle
+    shuffled = global_shuffle(sampled, seed="epoch0")
+
+    # 6. pack into fixed-length training rows, in shuffle order per source
+    packed = assemble_sequences(
+        shuffled.select(
+            F.lpad(F.col("shuffle_rank").cast("string"), 12, "0").alias("doc_id"),
+            "source",
+            "tokens",
+            "n_tok",
+        ),
+        max_len=args.max_len,
+    )
+    funnel.append(("packed-sequences", packed.count()))
+
+    print("== funnel ==")
+    for stage, n in funnel:
+        print(f"{stage:20s} {n:>10d}")
+
+    print("== mixture: target vs achieved (token shares) ==")
+    stats.orderBy("source").show(20, truncate=False)
+
+    print("== packed head (source | seq_id | n_tok | n_docs) ==")
+    packed.orderBy("source", "seq_id").select("source", "seq_id", "n_tok", "n_docs").show(
+        8, truncate=False
+    )
+
+    if args.out:
+        packed.write.mode("overwrite").parquet(args.out)
+        print(f"packed sequences written to {args.out}")
+
+
+if __name__ == "__main__":
+    main()
