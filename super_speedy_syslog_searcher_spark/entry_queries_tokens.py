@@ -107,6 +107,11 @@ def q_tokens_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(joined).alias("tokens_md5"),
         F.col("n_tok").cast("bigint").alias("n_tok"),
         F.col("n_docs").cast("bigint").alias("n_docs"),
+        # document-boundary reset points (attention-mask starts), as a
+        # scalar string so the driver comparator can hash it
+        F.concat_ws(",", F.transform("doc_starts", lambda s: s.cast("string"))).alias(
+            "doc_starts"
+        ),
     )
 
 
@@ -115,6 +120,7 @@ SQL_TOKENS_ASSEMBLE = f"""
 parts AS (
   SELECT source, seq_id,
          CAST(g0 - seq_id * {PACK_MAX_LEN} AS BIGINT) AS seq_off,
+         (g0 = start) AS is_start,
          list_transform(generate_series(CAST(g0 - start + 1 AS INT),
                                         CAST(g1 - start AS INT)),
                         i -> unicode(substr(line, i, 1))) AS part
@@ -123,13 +129,16 @@ parts AS (
 asm AS (
   SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
          flatten(list(part ORDER BY seq_off)) AS tokens,
-         CAST(count(*) AS BIGINT) AS n_docs
+         CAST(count(*) AS BIGINT) AS n_docs,
+         COALESCE(array_to_string(list(seq_off ORDER BY seq_off) FILTER (WHERE is_start), ','), '')
+           AS doc_starts
   FROM parts GROUP BY source, seq_id
 )
 SELECT source, seq_id,
        md5(array_to_string(tokens, ',')) AS tokens_md5,
        CAST(len(tokens) AS BIGINT) AS n_tok,
-       n_docs
+       n_docs,
+       doc_starts
 FROM asm
 """
 

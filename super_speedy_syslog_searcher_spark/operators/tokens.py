@@ -138,8 +138,17 @@ def pack_sequences(
 
 def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
     """Materialize the packed sequences: ``(source, seq_id, tokens, n_tok,
-    n_docs)`` with tokens = the max_len-token training row (final sequence
-    of each source may be shorter). One shuffle on (source, seq_id)."""
+    n_docs, doc_starts)`` with tokens = the max_len-token training row
+    (final sequence of each source may be shorter). One shuffle on
+    (source, seq_id).
+
+    ``doc_starts`` lists the in-sequence offsets where a NEW document
+    begins (offset of each piece whose chunk is its document's first
+    token) — exactly the reset points a block-diagonal attention mask /
+    position-id reset needs so packed neighbors don't attend across
+    document boundaries. A sequence that begins mid-document has no 0
+    entry (the carry-in is a continuation, not a start).
+    """
     started = _with_stream_start(docs.filter(F.col("n_tok") > 0))
     first_seq = F.floor(F.col("start") / max_len)
     last_seq = F.floor((F.col("start") + F.col("n_tok") - 1) / max_len)
@@ -157,15 +166,23 @@ def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
         F.slice(
             "tokens", (g0 - F.col("start") + 1).cast("int"), (g1 - g0).cast("int")
         ).alias("part"),
+        (g0 == F.col("start")).alias("is_start"),
     )
     return (
         chunks.select("source", "seq_id", piece.alias("p"))
         .groupBy("source", "seq_id")
         .agg(
-            F.flatten(F.transform(F.array_sort(F.collect_list("p")), lambda s: s["part"])).alias(
-                "tokens"
-            ),
+            F.array_sort(F.collect_list("p")).alias("_ps"),
             F.count("*").alias("n_docs"),
+        )
+        .select(
+            "source",
+            "seq_id",
+            F.flatten(F.transform("_ps", lambda s: s["part"])).alias("tokens"),
+            "n_docs",
+            F.transform(
+                F.filter("_ps", lambda s: s["is_start"]), lambda s: s["seq_off"]
+            ).alias("doc_starts"),
         )
         .withColumn("n_tok", F.size("tokens"))
     )
@@ -685,4 +702,207 @@ def perplexity_buckets(
         scored.join(F.broadcast(thr), stratum_col)
         .withColumn("ppl_bucket", bucket)
         .drop("_t1", "_t2")
+    )
+
+
+def fim_transform(
+    docs: DataFrame,
+    rate_ppm: int = 500_000,
+    seed: str = "fim",
+    prefix_tok: int = -1,
+    suffix_tok: int = -2,
+    middle_tok: int = -3,
+    mode: str = "psm",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022), applied at
+    the document level before packing, as the paper prescribes: a
+    ``rate_ppm``-fraction of documents is rewritten from
+    ``prefix‖middle‖suffix`` to
+
+    - PSM: ``<PRE> prefix <SUF> suffix <MID> middle``
+    - SPM: ``<PRE> <SUF> suffix <MID> prefix middle``
+
+    Deterministic end to end (the hash-threshold discipline of
+    ``sample_to_mixture``): the apply decision and both split points
+    derive from md5(seed:doc_id) — resume/re-run stable, layout
+    independent, reproducible by any engine with md5. Pure Column
+    algebra (slice/concat), map-only: zero Python, zero shuffles.
+    Transformed docs grow by exactly 3 sentinel tokens (``n_tok`` is
+    recomputed); ``fim_applied`` flags the rewritten rows.
+    """
+    if mode not in ("psm", "spm"):
+        raise ValueError(f"mode must be psm|spm, got {mode!r}")
+    h = F.md5(F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1_000_000
+    t = F.col(tokens_col)
+    n = F.size(t)
+    a = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % (n.cast("long") + 1)
+    b = F.conv(F.substring(h, 17, 8), 16, 10).cast("long") % (n.cast("long") + 1)
+    s1 = F.least(a, b).cast("int")
+    s2 = F.greatest(a, b).cast("int")
+    pre = F.slice(t, 1, s1)
+    mid = F.slice(t, s1 + 1, s2 - s1)
+    suf = F.slice(t, s2 + 1, n - s2)
+    p_tok = F.array(F.lit(prefix_tok))
+    s_tok = F.array(F.lit(suffix_tok))
+    m_tok = F.array(F.lit(middle_tok))
+    if mode == "psm":
+        rewritten = F.concat(p_tok, pre, s_tok, suf, m_tok, mid)
+    else:
+        rewritten = F.concat(p_tok, s_tok, suf, m_tok, pre, mid)
+    applied = bucket < F.lit(rate_ppm)
+    out = docs.withColumn("fim_applied", applied).withColumn(
+        tokens_col, F.when(applied, rewritten).otherwise(t)
+    )
+    if "n_tok" in docs.columns:
+        out = out.withColumn("n_tok", F.size(tokens_col))
+    return out
+
+
+def _bfd_compositions(hist: dict[int, int], max_len: int) -> list[tuple[tuple[tuple[int, int], ...], int]]:
+    """Best-fit-decreasing bin packing over a LENGTH HISTOGRAM (the
+    compressed form of Krell et al. 2021's histogram packing): lengths
+    processed descending; each batch of equal-length items goes to the
+    group of identical part-filled bins with the smallest remaining
+    capacity that fits (tie → oldest group), splitting the group.
+
+    Input/output are both bounded by the length alphabet (≤ max_len
+    values), never by corpus size: returns ``[(composition, m)]`` in
+    deterministic creation order, where composition is a sorted tuple of
+    (length, copies-per-bin) and ``m`` bins share it. Sum of each
+    composition ≤ max_len by construction.
+    """
+    groups: list[dict] = []  # {"cap": int, "m": int, "comp": {L: k}, "seq": int}
+    seq = 0
+    for L, n in sorted(hist.items(), reverse=True):
+        if L > max_len:
+            raise ValueError(f"item length {L} exceeds max_len {max_len}")
+        while n > 0:
+            cands = [g for g in groups if g["m"] > 0 and g["cap"] >= L]
+            if not cands:
+                groups.append({"cap": max_len - L, "m": n, "comp": {L: 1}, "seq": seq})
+                seq += 1
+                break
+            g = min(cands, key=lambda x: (x["cap"], x["seq"]))
+            take = min(n, g["m"])
+            comp = dict(g["comp"])
+            comp[L] = comp.get(L, 0) + 1
+            groups.append({"cap": g["cap"] - L, "m": take, "comp": comp, "seq": seq})
+            seq += 1
+            g["m"] -= take
+            n -= take
+    return [
+        (tuple(sorted(g["comp"].items(), reverse=True)), g["m"])
+        for g in groups
+        if g["m"] > 0
+    ]
+
+
+def pack_sequences_bestfit(
+    docs: DataFrame, max_len: int = 512, id_col: str = "doc_id"
+) -> DataFrame:
+    """Bin-packed (padding-minimizing) sequence packing — the
+    alternative to :func:`pack_sequences`' concat-and-chunk: documents
+    keep their integrity (no mid-document sequence breaks; oversize
+    documents are pre-split into max_len pieces), each training sequence
+    is a BIN holding whole pieces, and best-fit-decreasing over the
+    length histogram minimizes padding (Krell et al. 2021).
+
+    Returns one row per piece:
+    ``(doc_id, chunk_no, tok_off, length, bin_id, bin_off)`` —
+    piece = tokens[tok_off : tok_off+length] of its doc, placed in
+    training sequence ``bin_id`` at offset ``bin_off``. Bins satisfy
+    sum(length) ≤ max_len; bin_off slots never overlap.
+
+    100-TB shape: corpus-scale work is (a) one groupBy(length) count —
+    the histogram, ≤ max_len rows — and (b) one rank-within-length pass
+    (the same two-phase frozen-pid prefix idiom as packing's stream
+    offsets: range partition on (length, id), so one hot length spreads
+    across partitions). The BFD solve runs on the ≤ max_len-row
+    histogram driver-side; the resulting composition table (bounded by
+    the length alphabet, not the corpus) broadcasts back, and every
+    piece computes its bin id + slot with pure integer arithmetic:
+    within composition c consuming ranks [base, base+m·k) of length L,
+    rank r ⇒ bin ``bin_base_c + (r-base) // k``, slot
+    ``slot_base_{c,L} + ((r-base) mod k)·L``. Deterministic end to end —
+    reruns, resumes, and any partitioning produce the identical packing.
+    """
+    spark = docs.sparkSession
+    # pre-split oversize docs into max_len pieces (last piece = remainder)
+    n_chunks = F.ceil(F.col("n_tok") / max_len).cast("int")
+    pieces = (
+        docs.filter(F.col("n_tok") > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            "n_tok",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_no"),
+        )
+        .select(
+            "doc_id",
+            "chunk_no",
+            (F.col("chunk_no").cast("long") * max_len).alias("tok_off"),
+            F.least(
+                F.lit(max_len).cast("long"),
+                F.col("n_tok").cast("long") - F.col("chunk_no").cast("long") * max_len,
+            ).cast("int").alias("length"),
+        )
+    )
+    hist_rows = pieces.groupBy("length").count().collect()  # bounded: ≤ max_len rows
+    hist = {r["length"]: r["count"] for r in hist_rows}
+    if not hist:
+        return spark.createDataFrame(
+            [], "doc_id string, chunk_no int, tok_off long, length int, bin_id long, bin_off int"
+        )
+    comps = _bfd_compositions(hist, max_len)
+    # flatten to the per-(comp, length) assignment table
+    rows = []
+    bin_base = 0
+    base_by_len: dict[int, int] = {}
+    for comp, m in comps:
+        slot = 0
+        for L, k in comp:  # comp sorted by length desc → slots laid out desc
+            base = base_by_len.get(L, 0)
+            rows.append((L, base, m, k, bin_base, slot))
+            base_by_len[L] = base + m * k
+            slot += k * L
+        bin_base += m
+    assign = spark.createDataFrame(
+        rows, "length int, base long, m long, k int, bin_base long, slot_base int"
+    )
+    # rank within length (0-based, ordered by doc_id then chunk_no):
+    # reuse the two-phase prefix idiom — each piece counts 1
+    ranked = _with_stream_start(
+        pieces.select(
+            F.concat_ws("#", "doc_id", F.col("chunk_no").cast("string")).alias("doc_id"),
+            F.col("length").cast("string").alias("source"),
+            F.lit(1).alias("n_tok"),
+            "chunk_no",
+            "tok_off",
+            F.col("doc_id").alias("_doc"),
+            F.col("length").alias("_len"),
+        )
+    ).select(
+        F.col("_doc").alias("doc_id"),
+        "chunk_no",
+        "tok_off",
+        F.col("_len").alias("length"),
+        F.col("start").alias("r"),
+    )
+    j = ranked.join(F.broadcast(assign), "length").filter(
+        (F.col("r") >= F.col("base")) & (F.col("r") < F.col("base") + F.col("m") * F.col("k"))
+    )
+    # integer-exact bin index: subtract the remainder first so the double
+    # division is of an exact multiple (a plain (r-base)/k could round up
+    # across the integer boundary at extreme rank magnitudes)
+    off = F.col("r") - F.col("base")
+    rem = off % F.col("k")
+    return j.select(
+        "doc_id",
+        "chunk_no",
+        "tok_off",
+        "length",
+        (F.col("bin_base") + ((off - rem) / F.col("k"))).cast("long").alias("bin_id"),
+        (F.col("slot_base") + rem * F.col("length")).cast("int").alias("bin_off"),
     )

@@ -681,3 +681,205 @@ class TestPerplexityBuckets:
         rows = [(f"d{i:03d}", "s", float(i % 17)) for i in range(60)]
         plan = perplexity_buckets(self._scored(spark, rows))._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestDocStarts:
+    def test_doc_starts_mark_document_beginnings(self, spark, docs):
+        df, spec = docs
+        out = {
+            (r["source"], r["seq_id"]): r["doc_starts"]
+            for r in assemble_sequences(df, max_len=10).collect()
+        }
+        # python reference: concatenate per source in doc_id order,
+        # record each doc's global start, map to (seq, offset)
+        import collections
+
+        by_src = collections.defaultdict(list)
+        for r in df.select("doc_id", "source", "n_tok").collect():
+            by_src[r["source"]].append((r["doc_id"], r["n_tok"]))
+        want = collections.defaultdict(list)
+        for src, rows in by_src.items():
+            pos = 0
+            for _, n in sorted(rows):
+                if n == 0:
+                    continue
+                want[(src, pos // 10)].append(pos % 10)
+                pos += n
+        for k, starts in out.items():
+            assert sorted(starts) == sorted(want.get(k, [])), k
+        # a sequence that begins mid-document must not list offset 0:
+        # s1 doc a3 spans seqs 1-4, so seqs 2 and 3 start mid-doc
+        assert 0 not in out[("s1", 2)]
+        assert out[("s1", 3)] == []
+
+
+class TestFimTransform:
+    def _docs(self, spark, n=40):
+        rows = [(f"d{i:03d}", list(range(i % 7 + 1))) for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id string, tokens array<int>").withColumn(
+            "n_tok", F.size("tokens")
+        ), dict(rows)
+
+    @staticmethod
+    def _py_fim(doc_id, toks, rate_ppm, seed, mode):
+        import hashlib
+
+        h = hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()
+        if int(h[0:8], 16) % 1_000_000 >= rate_ppm:
+            return toks, False
+        L = len(toks)
+        a = int(h[8:16], 16) % (L + 1)
+        b = int(h[16:24], 16) % (L + 1)
+        s1, s2 = min(a, b), max(a, b)
+        pre, mid, suf = toks[:s1], toks[s1:s2], toks[s2:]
+        if mode == "psm":
+            return [-1] + pre + [-2] + suf + [-3] + mid, True
+        return [-1, -2] + suf + [-3] + pre + mid, True
+
+    @pytest.mark.parametrize("mode", ["psm", "spm"])
+    def test_matches_python_reference(self, spark, mode):
+        from super_speedy_syslog_searcher_spark.operators.tokens import fim_transform
+
+        df, orig = self._docs(spark)
+        out = fim_transform(df, rate_ppm=600_000, seed="t", mode=mode)
+        for r in out.collect():
+            want, applied = self._py_fim(r["doc_id"], orig[r["doc_id"]], 600_000, "t", mode)
+            assert r["tokens"] == want, r["doc_id"]
+            assert r["fim_applied"] == applied
+            assert r["n_tok"] == len(want)
+
+    def test_rate_edges(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import fim_transform
+
+        df, orig = self._docs(spark)
+        none = fim_transform(df, rate_ppm=0)
+        assert none.filter(F.col("fim_applied")).count() == 0
+        assert all(r["tokens"] == orig[r["doc_id"]] for r in none.collect())
+        allr = fim_transform(df, rate_ppm=1_000_000)
+        assert allr.filter(~F.col("fim_applied")).count() == 0
+        # every rewritten doc carries exactly the 3 sentinels + original tokens
+        for r in allr.collect():
+            assert len(r["tokens"]) == len(orig[r["doc_id"]]) + 3
+            assert sorted(r["tokens"]) == sorted(orig[r["doc_id"]] + [-1, -2, -3])
+
+    def test_map_only_plan(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import fim_transform
+
+        df, _ = self._docs(spark)
+        plan = fim_transform(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    def test_bad_mode_rejected(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import fim_transform
+
+        df, _ = self._docs(spark)
+        with pytest.raises(ValueError):
+            fim_transform(df, mode="smp")
+
+
+class TestBestfitPacking:
+    def _docs(self, spark, lens):
+        rows = [(f"d{i:04d}", [0] * n, n) for i, n in enumerate(lens)]
+        return spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, n_tok int"
+        )
+
+    @staticmethod
+    def _py_reference(lens, max_len):
+        """Full python twin of the histogram-BFD packing + rank assignment."""
+        from super_speedy_syslog_searcher_spark.operators.tokens import _bfd_compositions
+
+        pieces = []  # (doc_id, chunk_no, tok_off, length)
+        for i, n in enumerate(lens):
+            if n <= 0:
+                continue
+            d = f"d{i:04d}"
+            for c in range((n + max_len - 1) // max_len):
+                pieces.append((d, c, c * max_len, min(max_len, n - c * max_len)))
+        hist = {}
+        for _, _, _, L in pieces:
+            hist[L] = hist.get(L, 0) + 1
+        comps = _bfd_compositions(hist, max_len)
+        # per-length rank ordered by (doc_id, chunk_no)
+        by_len = {}
+        for d, c, o, L in sorted(pieces):
+            by_len.setdefault(L, []).append((d, c, o))
+        out = {}
+        bin_base = 0
+        consumed = {L: 0 for L in hist}
+        for comp, m in comps:
+            slot = 0
+            for L, k in comp:
+                for j in range(m * k):
+                    d, c, o = by_len[L][consumed[L] + j]
+                    out[(d, c)] = (o, L, bin_base + j // k, slot + (j % k) * L)
+                consumed[L] += m * k
+                slot += k * L
+            bin_base += m
+        return out
+
+    def test_matches_python_reference_exactly(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences_bestfit
+
+        lens = [(i * 37) % 120 + 1 for i in range(150)] + [700, 1300]  # incl. oversize
+        want = self._py_reference(lens, max_len=128)
+        got = {
+            (r["doc_id"], r["chunk_no"]): (r["tok_off"], r["length"], r["bin_id"], r["bin_off"])
+            for r in pack_sequences_bestfit(self._docs(spark, lens), max_len=128).collect()
+        }
+        assert got == want
+
+    def test_bins_valid_and_tight(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences_bestfit
+
+        lens = [(i * 53) % 300 + 1 for i in range(200)]
+        out = pack_sequences_bestfit(self._docs(spark, lens), max_len=512).collect()
+        bins = {}
+        for r in out:
+            bins.setdefault(r["bin_id"], []).append((r["bin_off"], r["length"]))
+        total = sum(lens)
+        # every bin within capacity, slots non-overlapping
+        for slots in bins.values():
+            assert sum(L for _, L in slots) <= 512
+            slots.sort()
+            for (o1, l1), (o2, _) in zip(slots, slots[1:]):
+                assert o1 + l1 <= o2
+        # bin count within 15% of the fractional lower bound (BFD quality)
+        import math
+
+        assert len(bins) <= math.ceil(total / 512 * 1.15) + 1
+        # and strictly better than one-doc-per-bin
+        assert len(bins) < len(lens)
+
+    def test_all_pieces_assigned_once_and_tile_docs(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences_bestfit
+
+        lens = [5, 512, 513, 1024, 1, 300]
+        out = pack_sequences_bestfit(self._docs(spark, lens), max_len=512).collect()
+        per_doc = {}
+        for r in out:
+            per_doc.setdefault(r["doc_id"], []).append((r["tok_off"], r["length"]))
+        for i, n in enumerate(lens):
+            parts = sorted(per_doc[f"d{i:04d}"])
+            assert parts[0][0] == 0
+            pos = 0
+            for o, L in parts:
+                assert o == pos
+                pos += L
+            assert pos == n
+
+    def test_partition_layout_invariance(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences_bestfit
+
+        lens = [(i * 29) % 90 + 1 for i in range(120)]
+        df = self._docs(spark, lens)
+        a = {tuple(r) for r in pack_sequences_bestfit(df.repartition(1), max_len=100).collect()}
+        b = {tuple(r) for r in pack_sequences_bestfit(df.repartition(9), max_len=100).collect()}
+        assert a == b
+
+    def test_empty_input(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences_bestfit
+
+        df = self._docs(spark, [])
+        assert pack_sequences_bestfit(df, max_len=64).count() == 0
