@@ -1,8 +1,13 @@
 """Demo/verify driver: the `s4 <paths> -a A -b B` equivalent as a spark-submit job.
 
 Usage: spark-submit tools/run_pipeline_demo.py [-a DT] [-b DT] [--out DIR]
+                                                [--checkpoint DIR]
 Prints the first merged messages (ts + sink_key + text), per-sink counts,
 and the summary rollup — the reference's stdout + --summary analogue.
+With --checkpoint (requires --out) the run is RESUMABLE: completed
+sources are recorded in a per-source lineage manifest; re-running skips
+them (prints the manifest + skip metrics) — the north_rule's
+checkpoint/lineage face at the CLI surface.
 """
 
 from __future__ import annotations
@@ -14,7 +19,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from super_speedy_syslog_searcher_spark.operators.filters import resolve_filters
-from super_speedy_syslog_searcher_spark.plans.pipeline import PipelineConfig, run_pipeline
+from super_speedy_syslog_searcher_spark.plans.pipeline import (
+    PipelineConfig,
+    read_manifest,
+    run_pipeline,
+    run_pipeline_resumable,
+)
 from super_speedy_syslog_searcher_spark.session import get_spark
 from super_speedy_syslog_searcher_spark.sources.tokenized import REFERENCE_YEAR, gen_corpus
 
@@ -27,6 +37,7 @@ def main() -> None:
     ap.add_argument("-b", default=None, help="datetime filter before (inclusive)")
     ap.add_argument("--tz-offset", default="+00:00")
     ap.add_argument("--out", default=None, help="fan-out sink directory")
+    ap.add_argument("--checkpoint", default=None, help="manifest/lineage dir (resumable runs)")
     ap.add_argument("--docs", type=int, default=200)
     args = ap.parse_args()
 
@@ -39,6 +50,19 @@ def main() -> None:
     lookup = spark.createDataFrame(enrich_pd)
 
     cfg = PipelineConfig(reference_year=REFERENCE_YEAR, dt_a=dt_a, dt_b=dt_b)
+    if args.checkpoint:
+        if not args.out:
+            ap.error("--checkpoint requires --out")
+        metrics = run_pipeline_resumable(docs, lookup, cfg, args.out, args.checkpoint)
+        print(f"== resume metrics == {metrics}")
+        print("== lineage manifest (per-source: messages, docs, files, partitions) ==")
+        read_manifest(spark, args.checkpoint).orderBy("source").show(30, truncate=False)
+        # display from the COMMITTED sinks (no second pipeline run)
+        print("== sink counts (from committed parquet) ==")
+        spark.read.parquet(f"{args.out}/sink_counts").orderBy("sink_key").show(20, truncate=False)
+        print("== summary (rollup; NULL source = grand total) ==")
+        spark.read.parquet(f"{args.out}/summary").orderBy("source").show(30, truncate=False)
+        return
     res = run_pipeline(docs, lookup, cfg, out_dir=args.out)
 
     print("== merged head (ts | sink_key | source | text) ==")
