@@ -115,9 +115,14 @@ def run_bench(spark, sf_dir: str) -> dict:
         EQD.q_dedup_minhash_lsh(spark, sf_dir).count()
 
     def q_ann():
-        from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
+        # the brute kernel only — the r4 registry merge added an LSH leg
+        # to q_ann_cosine_topk, but this bench series has always timed
+        # the brute-force scan, so keep the timed region identical
+        from super_speedy_syslog_searcher_spark.operators.similarity import cosine_topk
 
-        EQD.q_ann_cosine_topk(spark, sf_dir).count()
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = e.filter(F.col("vec_id") < 10)
+        cosine_topk(e, q, k=5).count()
 
     def q_simhash():
         from super_speedy_syslog_searcher_spark import entry_queries_data as EQD

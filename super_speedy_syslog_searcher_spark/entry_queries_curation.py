@@ -384,28 +384,12 @@ DECON_ABSENT = "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8 zq9"
 
 
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flag training docs overlapping a benchmark set. The benchmark is
+    """Doc-level flag AND span-level masking in one driver row (r4
+    registry consolidation — absorbs the former ``decontaminate_spans``;
+    both operators stay hash-checked, joined per doc). The benchmark is
     seeded deterministically from the corpus itself (the 120-char prefix
     of every 25th doc — so contamination genuinely exists), plus one
     absent row that must hit nothing."""
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    bench = (
-        d.filter(F.col("doc_id") % 25 == 0)
-        .select(F.col("doc_id").alias("bench_id"), F.expr("substr(text, 1, 120)").alias("text"))
-        .unionByName(
-            spark.createDataFrame([(-1, DECON_ABSENT)], "bench_id long, text string")
-        )
-    )
-    return decontaminate(d, bench, n=DECON_N)
-
-
-def _sql_gram(n: int) -> str:
-    return " || ' ' || ".join(f"ws[x+{k}]" if k else "ws[x]" for k in range(n))
-
-
-def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Span-level variant: mask only the benchmark-overlapping words;
-    same corpus-seeded bench as ``decontaminate``."""
     from .operators.curation import decontaminate_spans
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
@@ -416,7 +400,15 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.createDataFrame([(-1, DECON_ABSENT)], "bench_id long, text string")
         )
     )
-    return decontaminate_spans(d, bench, n=DECON_N)
+    flags = decontaminate(d, bench, n=DECON_N)
+    spans = decontaminate_spans(d, bench, n=DECON_N).select(
+        "doc_id", "clean_text", "n_masked_words", "n_words"
+    )
+    return flags.join(spans, "doc_id")
+
+
+def _sql_gram(n: int) -> str:
+    return " || ' ' || ".join(f"ws[x+{k}]" if k else "ws[x]" for k in range(n))
 
 
 SQL_DECONTAMINATE_SPANS = f"""
@@ -529,10 +521,19 @@ GROUP BY doc_id
 """
 
 
+# combined twin: both full bodies as derived tables (DuckDB allows WITH
+# inside a subquery), joined per doc — one driver row hash-checks the
+# doc-level flag AND the span-level mask together.
+SQL_DECONTAMINATE_COMBINED = f"""
+SELECT f.doc_id, f.n_grams, f.n_hit_grams, f.n_bench_hits, f.contaminated,
+       s.clean_text, s.n_masked_words, s.n_words
+FROM ({SQL_DECONTAMINATE}) f JOIN ({SQL_DECONTAMINATE_SPANS}) s USING (doc_id)
+"""
+
+
 QUERIES = {
     "text_pii_scrub": q_text_pii_scrub,
     "decontaminate": q_decontaminate,
-    "decontaminate_spans": q_decontaminate_spans,
     "dsir_weights": q_dsir_weights,
     "text_repetition": q_text_repetition,
     "clean_boilerplate": q_clean_boilerplate,
@@ -544,8 +545,7 @@ QUERIES = {
 
 ORACLES = {
     "text_pii_scrub": SQL_TEXT_PII_SCRUB,
-    "decontaminate": SQL_DECONTAMINATE,
-    "decontaminate_spans": SQL_DECONTAMINATE_SPANS,
+    "decontaminate": SQL_DECONTAMINATE_COMBINED,
     "dsir_weights": SQL_DSIR_WEIGHTS,
     "text_repetition": SQL_TEXT_REPETITION,
     "clean_boilerplate": SQL_CLEAN_BOILERPLATE,

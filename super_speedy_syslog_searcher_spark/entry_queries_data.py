@@ -199,13 +199,28 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     with its duplicate-cluster id (min reachable doc_id) + cluster size
     — the keep/drop decision surface a curation pipeline actually needs
     (pairs alone don't compose: A~B, B~C must collapse to ONE keeper).
-    Oracle = the SAME pair SQL + a recursive CTE closure."""
+    Runs the SAME pointer-jumping closure over BOTH candidate graphs in
+    one driver row (r4 registry consolidation — absorbs the former
+    ``embed_dedup_components``): the text n-gram Jaccard graph and the
+    embedding cosine near-dup graph, union-tagged by ``graph``.
+    Oracle = the SAME pair SQLs + recursive CTE closures."""
     from .operators.dedup import connected_components
 
-    pairs = ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.6, max_df=50)
-    return connected_components(pairs).select(
-        F.col("node").alias("doc_id"), "cluster_id", "cluster_size"
+    text_pairs = ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.6, max_df=50)
+    text_cc = connected_components(text_pairs).select(
+        F.lit("text").alias("graph"),
+        F.col("node").cast("long").alias("node_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+    emb_pairs = cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99)
+    emb_cc = connected_components(emb_pairs).select(
+        F.lit("embed").alias("graph"),
+        F.col("node").cast("long").alias("node_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+    return text_cc.unionByName(emb_cc)
 
 
 SQL_DEDUP_COMPONENTS = f"""
@@ -335,6 +350,12 @@ FROM documents
 """
 
 
+# NOTE (r4 registry consolidation): the standalone `doc_winnow` driver row
+# was retired to free a gate slot — the winnow kernel stays fully
+# hash-checked through `dedup_winnow_overlap`, whose DuckDB twin re-derives
+# the complete winnow fingerprint set in SQL before the overlap join
+# (entry_queries_curation.SQL_DEDUP_WINNOW_OVERLAP); q_doc_winnow and its
+# twin remain here for tools/ and local checks.
 def q_doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints, fully oracle-checked: the k-gram hash is
     the md5-60-bit form, so DuckDB reproduces the exact fingerprint
@@ -413,9 +434,23 @@ SELECT doc_id, rank, term, tf, df AS doc_freq, score FROM (
 # similarity / ANN
 # ---------------------------------------------------------------------------
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force AND sign-LSH ANN in one driver row (r4 registry
+    consolidation — absorbs the former ``ann_cosine_topk_lsh``; both
+    kernels stay hash-checked, union-tagged by ``method``)."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 10)
-    return cosine_topk(e, q, k=5).withColumn("rank", F.col("rank").cast("bigint"))
+    brute = (
+        cosine_topk(e, q, k=5)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .select(F.lit("brute").alias("method"), "query_id", "rank", "neighbor_id")
+    )
+    lsh = cosine_topk_lsh(e, q, k=5).select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "neighbor_id",
+    )
+    return brute.unionByName(lsh)
 
 
 SQL_ANN_COSINE_TOPK = """
@@ -431,16 +466,6 @@ SELECT query_id, rank, neighbor_id FROM (
   FROM s
 ) WHERE rank <= 5
 """
-
-
-def q_ann_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN. Deterministic given the seeded hyperplanes,
-    so the DuckDB oracle replicates the bucketing with the SAME plane
-    values inlined as literals (see _ann_lsh_oracle_sql) — a full
-    row-equality check, not just a recall property."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    q = e.filter(F.col("vec_id") < 10)
-    return cosine_topk_lsh(e, q, k=5)
 
 
 def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 6, n_tables: int = 4, k: int = 5) -> str:
@@ -567,18 +592,6 @@ WHERE l.vec_id < r.vec_id AND list_cosine_similarity(l.v, r.v) >= 0.99
 """
 
 
-def q_embed_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Duplicate-cluster closure over the embedding near-dup graph: the
-    keep/drop surface for embedding-level dedup (same pointer-jumping
-    closure the text near-dup pipeline uses, dedup.connected_components)."""
-    from .operators.dedup import connected_components
-
-    pairs = cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99)
-    return connected_components(pairs).select(
-        F.col("node").alias("vec_id"), "cluster_id", "cluster_size"
-    )
-
-
 SQL_EMBED_DEDUP_COMPONENTS = f"""
 WITH RECURSIVE pairs AS ({SQL_EMBED_COSINE_DUP}),
 edges AS (
@@ -671,6 +684,44 @@ FROM documents
 """
 
 
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) end-to-end: deterministic Lloyd's
+    k-means over the embeddings, within-cluster cosine pairs, then the
+    shared pointer-jumping closure → per-vector duplicate-cluster label.
+    K-means is ITERATIVE (corpus scans per round) — genuinely not
+    single-statement-SQL-expressible, so this is a rows-only driver row;
+    the strong checks live in pytest: exact python-twin equality of the
+    clustering, brute-force within-cluster pair reference, and layout
+    invariance (tests/test_dataops.py::TestKMeansSemDedup)."""
+    from .operators.dedup import connected_components
+    from .operators.similarity import semdedup_pairs
+
+    pairs = semdedup_pairs(_embs2(spark, sf_dir), threshold=0.99, k=4, iters=3)
+    return connected_components(pairs).select(
+        F.col("node").cast("long").alias("vec_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+    )
+
+
+# r4 registry consolidation: both ANN kernels / both closure graphs under
+# one driver row each (the driver gate records the first 50 registry
+# entries — merged rows keep every kernel hash-checked while freeing
+# slots for the round-4 operators).
+SQL_ANN_COSINE_COMBINED = f"""
+SELECT 'brute' AS method, query_id, rank, neighbor_id FROM ({SQL_ANN_COSINE_TOPK})
+UNION ALL
+SELECT 'lsh' AS method, query_id, rank, neighbor_id FROM ({_ann_lsh_oracle_sql()})
+"""
+
+SQL_DEDUP_COMPONENTS_COMBINED = f"""
+SELECT 'text' AS graph, doc_id AS node_id, cluster_id, cluster_size
+FROM ({SQL_DEDUP_COMPONENTS})
+UNION ALL
+SELECT 'embed' AS graph, vec_id AS node_id, cluster_id, cluster_size
+FROM ({SQL_EMBED_DEDUP_COMPONENTS})
+"""
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -681,28 +732,24 @@ QUERIES = {
     "text_quality": q_text_quality,
     "docs_shuffle": q_docs_shuffle,
     "text_tfidf": q_text_tfidf,
-    "doc_winnow": q_doc_winnow,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_cosine_topk_lsh": q_ann_cosine_topk_lsh,
     "ann_cosine_topk_ivf": q_ann_cosine_topk_ivf,
-    "embed_dedup_components": q_embed_dedup_components,
+    "embed_semdedup": q_embed_semdedup,
     "multimodal_real_decode": q_multimodal_real_decode,
 }
 
 ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_ngram_jaccard": _SQL_JACCARD_BODY,
-    "dedup_components": SQL_DEDUP_COMPONENTS,
+    "dedup_components": SQL_DEDUP_COMPONENTS_COMBINED,
     "dedup_minhash_lsh": _SQL_JACCARD_BODY,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "dedup_substring": SQL_DEDUP_SUBSTRING,
     "text_quality": SQL_TEXT_QUALITY,
     "docs_shuffle": SQL_DOCS_SHUFFLE,
     "text_tfidf": SQL_TEXT_TFIDF,
-    "doc_winnow": SQL_DOC_WINNOW,
-    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
-    "ann_cosine_topk_lsh": _ann_lsh_oracle_sql(),
+    "ann_cosine_topk": SQL_ANN_COSINE_COMBINED,
     "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),
-    "embed_dedup_components": SQL_EMBED_DEDUP_COMPONENTS,
+    # embed_semdedup: rows-only by design (iterative k-means)
     "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
 }

@@ -358,6 +358,110 @@ def q_stream_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+FIM_RATE_PPM = 400_000
+
+
+def q_tokens_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform (Bavarian et al. 2022) over the
+    rendered corpus, PSM mode: the apply decision and both split points
+    derive from md5('fim':doc_id), so the DuckDB oracle recomputes the
+    SAME buckets and cut points from first principles and re-assembles
+    prefix‖suffix‖middle with sentinels — full token-array equality via
+    the md5 of the rewritten array (the hash convention of
+    ``tokens_assemble``)."""
+    from .operators.tokens import fim_transform
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = fim_transform(
+        rendered_docs(spark, sf_dir), rate_ppm=FIM_RATE_PPM, seed="fim", mode="psm"
+    )
+    joined = F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+    return out.select(
+        "doc_id",
+        "source",
+        F.md5(joined).alias("tokens_md5"),
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.col("fim_applied").cast("int").alias("fim_applied"),
+    )
+
+
+SQL_TOKENS_FIM = f"""
+WITH {_SQL_DOCS.strip()},
+tok AS (
+  SELECT source, doc_id,
+         list_transform(generate_series(1, length(line)),
+                        i -> unicode(substr(line, i, 1))) AS tokens,
+         md5('fim:' || doc_id) AS h
+  FROM docs
+),
+cuts AS (
+  SELECT source, doc_id, tokens, len(tokens) AS n,
+         CAST('0x' || substr(h, 1, 8) AS BIGINT) % 1000000 AS bucket,
+         CAST('0x' || substr(h, 9, 8) AS BIGINT) % (len(tokens) + 1) AS ca,
+         CAST('0x' || substr(h, 17, 8) AS BIGINT) % (len(tokens) + 1) AS cb
+  FROM tok
+),
+sp AS (
+  SELECT source, doc_id, tokens, n, bucket,
+         CAST(least(ca, cb) AS INT) AS s1, CAST(greatest(ca, cb) AS INT) AS s2
+  FROM cuts
+),
+fim AS (
+  SELECT source, doc_id,
+         CASE WHEN bucket < {FIM_RATE_PPM}
+              THEN [-1] || tokens[1:s1] || [-2] || tokens[s2+1:n] || [-3] || tokens[s1+1:s2]
+              ELSE tokens END AS out_tokens,
+         CAST(bucket < {FIM_RATE_PPM} AS INT) AS fim_applied
+  FROM sp
+)
+SELECT doc_id, source,
+       md5(array_to_string(out_tokens, ',')) AS tokens_md5,
+       CAST(len(out_tokens) AS BIGINT) AS n_tok,
+       fim_applied
+FROM fim
+"""
+
+
+def q_tokens_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training over the rendered corpus —
+    the learned merge table (merge_no, left, right, new_id, n_pairs).
+    The training loop is ITERATIVE (one corpus aggregate + one rewrite
+    per round) — genuinely not single-statement-SQL-expressible, so this
+    is a rows-only driver row; the strong checks live in pytest: exact
+    merge-table + rewritten-corpus equality vs the sequential textbook
+    reference (tests/test_tokens.py)."""
+    from .operators.tokens import train_bpe
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    merges, _ = train_bpe(rendered_docs(spark, sf_dir), num_merges=8)
+    return spark.createDataFrame(
+        [tuple(int(x) for x in m) for m in merges],
+        "merge_no int, left int, right int, new_id int, n_pairs bigint",
+    )
+
+
+def q_tokens_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing (Krell et al. 2021) over the
+    rendered corpus: one row per placed piece. The BFD composition is
+    solved driver-side on the bounded length histogram — an ALGORITHMIC
+    step no single SQL statement reproduces, so this is a rows-only
+    driver row; pytest carries the strong checks (full python-twin
+    assignment equality, bin validity, ≤1.15× fractional lower bound,
+    layout invariance — tests/test_tokens.py)."""
+    from .operators.tokens import pack_sequences_bestfit
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    out = pack_sequences_bestfit(rendered_docs(spark, sf_dir), max_len=PACK_MAX_LEN)
+    return out.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        F.col("tok_off").cast("bigint").alias("tok_off"),
+        F.col("length").cast("bigint").alias("length"),
+        F.col("bin_id").cast("bigint").alias("bin_id"),
+        F.col("bin_off").cast("bigint").alias("bin_off"),
+    )
+
+
 QUERIES = {
     "tokens_pack": q_tokens_pack,
     "tokens_vocab": q_tokens_vocab,
@@ -365,6 +469,9 @@ QUERIES = {
     "tokens_bpe_pairs": q_tokens_bpe_pairs,
     "tokens_assemble": q_tokens_assemble,
     "tokens_bigram_lm": q_tokens_bigram_lm,
+    "tokens_fim": q_tokens_fim,
+    "tokens_bpe_train": q_tokens_bpe_train,
+    "tokens_pack_bestfit": q_tokens_pack_bestfit,
     "stream_tokens_pack": q_stream_tokens_pack,
 }
 
@@ -375,5 +482,8 @@ ORACLES = {
     "tokens_bpe_pairs": SQL_TOKENS_BPE_PAIRS,
     "tokens_assemble": SQL_TOKENS_ASSEMBLE,
     "tokens_bigram_lm": SQL_TOKENS_BIGRAM_LM,
+    "tokens_fim": SQL_TOKENS_FIM,
+    # tokens_bpe_train, tokens_pack_bestfit: rows-only by design
+    # (iterative / algorithmic — see their docstrings)
     "stream_tokens_pack": SQL_TOKENS_PACK,
 }

@@ -95,7 +95,7 @@ def main() -> None:
         ),
         (
             "ANN sign-LSH top-k (ids-only dedupe, corpus never shuffled)",
-            EQD.q_ann_cosine_topk_lsh(spark, SF),
+            EQD.q_ann_cosine_topk(spark, SF),
             "Round-3 shape (VERDICT r2 #2/#3): the bucket scan projects "
             "`(neighbor_id, t, bk)` only — no embedding enters the "
             "OR-amplification `distinct`, which is a partial/final "
