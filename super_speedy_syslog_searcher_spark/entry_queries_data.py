@@ -286,24 +286,71 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 3
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+CLF_BUCKETS = 4096
+
+
+def _clf_weights(spark: SparkSession) -> DataFrame:
+    """Deterministic integer-valued weight table for the classifier
+    driver row: weight(b) = md5('qw:'||b)-bucket in [-1000, 1000].
+    Integer-valued so the per-doc sum is exact under ANY aggregation
+    order — the cross-engine-determinism discipline of
+    ``sample_to_mixture`` (a real deployment would load a trained
+    table here; the operator contract is identical)."""
+    b = F.col("id").cast("int")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qw:"), b.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    return spark.range(CLF_BUCKETS).select(
+        b.alias("b"), ((h % 2001) - 1000).cast("double").alias("weight")
+    )
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting + language-ID + content
-    fingerprint in ONE query (registry consolidation — r3 absorbed the
-    former ``text_token_count``, r4 absorbed ``text_langid`` to make
-    room for ``dedup_substring`` and ``doc_fingerprint`` to make room
-    for ``docs_shuffle``): all four are per-doc map-only Column
-    pipelines over ``documents``, joined on doc_id."""
+    fingerprint + hashed-linear classifier score in ONE query (registry
+    consolidation — r3 absorbed the former ``text_token_count``, r4
+    absorbed ``text_langid`` to make room for ``dedup_substring``,
+    ``doc_fingerprint`` to make room for ``docs_shuffle``, and gained
+    the ``curation.quality_classifier_score`` columns): all five are
+    per-doc pipelines over ``documents``, joined on doc_id. The
+    classifier weights are deterministic md5-derived integers so the
+    DuckDB twin rebuilds the identical table from first principles."""
+    from .operators.curation import quality_classifier_score
+
     d = _docs(spark, sf_dir)
+    clf = quality_classifier_score(
+        d, _clf_weights(spark), n_buckets=CLF_BUCKETS
+    ).select("doc_id", "clf_logit", "clf_score", "clf_keep")
     return (
         quality_stats(d)
         .join(token_counts(d), "doc_id")
         .join(langid(d), "doc_id")
         .join(content_fingerprint(d), "doc_id")
+        .join(clf, "doc_id")
     )
 
 
-SQL_TEXT_QUALITY = """
-WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents)
+SQL_TEXT_QUALITY = f"""
+WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+cls_w AS (
+  SELECT b, CAST((CAST('0x' || substr(md5('qw:' || CAST(b AS VARCHAR)), 1, 8) AS BIGINT) % 2001) - 1000 AS DOUBLE) AS weight
+  FROM (SELECT unnest(generate_series(0, {CLF_BUCKETS - 1})) AS b)
+),
+cls_t AS (
+  SELECT doc_id, CAST('0x' || substr(md5(tw), 1, 8) AS BIGINT) % {CLF_BUCKETS} AS b
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS tw
+        FROM documents)
+),
+cls AS (
+  SELECT t.doc_id, round(sum(weight) / count(*), 4) AS clf_logit
+  FROM cls_t t JOIN cls_w USING (b) GROUP BY t.doc_id
+),
+cls2 AS (
+  SELECT doc_id, clf_logit,
+         round(1.0 / (1.0 + exp(-clf_logit)), 4) AS clf_score,
+         CAST(clf_logit > 0 AS INT) AS clf_keep
+  FROM cls
+)
 SELECT doc_id,
   length(text) AS n_chars,
   len(ws) AS n_words,
@@ -322,8 +369,9 @@ SELECT doc_id,
   CASE WHEN round(len(list_filter(ws, x -> x IN ('the','a','of','and','to','in','is','it'))) * 1.0 / len(ws), 4) > 0.02
        THEN 'en' ELSE 'unk' END AS predicted_lang,
   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
-  length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len
-FROM w
+  length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len,
+  c.clf_logit, c.clf_score, c.clf_keep
+FROM w JOIN cls2 c USING (doc_id)
 """
 
 

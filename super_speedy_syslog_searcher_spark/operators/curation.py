@@ -451,6 +451,60 @@ def dsir_weights(
     )
 
 
+def quality_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    bias: float = 0.0,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hashed-feature linear text classifier INFERENCE — the model-based
+    quality filter of web-scale curation stacks (the fastText-classifier
+    stage of CCNet/RefinedWeb-style pipelines; architecture per Joulin et
+    al. 2016: mean of hashed token features → linear layer → sigmoid).
+    This is the inference half only: ``weights`` is a learned
+    ``(b, weight)`` table with ``b`` in ``[0, n_buckets)``; any logistic
+    regression trained on the same hashed features produces one.
+
+    Per doc: ``clf_logit = round(bias + mean_w weight[h(w)], 4)``,
+    ``clf_score = sigmoid(clf_logit)`` (of the ROUNDED logit, so two
+    engines sigmoid identical inputs), ``clf_keep = clf_logit > 0``.
+    Words hash with the same md5 bucket as :func:`dsir_weights`
+    (``hash_bucket``) — cross-engine reproducible. Buckets absent from
+    ``weights`` contribute 0 (sparse tables allowed).
+
+    Scale shape (the DSIR shape exactly): the weight table is FIXED SIZE
+    (≤ ``n_buckets`` rows) and broadcasts at any corpus size; the corpus
+    word stream joins it map-side, and the only wide exchange is the
+    per-doc mean keyed on ``doc_id`` (map-side partial agg). Docs with
+    zero words produce no rows (no features → no evidence).
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+        ).alias("w"),
+    ).withColumn("b", hash_bucket(F.col("w"), n_buckets))
+    w = weights.select(F.col("b"), F.col("weight"))
+    scored = toks.join(F.broadcast(w), "b", "left").withColumn(
+        "weight", F.coalesce("weight", F.lit(0.0))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.round(F.lit(bias) + F.sum("weight") / F.count("*"), 4).alias("clf_logit"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "clf_logit",
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("clf_logit"))), 4).alias(
+            "clf_score"
+        ),
+        (F.col("clf_logit") > 0).cast("int").alias("clf_keep"),
+    )
+
+
 def decontaminate_spans(
     docs: DataFrame,
     bench: DataFrame,

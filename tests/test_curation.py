@@ -401,6 +401,79 @@ class TestDsirWeights:
         assert "BroadcastHashJoin" in plan
 
 
+class TestQualityClassifier:
+    """quality_classifier_score — hashed-linear classifier inference."""
+
+    def _weights(self, spark, mapping):
+        return spark.createDataFrame(
+            [(int(b), float(w)) for b, w in mapping.items()], "b int, weight double"
+        )
+
+    def _run(self, spark, docs, weights, **kw):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            quality_classifier_score,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        out = quality_classifier_score(df, weights, **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_matches_python_reference(self, spark):
+        import hashlib
+
+        B = 64
+        docs = [
+            ("d1", "aa bb cc"),
+            ("d2", "aa dd dd ee aa"),
+            ("d3", "bb cc ff zz"),
+        ]
+
+        def bucket(w):
+            return int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % B
+
+        wmap = {b: float((b * 7) % 11 - 5) for b in range(B)}
+        rows = self._run(spark, docs, self._weights(spark, wmap), n_buckets=B)
+        for doc_id, text in docs:
+            ws = text.split()
+            logit = round(sum(wmap[bucket(w)] for w in ws) / len(ws), 4)
+            score = round(1.0 / (1.0 + __import__("math").exp(-logit)), 4)
+            assert rows[doc_id]["clf_logit"] == logit, doc_id
+            assert rows[doc_id]["clf_score"] == score, doc_id
+            assert rows[doc_id]["clf_keep"] == int(logit > 0), doc_id
+            assert rows[doc_id]["n_words"] == len(ws)
+
+    def test_bias_shifts_logit(self, spark):
+        w = self._weights(spark, {b: 0.0 for b in range(8)})
+        rows = self._run(spark, [("d", "x y")], w, n_buckets=8, bias=2.5)
+        assert rows["d"]["clf_logit"] == 2.5
+        assert rows["d"]["clf_keep"] == 1
+
+    def test_sparse_weights_default_zero(self, spark):
+        # weights table covers NO bucket → every word contributes 0
+        w = self._weights(spark, {})
+        rows = self._run(spark, [("d", "some words here")], w, n_buckets=8)
+        assert rows["d"]["clf_logit"] == 0.0
+        assert rows["d"]["clf_score"] == 0.5
+        assert rows["d"]["clf_keep"] == 0
+
+    def test_empty_doc_produces_no_row(self, spark):
+        w = self._weights(spark, {0: 1.0})
+        rows = self._run(spark, [("a", "x"), ("e", "")], w, n_buckets=8)
+        assert sorted(rows) == ["a"]
+
+    def test_weight_join_is_broadcast(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            quality_classifier_score,
+        )
+
+        df = spark.createDataFrame([("d1", "a b"), ("d2", "b c")], "doc_id string, text string")
+        plan = (
+            quality_classifier_score(df, self._weights(spark, {0: 1.0}))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+
 class TestCurationEdgeCases:
     def test_decontaminate_empty_bench_keeps_everything(self, spark):
         d = spark.createDataFrame(
