@@ -173,13 +173,21 @@ def q_tokens_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus (``tokens.sample_to_mixture``). Every output column is an
     integer, so the oracle match is exact — the kept SET, not just the
     rate table, is verified. ``mixture_weights`` (the float rate face)
-    stays covered by its own pytest equivalence to these thresholds."""
-    from .operators.tokens import mixture_sample_stats
+    stays covered by its own pytest equivalence to these thresholds.
+    r4: also joins ``tokens.temperature_targets`` (alpha=0.5 sampling
+    targets — floor(sqrt) weights + integer largest-remainder split, so
+    the DuckDB twin reproduces every value exactly)."""
+    from .operators.tokens import mixture_sample_stats, temperature_targets
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return mixture_sample_stats(
-        rendered_docs(spark, sf_dir), MIX_TARGETS_PPM, n_buckets=MIX_BUCKETS
+    docs = rendered_docs(spark, sf_dir)
+    stats = mixture_sample_stats(docs, MIX_TARGETS_PPM, n_buckets=MIX_BUCKETS)
+    temp = temperature_targets(docs).select(
+        "source",
+        F.col("w").alias("temp_w"),
+        F.col("target_ppm").alias("temp_target_ppm"),
     )
+    return stats.join(temp, "source")
 
 
 _MIX_PPM_CASE = "CASE source " + " ".join(
@@ -224,11 +232,29 @@ kept AS (
   WHERE CAST('0x' || substr(md5(s.doc_id), 1, 8) AS BIGINT) % {MIX_BUCKETS}
         < thr.keep_buckets
   GROUP BY s.source
+),
+tw AS (
+  SELECT source, CAST(floor(sqrt(CAST(sum(n_tok) AS DOUBLE))) AS BIGINT) AS w
+  FROM sized GROUP BY source
+),
+twt AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM tw),
+talloc AS (
+  SELECT source, w, (w * 1000000) // tot_w AS base, (w * 1000000) % tot_w AS rem,
+         row_number() OVER (ORDER BY (w * 1000000) % tot_w DESC, source) AS rk
+  FROM tw, twt
+),
+tdef AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS deficit FROM talloc),
+ttarget AS (
+  SELECT source, w AS temp_w,
+         CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+           AS temp_target_ppm
+  FROM talloc, tdef
 )
 SELECT t.source, t.n_tok_total, t.ppm AS target_ppm, t.keep_buckets,
        CAST(COALESCE(k.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
-       CAST(COALESCE(k.n_tok_kept, 0) AS BIGINT) AS n_tok_kept
-FROM thr t LEFT JOIN kept k USING (source)
+       CAST(COALESCE(k.n_tok_kept, 0) AS BIGINT) AS n_tok_kept,
+       tt.temp_w, tt.temp_target_ppm
+FROM thr t LEFT JOIN kept k USING (source) JOIN ttarget tt USING (source)
 """
 
 

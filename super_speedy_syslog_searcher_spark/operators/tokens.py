@@ -630,6 +630,80 @@ def mixture_sample_stats(
     )
 
 
+def temperature_targets(
+    docs: DataFrame,
+    ppm_total: int = 1_000_000,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    ntok_col: str = "n_tok",
+) -> DataFrame:
+    """Temperature-based mixture targets — the multilingual/multi-domain
+    sampling rule (Conneau & Lample 2019; mT5): sample source i with
+    probability ∝ share_i^alpha, alpha < 1 upsampling low-resource
+    sources. Returns ``(source, n_tok_total, w, target_ppm)`` with
+    Σ target_ppm = ppm_total EXACTLY — ready to feed
+    :func:`mixture_weights` / :func:`sample_to_mixture` as the targets
+    table (targets = {r.source: r.target_ppm}).
+
+    Determinism discipline (the :func:`sample_to_mixture` rule — no
+    float touches any compared value): at the default alpha = 0.5 the
+    weight is ``w_i = floor(sqrt(n_tok_i))`` — IEEE-754 sqrt is
+    correctly rounded, so every engine computes the identical integer —
+    and the ppm split is integer largest-remainder apportionment:
+    ``base_i = w_i·ppm_total div W``; the deficit
+    ``ppm_total − Σ base_i`` (< |sources|) goes to the largest
+    ``w_i·ppm_total mod W`` remainders, tie → source asc. Non-default
+    alpha uses ``pow`` (floats — cross-engine hash comparison then
+    carries the usual libm caveat).
+
+    Scale shape: ONE |sources|-row aggregate over the corpus (map-side
+    partials); the rank window and the deficit sum run over |sources|
+    rows — domains, not documents — so the single-partition window is
+    bounded by construction. The corpus never shuffles beyond the
+    partial-agg exchange.
+    """
+    per = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(ntok_col).cast("long").alias("n_tok_total")
+    )
+    if abs(alpha - 0.5) < 1e-12:
+        w = F.floor(F.sqrt(F.col("n_tok_total").cast("double")))
+    else:
+        w = F.floor(F.pow(F.col("n_tok_total").cast("double"), F.lit(float(alpha))))
+    per = per.withColumn("w", w.cast("long"))
+    tot = per.agg(F.sum("w").alias("tot_w"))
+    alloc = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "base",
+            F.when(F.col("tot_w") > 0, F.expr(f"(w * {ppm_total}) div tot_w")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "rem",
+            F.when(F.col("tot_w") > 0, F.expr(f"(w * {ppm_total}) % tot_w")).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    rank_w = Window.orderBy(F.col("rem").desc(), F.col("source").asc())
+    frame_w = Window.partitionBy()  # |sources| rows — bounded by design
+    out = alloc.withColumn("rk", F.row_number().over(rank_w)).withColumn(
+        "deficit",
+        F.when(F.col("tot_w") > 0, F.lit(ppm_total) - F.sum("base").over(frame_w)).otherwise(
+            F.lit(0)
+        ),
+    )
+    return out.select(
+        "source",
+        "n_tok_total",
+        "w",
+        (F.col("base") + (F.col("rk") <= F.col("deficit")).cast("long")).alias(
+            "target_ppm"
+        ),
+    )
+
+
 def global_shuffle(
     docs: DataFrame,
     seed: str = "s4",

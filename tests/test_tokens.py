@@ -306,6 +306,68 @@ class TestMixtureEdgeCases:
         assert rows["a"]["rate"] == 1.0
 
 
+class TestTemperatureTargets:
+    """temperature_targets — alpha-temperature mixture targets with
+    integer largest-remainder apportionment."""
+
+    def _run(self, spark, sizes, **kw):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            temperature_targets,
+        )
+
+        rows = [
+            (f"d{i}", src, list(range(n)), n)
+            for i, (src, n) in enumerate(sizes)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+        return {r["source"]: r for r in temperature_targets(df, **kw).collect()}
+
+    def test_matches_python_reference(self, spark):
+        import math
+
+        sizes = [("a", 900), ("a", 100), ("b", 400), ("c", 25), ("d", 7)]
+        per = {}
+        for s, n in sizes:
+            per[s] = per.get(s, 0) + n
+        w = {s: math.isqrt(n) for s, n in per.items()}
+        W = sum(w.values())
+        base = {s: w[s] * 1_000_000 // W for s in w}
+        rem = {s: w[s] * 1_000_000 % W for s in w}
+        deficit = 1_000_000 - sum(base.values())
+        order = sorted(w, key=lambda s: (-rem[s], s))
+        want = {
+            s: base[s] + (1 if order.index(s) < deficit else 0) for s in w
+        }
+        got = self._run(spark, sizes)
+        for s in w:
+            assert got[s]["target_ppm"] == want[s], s
+            assert got[s]["w"] == w[s], s
+            assert got[s]["n_tok_total"] == per[s], s
+
+    def test_ppm_sums_to_total_exactly(self, spark):
+        got = self._run(spark, [("a", 123), ("b", 457), ("c", 89), ("d", 3011)])
+        assert sum(r["target_ppm"] for r in got.values()) == 1_000_000
+
+    def test_alpha_half_upsamples_low_resource(self, spark):
+        # raw shares: a = 99%, b = 1%; sqrt temperature must pull b's
+        # target share strictly above its raw share and a's below
+        got = self._run(spark, [("a", 9900), ("b", 100)])
+        assert got["b"]["target_ppm"] > 10_000
+        assert got["a"]["target_ppm"] < 990_000
+
+    def test_alpha_one_is_proportional(self, spark):
+        # alpha=1: w = floor(n^1) = n → targets = exact raw shares
+        got = self._run(spark, [("a", 750), ("b", 250)], alpha=1.0)
+        assert got["a"]["target_ppm"] == 750_000
+        assert got["b"]["target_ppm"] == 250_000
+
+    def test_zero_token_corpus_degenerates_to_zero(self, spark):
+        got = self._run(spark, [("a", 0), ("b", 0)])
+        assert all(r["target_ppm"] == 0 for r in got.values())
+
+
 class TestBigramLogprob:
     def test_matches_python_reference(self, spark):
         import hashlib
