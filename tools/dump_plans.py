@@ -94,9 +94,12 @@ def main() -> None:
             "the tiny candidate set.",
         ),
         (
-            "ANN sign-LSH top-k (ids-only dedupe, corpus never shuffled)",
+            "ANN top-k, brute ∪ sign-LSH (r4 merged driver row)",
             EQD.q_ann_cosine_topk(spark, SF),
-            "Round-3 shape (VERDICT r2 #2/#3): the bucket scan projects "
+            "The union's first leg is the brute kernel (broadcast queries "
+            "over a column-pruned corpus scan — the BroadcastNestedLoopJoin "
+            "— with norms precomputed once); the second is the sign-LSH "
+            "kernel, round-3 shape (VERDICT r2 #2/#3): the bucket scan projects "
             "`(neighbor_id, t, bk)` only — no embedding enters the "
             "OR-amplification `distinct`, which is a partial/final "
             "HashAggregate keyed on bare `(query_id, neighbor_id)`. The "
