@@ -42,6 +42,27 @@ def test_registries_consistent():
         assert len(inspect.signature(fn).parameters) == 2, name
 
 
+def test_registry_fits_driver_gate():
+    """The driver's correctness gate records only the FIRST 50 registry
+    entries (observed round 3: 55 registered → 50 rows). Every query must
+    sit inside that window, and a query without an oracle must be one of
+    the documented iterative/algorithmic rows-only entries — not an
+    accidentally dropped SQL twin."""
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert len(qs) <= 50, (
+        f"{len(qs)} registry entries — the driver gate caps at 50; "
+        "merge near-duplicate rows instead of overflowing (see SURVEY §8)"
+    )
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {
+        "embed_semdedup",
+        "tokens_bpe_train",
+        "tokens_pack_bestfit",
+    }, f"unexpected rows-only queries: {sorted(rows_only)}"
+
+
 def test_parse_series_family_samples():
     """One rendered sample line per family parses to the expected instant
     and pattern (mirrors the entry-query corpus without a Spark session)."""
