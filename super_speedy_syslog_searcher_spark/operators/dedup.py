@@ -245,12 +245,18 @@ def lsh_candidate_pairs(
         F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias("band", "bucket"),
     )
     if pair_mode == "star":
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "bucket")
-        starred = banded.withColumn("root", F.min("id").over(w))
+        # roots via groupBy (NOT a window): a web-scale mega-bucket under
+        # Window.partitionBy(band, bucket) is ONE window partition = one
+        # task holding the whole bucket — the single-task hotspot shape
+        # fixed twice before (evtx rank windows, closure hot labels).
+        # groupBy's map-side partial agg absorbs the bucket to one row
+        # per task before the exchange, and AQE skew-join can split the
+        # probe side of the join back; a window cannot be split.
+        banded = banded.localCheckpoint(eager=False)  # one banding scan for both uses
+        roots = banded.groupBy("band", "bucket").agg(F.min("id").alias("root"))
         return (
-            starred.filter(F.col("id") != F.col("root"))
+            banded.join(roots, ["band", "bucket"])
+            .filter(F.col("id") != F.col("root"))
             .select(F.col("root").alias("a"), F.col("id").alias("b"))
             .distinct()
         )

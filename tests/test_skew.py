@@ -246,6 +246,24 @@ class TestLshStarPairs:
         with pytest.raises(ValueError):
             lsh_candidate_pairs(docs, pair_mode="chain")
 
+    def test_star_roots_use_partial_agg_not_window(self, spark):
+        """The root-per-bucket step must be a groupBy (map-side partial
+        aggregation absorbs a mega-bucket; AQE skew-join can split the
+        join back) — a Window.partitionBy(band, bucket) would hold the
+        whole mega-bucket in ONE task and cannot be split."""
+        from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs
+
+        docs = spark.createDataFrame(
+            [(i, f"words {i % 7} overlap {i % 3} here") for i in range(30)],
+            "doc_id long, text string",
+        )
+        plan = (
+            lsh_candidate_pairs(docs, k=64, bands=16, pair_mode="star")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        assert "partial_min" in plan or "HashAggregate" in plan
+
 
 class TestSelfJoinSingleUdf:
     """Plan regression for the double-ArrowEvalPython fix: the band
