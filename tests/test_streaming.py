@@ -18,6 +18,29 @@ def stream_dirs(tmp_path):
     }
 
 
+def _drain(q, done, timeout_s=240):
+    """Stop a query that cannot self-terminate: availableNow +
+    ProcessingTimeTimeout keeps the query alive (registered timers imply
+    future work — correct for production streams), so `awaitTermination`
+    would burn its full timeout. Poll until `done()` sees the expected
+    sink state, then stop. Raises on deadline so a hung query fails the
+    test instead of silently passing on partial output."""
+    import time as _t
+
+    t0 = _t.time()
+    while not q.awaitTermination(2):
+        try:
+            if done():
+                break
+        except Exception:
+            pass  # sink not readable yet (no committed batch)
+        if _t.time() - t0 > timeout_s:
+            q.stop()
+            raise AssertionError("streaming query did not reach expected output")
+    q.stop()
+    q.awaitTermination(60)
+
+
 def _write_docs(spark, corpus, path):
     docs_pdf, enrich_pdf, _ = corpus
     df = spark.createDataFrame(docs_pdf).select(
@@ -143,6 +166,11 @@ def test_stateful_sessionize_matches_batch(spark, corpus, tmp_path):
         "append"
     ).parquet(in_dir)
 
+    want = {
+        (r["doc_id"], r["msg_no"], r["ts"], r["text"])
+        for r in sessionize(parsed).collect()
+    }
+
     stream = (
         spark.readStream.schema(lines.schema).option("maxFilesPerTrigger", 1).parquet(in_dir)
     )
@@ -155,17 +183,17 @@ def test_stateful_sessionize_matches_batch(spark, corpus, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain(
+        q,
+        lambda: spark.sql("select * from stateful_msgs where year(ts) < 2099").count()
+        >= len(want),
+    )
 
     got = {
         (r["doc_id"], r["msg_no"], r["ts"], r["text"])
         for r in spark.sql(
             "select * from stateful_msgs where year(ts) < 2099"
         ).collect()
-    }
-    want = {
-        (r["doc_id"], r["msg_no"], r["ts"], r["text"])
-        for r in sessionize(parsed).collect()
     }
     assert got == want
 
@@ -330,7 +358,7 @@ def test_stateful_exact_dedup_ttl_eviction(spark, tmp_path):
     out_dir = str(tmp_path / "keepers")
     schema = "doc_id string, source string, text string"
 
-    def run_once(rows, mode):
+    def run_once(rows, mode, expect_ids):
         spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
         stream = spark.readStream.schema(schema).parquet(in_dir)
         q = (
@@ -342,14 +370,18 @@ def test_stateful_exact_dedup_ttl_eviction(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        _drain(
+            q,
+            lambda: set(expect_ids)
+            <= {r["doc_id"] for r in spark.read.parquet(out_dir).collect()},
+        )
 
-    run_once([("a1", "s", "text alpha")], "overwrite")
+    run_once([("a1", "s", "text alpha")], "overwrite", ["a1"])
     _time.sleep(1.5)  # let the 1 ms TTL lapse in wall time
     # a trigger WITHOUT data for the key sweeps its timed-out state
-    run_once([("b1", "s", "text beta")], "append")
+    run_once([("b1", "s", "text beta")], "append", ["a1", "b1"])
     # the evicted fingerprint re-delivers → emitted again as new
-    run_once([("a2", "s", "text alpha")], "append")
+    run_once([("a2", "s", "text alpha")], "append", ["a1", "b1", "a2"])
 
     rows = spark.read.parquet(out_dir).collect()
     emitted = sorted(r["doc_id"] for r in rows)
