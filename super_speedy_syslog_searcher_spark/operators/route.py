@@ -39,19 +39,21 @@ def route_write(
     if file_tasks:
         salt = F.pmod(F.xxhash64("doc_id"), F.lit(max(file_tasks // 4, 1)))
         enriched = enriched.repartition(file_tasks, F.col("sink_key"), salt)
-    (
-        enriched.write.mode(mode)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("sink_key")
-        .parquet(out_dir)
-    )
+    # catalog-or-parquet: Iceberg writeTo when the session has a catalog
+    # (the north_rule's sink tables), byte-identical dynamic-partition
+    # parquet in this sandbox — sources/iceberg.py
+    from ..sources.iceberg import write_table
+
+    write_table(enriched, out_dir, partition_by=["sink_key"], mode=mode)
 
 
 def sink_counts_from_path(spark, out_dir: str) -> DataFrame:
     """Per-sink aggregates computed from the COMMITTED sink files — the
     counts then describe exactly what readers will see (and the big
     upstream DAG is not re-executed just to count)."""
-    return sink_counts(spark.read.parquet(out_dir))
+    from ..sources.iceberg import read_table
+
+    return sink_counts(read_table(spark, out_dir))
 
 
 def sink_counts(enriched: DataFrame) -> DataFrame:
