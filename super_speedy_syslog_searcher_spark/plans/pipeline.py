@@ -112,7 +112,8 @@ def run_pipeline(
 MANIFEST_SCHEMA = (
     "source string, n_messages long, dt_first timestamp, dt_last timestamp, "
     "n_docs long, n_input_files long, n_partitions long, "
-    "patterns_used array<int>, completed_at double, run_id string"
+    "patterns_used array<int>, pattern_hits map<int,bigint>, "
+    "n_lines_missed long, completed_at double, run_id string"
 )
 
 
@@ -160,6 +161,23 @@ def run_pipeline_resumable(
         F.max("ts").alias("dt_last"),
         F.array_distinct(F.collect_set("pattern_id")).alias("patterns_used"),
     )
+    # per-DTPD hit/miss metrics (north_star: "parse hit/miss rates per
+    # DTPD pattern"): line-grained counts per pattern, bounded by
+    # |sources| × |DTPD table| rows — misses are the pattern_id = -1 lines
+    pat = result["parsed_lines"].groupBy("source", "pattern_id").agg(
+        F.count("*").alias("n")
+    )
+    pat_agg = pat.groupBy("source").agg(
+        F.map_from_entries(
+            F.filter(
+                F.collect_list(F.struct("pattern_id", "n")),
+                lambda s: s["pattern_id"] >= 0,
+            )
+        ).alias("pattern_hits"),
+        F.sum(F.when(F.col("pattern_id") < 0, F.col("n")).otherwise(0)).alias(
+            "n_lines_missed"
+        ),
+    )
     # per-partition/file provenance from the INPUT side (north_star:
     # "per-partition lineage and metrics — files/partitions processed");
     # non-deterministic exprs must be projected before aggregation
@@ -178,8 +196,14 @@ def run_pipeline_resumable(
         .distinct()
         .join(msg_agg, "source", "left")
         .join(doc_agg, "source", "left")
+        .join(pat_agg, "source", "left")
         .withColumn("n_messages", F.coalesce(F.col("n_messages"), F.lit(0)))
         .withColumn("patterns_used", F.coalesce(F.col("patterns_used"), F.array().cast("array<int>")))
+        .withColumn(
+            "pattern_hits",
+            F.coalesce(F.col("pattern_hits"), F.expr("map()").cast("map<int,bigint>")),
+        )
+        .withColumn("n_lines_missed", F.coalesce(F.col("n_lines_missed"), F.lit(0)))
         .withColumn("completed_at", F.lit(time.time()))
         .withColumn("run_id", F.lit(run_id))
         .select(*[c.split(" ")[0] for c in MANIFEST_SCHEMA.replace("\n", "").split(", ")])

@@ -170,6 +170,14 @@ def test_checkpoint_resume(spark, tmp_path):
     assert not m1["skipped"] and m1["n_new_sources"] == n_input_sources
     manifest = read_manifest(spark, ckpt).toPandas()
     assert set(manifest["source"]) == set(docs_pd["source"].unique())
+    # north_star metrics: per-DTPD hit counts + per-source line misses.
+    # Hit totals are line-grained (≥ messages); every source in this
+    # corpus parses at least one line, and hit keys ⊆ patterns_used.
+    for _, row in manifest.iterrows():
+        hits = row["pattern_hits"]
+        assert sum(hits.values()) >= row["n_messages"] > 0, row["source"]
+        assert set(hits) <= set(row["patterns_used"]), row["source"]
+        assert row["n_lines_missed"] >= 0
 
     # second run: everything already done → full skip
     m2 = run_pipeline_resumable(docs, lookup, cfg, out, ckpt, run_id="r2")

@@ -55,7 +55,10 @@ def main() -> None:
             ap.error("--checkpoint requires --out")
         metrics = run_pipeline_resumable(docs, lookup, cfg, args.out, args.checkpoint)
         print(f"== resume metrics == {metrics}")
-        print("== lineage manifest (per-source: messages, docs, files, partitions) ==")
+        print(
+            "== lineage manifest (per-source: messages, docs, files, "
+            "partitions, per-DTPD hits, line misses) =="
+        )
         read_manifest(spark, args.checkpoint).orderBy("source").show(30, truncate=False)
         # display from the COMMITTED sinks (no second pipeline run)
         print("== sink counts (from committed parquet) ==")
