@@ -311,19 +311,17 @@ def winnow_overlap_pairs(
     than ``max_df`` docs (boilerplate guard; prevents the quadratic hot
     bucket) → self-join → pairs sharing ≥ ``min_shared`` fingerprints.
 
-    The document-frequency cap is a window count over ``fp`` rather than
-    a groupBy+join: one exchange keyed on ``fp`` feeds the cap AND
-    co-locates both sides of the self-join (same key → zero additional
-    shuffles, and the second side is a ReusedExchange instead of a full
-    recompute of the fingerprint stage).
+    The document-frequency cap is a groupBy + join, NOT a window count
+    over ``fp``: a boilerplate fingerprint shared by 10⁷ docs would be
+    ONE window partition = one task holding every copy (the single-task
+    hotspot shape fixed for star-mode LSH roots and closure sizes). The
+    aggregate absorbs the hot fingerprint map-side — one row per fp per
+    task before the exchange — and both the cap join and the self-join
+    key on ``fp``, so the exchanges stay co-partitioned.
     """
     inv = fps.select(F.col(id_col), F.explode(fps_col).alias("fp"))
-    w_df = Window.partitionBy("fp")
-    capped = (
-        inv.withColumn("df", F.count("*").over(w_df))
-        .filter(F.col("df") <= max_df)
-        .drop("df")
-    )
+    dfc = inv.groupBy("fp").agg(F.count("*").alias("df"))
+    capped = inv.join(dfc.filter(F.col("df") <= max_df).select("fp"), "fp")
     pairs = (
         capped.alias("a")
         .join(capped.alias("b"), "fp")

@@ -487,13 +487,14 @@ def connected_components(
         prev_sum = cur_sum
     if stats is not None:
         stats["rounds"] = rounds
-    from pyspark.sql.window import Window
-
-    w = F.count("*").over(Window.partitionBy("cluster_id"))
-    return (
-        labels.select(F.col("node"), F.col("label").alias("cluster_id"))
-        .withColumn("cluster_size", w.cast("long"))
-    )
+    # cluster_size via groupBy + join, NOT Window.partitionBy(cluster_id):
+    # the whole point of the salted closure is that a mega-cluster is one
+    # hot label — a window would re-serialize all its members into ONE
+    # task right at the end. The aggregate absorbs the hot label map-side
+    # (one row per cluster per task) and AQE can skew-split the join back.
+    out = labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    sizes = out.groupBy("cluster_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return out.join(sizes, "cluster_id").select("node", "cluster_id", "cluster_size")
 
 
 # ---------------------------------------------------------------------------

@@ -266,6 +266,17 @@ class TestWinnowOverlap:
         # raising the cap to 6 restores all 15 pairs
         assert winnow_overlap_pairs(fps, min_shared=1, max_df=6).count() == 15
 
+    def test_df_cap_uses_partial_agg_not_window(self, spark):
+        """The max_df boilerplate guard must be a groupBy+join — a
+        window count over fp would hold a hot fingerprint's every copy
+        in one task (the single-task hotspot shape)."""
+        rows = [(f"d{i}", [1, 2, i]) for i in range(12)]
+        plan = (
+            winnow_overlap_pairs(self._fps(spark, rows), min_shared=1, max_df=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+
     def test_no_gram_hash_inlining_under_join(self, spark):
         """Regression: CollapseProject must not inline the gram-hash
         transform into the per-window array_min (O(L²) md5s per doc —

@@ -246,6 +246,24 @@ class TestLshStarPairs:
         with pytest.raises(ValueError):
             lsh_candidate_pairs(docs, pair_mode="chain")
 
+    def test_cluster_size_uses_partial_agg_not_window(self, spark):
+        """The closure's final cluster_size attach must be a groupBy+join
+        — a Window.partitionBy(cluster_id) would re-serialize a
+        mega-cluster (the salted closure's whole reason to exist) into
+        one task at the last step."""
+        from super_speedy_syslog_searcher_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30)], "a long, b long"
+        )
+        plan = (
+            connected_components(pairs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+
     def test_star_roots_use_partial_agg_not_window(self, spark):
         """The root-per-bucket step must be a groupBy (map-side partial
         aggregation absorbs a mega-bucket; AQE skew-join can split the
