@@ -110,7 +110,16 @@ def windowed_sink_counts(
 def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFrame:
     """Batch-mode lateness audit: rows arriving more than ``watermark``
     behind the running per-source max ts — counted, never dropped (the
-    reference counts out-of-order, evtxreader.rs:260)."""
+    reference counts out-of-order, evtxreader.rs:260).
+
+    The running max is a TWO-PHASE prefix scan (the
+    ``tokens._with_stream_start`` idiom — range-partition on
+    (source, arrival), per-partition window, broadcast per-(partition,
+    source) prefix maxes, pids frozen with ``localCheckpoint``): a plain
+    ``Window.partitionBy(source)`` would funnel each source into one
+    task — the single-task hotspot when sources are few and huge. The
+    collected prefix table is bounded by #partitions × #source-runs.
+    """
     from pyspark.sql.window import Window
 
     secs = parse_duration_seconds(watermark)
@@ -122,15 +131,44 @@ def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFra
     # suffix for the order key; non-numeric doc_ids (null cast) fall back
     # to lexicographic via the doc_id tiebreaker. msg_no orders within a
     # doc (alone it is a per-doc index — tie-order dependent).
+    spark = messages.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     arrival = F.element_at(F.split("doc_id", "/"), -1).cast("long")
+    parted = (
+        messages.withColumn("_arr", arrival)
+        .repartitionByRange(
+            n, F.col("source"), F.col("_arr").asc_nulls_first(), F.col("doc_id"), F.col("msg_no")
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = (
+        parted.groupBy("_pid", "source")
+        .agg(F.max("ts").alias("mx"))
+        .orderBy("source", "_pid")
+        .collect()
+    )
+    prefix, cur_src, run = [], None, None
+    for r in totals:
+        if r["source"] != cur_src:
+            cur_src, run = r["source"], None
+        prefix.append((r["_pid"], r["source"], run))
+        run = r["mx"] if run is None or (r["mx"] is not None and r["mx"] > run) else run
+    pre_df = spark.createDataFrame(
+        prefix, "_pid int, source string, _base timestamp"
+    )
     w = (
-        Window.partitionBy("source")
-        .orderBy(arrival.asc_nulls_first(), "doc_id", "msg_no")
+        Window.partitionBy("_pid", "source")
+        .orderBy(F.col("_arr").asc_nulls_first(), "doc_id", "msg_no")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    high = F.max("ts").over(w)
+    high = F.greatest(F.max("ts").over(w), F.coalesce(F.col("_base"), F.col("ts")))
     return (
-        messages.withColumn("_late", (F.unix_timestamp(high) - F.unix_timestamp("ts") > secs).cast("int"))
+        parted.join(F.broadcast(pre_df), ["_pid", "source"])
+        .withColumn(
+            "_late",
+            (F.unix_timestamp(high) - F.unix_timestamp("ts") > secs).cast("int"),
+        )
         .groupBy("source")
         .agg(F.count("*").alias("messages"), F.sum("_late").alias("late_rows"))
     )

@@ -127,6 +127,59 @@ def test_late_metric_numeric_arrival_beyond_padding(spark):
     assert late == {"a": 1}
 
 
+def test_late_metric_two_phase_matches_single_window(spark):
+    """The two-phase prefix-max (range partition + broadcast per-partition
+    prefixes) must equal the textbook single-window running max, at any
+    partition layout — the same cross-check _with_stream_start carries."""
+    import datetime as dt
+
+    from pyspark.sql.window import Window
+
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import late_rows_metric
+
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    rows = []
+    for s, n_docs in (("a", 40), ("b", 25), ("c", 1)):
+        for i in range(n_docs):
+            # sawtooth: every 7th doc jumps 3h back (late), others advance
+            ts = t0 + dt.timedelta(minutes=10 * i) - dt.timedelta(hours=3 if i % 7 == 6 else 0)
+            rows.append((f"{s}/{i:06d}", s, 1, ts, 1))
+    msgs = spark.createDataFrame(
+        rows, "doc_id string, source string, msg_no int, ts timestamp, n_lines int"
+    )
+
+    # textbook single-window reference
+    arrival = F.element_at(F.split("doc_id", "/"), -1).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(arrival.asc_nulls_first(), "doc_id", "msg_no")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    secs = 3600
+    ref = {
+        r["source"]: r["late_rows"]
+        for r in msgs.withColumn(
+            "_late",
+            (F.unix_timestamp(F.max("ts").over(w)) - F.unix_timestamp("ts") > secs).cast("int"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_late").alias("late_rows"))
+        .collect()
+    }
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("3", "16"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            got = {
+                r["source"]: r["late_rows"]
+                for r in late_rows_metric(msgs.repartition(5), watermark="1 hour").collect()
+            }
+            assert got == ref, parts
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def test_stateful_sessionize_matches_batch(spark, corpus, tmp_path):
     """applyInPandasWithState sessionizer over a two-batch line stream must
     emit exactly the batch sessionizer's messages (a year-2099 sentinel dt
