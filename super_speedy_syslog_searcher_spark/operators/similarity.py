@@ -459,3 +459,68 @@ def semdedup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a", "b")
     )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str = "vec_id",
+    bench_vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag corpus items
+    whose embedding is cosine-near any eval/benchmark item — the
+    paraphrase-robust complement of ``curation.decontaminate``'s shared
+    word-n-gram rule (a reworded eval question shares no 8-gram but
+    keeps its embedding neighborhood). Returns one row per corpus item:
+    ``(vec_id, bench_id, bench_sim, contaminated)`` with ``bench_id`` /
+    ``bench_sim`` the nearest benchmark item and its cosine (NULL / 0.0
+    when the bench set is empty), ``contaminated = bench_sim >= threshold``.
+
+    Scale shape: eval sets are tiny next to the corpus, so the bench
+    matrix is L2-normalized ONCE on the driver and rides into a
+    vectorized pandas UDF via the closure (the ``kmeans_assign``
+    pattern) — per Arrow batch the scan is one matmul + argmax. The
+    operator is MAP-ONLY: zero shuffles, zero joins; the corpus never
+    moves. Contrast with ``cosine_topk`` (per-query ranked lists,
+    windowed): here every corpus row needs only its single nearest
+    bench item, so the reduction happens inside the batch.
+    """
+    rows = bench.select(bench_id_col, bench_vec_col).collect()  # bounded: eval set
+    if not rows:
+        return corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.lit(None).cast("long").alias("bench_id"),
+            F.lit(0.0).alias("bench_sim"),
+            F.lit(0).alias("contaminated"),
+        )
+    bids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    mat = np.asarray([np.asarray(r[1], dtype=np.float64) for r in rows])
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0.0] = 1.0  # zero-norm bench row → similarity 0 to everything
+    mat = mat / nrm[:, None]
+
+    @F.pandas_udf("bench_id long, bench_sim double")
+    def _nearest(col: pd.Series) -> pd.DataFrame:
+        if len(col) == 0:
+            return pd.DataFrame({"bench_id": [], "bench_sim": []})
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in col])
+        xn = np.linalg.norm(x, axis=1)
+        xn[xn == 0.0] = 1.0  # zero-norm corpus row → all sims 0
+        sims = (x / xn[:, None]) @ mat.T
+        best = np.argmax(sims, axis=1)
+        return pd.DataFrame(
+            {"bench_id": bids[best], "bench_sim": sims[np.arange(len(x)), best]}
+        )
+
+    out = corpus.select(
+        F.col(id_col).alias("vec_id"), _nearest(F.col(vec_col)).alias("nn")
+    )
+    return out.select(
+        "vec_id",
+        F.col("nn.bench_id").alias("bench_id"),
+        F.col("nn.bench_sim").alias("bench_sim"),
+        (F.col("nn.bench_sim") >= threshold).cast("int").alias("contaminated"),
+    )
