@@ -326,7 +326,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(token_counts(d), "doc_id")
         .join(langid(d), "doc_id")
         .join(content_fingerprint(d), "doc_id")
-        .join(clf, "doc_id")
+        # LEFT: the classifier emits no row for zero-word docs (no
+        # features → no evidence); the per-doc contract of this query
+        # keeps such docs with NULL clf columns, same as the SQL twin
+        .join(clf, "doc_id", "left")
     )
 
 
@@ -371,7 +374,7 @@ SELECT doc_id,
   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
   length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len,
   c.clf_logit, c.clf_score, c.clf_keep
-FROM w JOIN cls2 c USING (doc_id)
+FROM w LEFT JOIN cls2 c USING (doc_id)
 """
 
 

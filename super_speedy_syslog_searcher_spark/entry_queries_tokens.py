@@ -239,14 +239,19 @@ tw AS (
 ),
 twt AS (SELECT CAST(sum(w) AS BIGINT) AS tot_w FROM tw),
 talloc AS (
-  SELECT source, w, (w * 1000000) // tot_w AS base, (w * 1000000) % tot_w AS rem,
-         row_number() OVER (ORDER BY (w * 1000000) % tot_w DESC, source) AS rk
+  SELECT source, w,
+         CASE WHEN tot_w > 0 THEN (w * 1000000) // tot_w ELSE 0 END AS base,
+         CASE WHEN tot_w > 0 THEN (w * 1000000) % tot_w ELSE 0 END AS rem,
+         row_number() OVER (
+           ORDER BY CASE WHEN tot_w > 0 THEN (w * 1000000) % tot_w ELSE 0 END DESC,
+                    source) AS rk,
+         tot_w
   FROM tw, twt
 ),
 tdef AS (SELECT CAST(1000000 - sum(base) AS BIGINT) AS deficit FROM talloc),
 ttarget AS (
   SELECT source, w AS temp_w,
-         CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
+         CAST(base + CASE WHEN tot_w > 0 AND rk <= deficit THEN 1 ELSE 0 END AS BIGINT)
            AS temp_target_ppm
   FROM talloc, tdef
 )

@@ -600,10 +600,7 @@ def train_quality_classifier(
 
     spark = docs.sparkSession
     nz = [(int(b), float(w_vec[b])) for b in np.nonzero(w_vec)[0]]
-    weights_df = spark.createDataFrame(nz or [(0, 0.0)], "b int, weight double")
-    if not nz:
-        weights_df = weights_df.filter(F.lit(False))
-    return weights_df, bias
+    return spark.createDataFrame(nz, "b int, weight double"), bias
 
 
 def decontaminate_spans(

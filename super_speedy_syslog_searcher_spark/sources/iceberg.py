@@ -41,8 +41,14 @@ def write_table(
 ) -> None:
     """Write to ``catalog.db.table`` (Iceberg) or a path (parquet).
 
-    ``ident`` containing '/' is treated as a path. Dynamic partition
-    overwrite on the parquet path ≙ Iceberg's overwrite-by-filter."""
+    ``ident`` containing '/' is treated as a path. BOTH branches have
+    dynamic-partition-overwrite semantics — ``mode="overwrite"``
+    replaces only the partitions present in ``df`` and leaves the rest
+    untouched (the property the resumable pipeline's re-do idempotence
+    depends on): ``overwritePartitions()`` on Iceberg, the
+    ``partitionOverwriteMode=dynamic`` option on parquet. A
+    whole-table replace (``createOrReplace``) would destroy previously
+    committed sources whose manifest rows say they are done."""
     spark = df.sparkSession
     cat = iceberg_catalog(spark)
     if cat and "/" not in ident:
@@ -52,7 +58,10 @@ def write_table(
 
             writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "overwrite":
-            writer.createOrReplace()
+            if spark.catalog.tableExists(f"{cat}.{ident}"):
+                writer.overwritePartitions()
+            else:
+                writer.createOrReplace()  # first write creates the table
         else:
             writer.append()
         return

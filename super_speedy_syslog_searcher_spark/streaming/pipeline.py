@@ -148,7 +148,9 @@ def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFra
         .orderBy("source", "_pid")
         .collect()
     )
-    prefix, cur_src, run = [], None, None
+    # sentinel object, not None: source may legitimately BE NULL and must
+    # still start its own run on the first row
+    prefix, cur_src, run = [], object(), None
     for r in totals:
         if r["source"] != cur_src:
             cur_src, run = r["source"], None
@@ -163,9 +165,15 @@ def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFra
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     high = F.greatest(F.max("ts").over(w), F.coalesce(F.col("_base"), F.col("ts")))
+    # null-safe on source: groupBy/window keep a NULL-source group, so the
+    # prefix join must too (a plain equi-join would silently drop it)
+    pre = F.broadcast(pre_df).withColumnsRenamed({"_pid": "_ppid", "source": "_psrc"})
+    joined = parted.join(
+        pre,
+        (F.col("_pid") == F.col("_ppid")) & F.col("source").eqNullSafe(F.col("_psrc")),
+    )
     return (
-        parted.join(F.broadcast(pre_df), ["_pid", "source"])
-        .withColumn(
+        joined.withColumn(
             "_late",
             (F.unix_timestamp(high) - F.unix_timestamp("ts") > secs).cast("int"),
         )

@@ -127,6 +127,29 @@ def test_late_metric_numeric_arrival_beyond_padding(spark):
     assert late == {"a": 1}
 
 
+def test_late_metric_keeps_null_source_group(spark):
+    """A NULL source is its own audit group (groupBy keeps NULL keys);
+    the two-phase prefix join must be null-safe or those rows vanish."""
+    import datetime as dt
+
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import late_rows_metric
+
+    t0 = dt.datetime(2023, 6, 1, 12, 0, 0, tzinfo=dt.timezone.utc)
+    rows = [
+        ("x/000001", None, 1, t0, 1),
+        ("x/000002", None, 1, t0 - dt.timedelta(hours=2), 1),  # late
+        ("y/000001", "b", 1, t0, 1),
+    ]
+    msgs = spark.createDataFrame(
+        rows, "doc_id string, source string, msg_no int, ts timestamp, n_lines int"
+    )
+    got = {
+        r["source"]: (r["messages"], r["late_rows"])
+        for r in late_rows_metric(msgs, watermark="1 hour").collect()
+    }
+    assert got == {None: (2, 1), "b": (1, 0)}
+
+
 def test_late_metric_two_phase_matches_single_window(spark):
     """The two-phase prefix-max (range partition + broadcast per-partition
     prefixes) must equal the textbook single-window running max, at any
