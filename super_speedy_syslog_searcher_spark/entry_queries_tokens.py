@@ -291,19 +291,31 @@ LM_BUCKETS = 65536
 
 
 def q_tokens_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed bigram-LM quality score per doc, UPGRADED with CCNet-style
-    per-source head/middle/tail perplexity bucketing (Wenzek et al.
-    2020): exact tertile thresholds from a (source, ppl, count)
-    histogram — the slice selection CCNet trains its LM filter for,
-    verified value-for-value against the DuckDB twin."""
-    from .operators.tokens import bigram_logprob, perplexity_buckets
+    """Hashed bigram-LM quality score per doc, UPGRADED with (a)
+    CCNet-style per-source head/middle/tail perplexity bucketing
+    (Wenzek et al. 2020): exact tertile thresholds from a
+    (source, ppl, count) histogram — the slice selection CCNet trains
+    its LM filter for; and (b) the trigram STUPID BACKOFF score of
+    Brants et al. 2007 (the canonical web-scale distributed LM:
+    count-ratio scores, fixed 0.4 backoff penalty, pruned hashed count
+    tables) — per-doc mean log-score, perplexity form, and the
+    backed-off fraction. All verified value-for-value against the
+    DuckDB twin."""
+    from .operators.tokens import bigram_logprob, perplexity_buckets, stupid_backoff_logprob
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    scored = bigram_logprob(
-        rendered_docs(spark, sf_dir), n_buckets=LM_BUCKETS, carry_cols=("source",)
+    docs = rendered_docs(spark, sf_dir)
+    scored = bigram_logprob(docs, n_buckets=LM_BUCKETS, carry_cols=("source",))
+    sb = stupid_backoff_logprob(docs, n_buckets=LM_BUCKETS, min_count=2).select(
+        "doc_id", "n_trigrams", "sb_mean_logprob", "sb_ppl", "sb_backoff_frac"
     )
-    return perplexity_buckets(scored).select(
-        "doc_id", "source", "n_bigrams", "mean_logprob", "ppl", "ppl_bucket"
+    return (
+        perplexity_buckets(scored)
+        .join(sb, "doc_id", "left")
+        .select(
+            "doc_id", "source", "n_bigrams", "mean_logprob", "ppl", "ppl_bucket",
+            "n_trigrams", "sb_mean_logprob", "sb_ppl", "sb_backoff_frac",
+        )
     )
 
 
@@ -343,12 +355,61 @@ thr AS (
          min(CASE WHEN cum * 3 >= total THEN ppl END) AS t1,
          min(CASE WHEN cum * 3 >= 2 * total THEN ppl END) AS t2
   FROM cum GROUP BY source
+),
+tris AS (
+  SELECT doc_id,
+         unicode(substr(line, i, 1)) AS l,
+         unicode(substr(line, i + 1, 1)) AS m,
+         unicode(substr(line, i + 2, 1)) AS r
+  FROM (SELECT doc_id, line, unnest(generate_series(1, length(line) - 2)) AS i
+        FROM docs WHERE length(line) >= 3)
+),
+tfeats AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(CAST(l AS VARCHAR) || ',' || CAST(m AS VARCHAR) || ',' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS tb,
+         CAST('0x' || substr(md5(CAST(l AS VARCHAR) || ',' || CAST(m AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS cb,
+         CAST('0x' || substr(md5(CAST(m AS VARCHAR) || ',' || CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS bb,
+         CAST('0x' || substr(md5(CAST(m AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS mb,
+         CAST('0x' || substr(md5(CAST(r AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS rb
+  FROM tris
+),
+tcnt AS (SELECT tb, count(*) AS c_t FROM tfeats GROUP BY tb),
+bcnt_sb AS (SELECT pb AS b, count(*) AS c_b FROM feats GROUP BY pb),
+unis AS (
+  SELECT CAST('0x' || substr(md5(CAST(unicode(substr(line, i, 1)) AS VARCHAR)), 1, 8) AS BIGINT) % {LM_BUCKETS} AS b
+  FROM (SELECT line, unnest(generate_series(1, length(line))) AS i
+        FROM docs WHERE length(line) >= 1)
+),
+ucnt_sb AS (SELECT b, count(*) AS c_u FROM unis GROUP BY b),
+ntot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM unis),
+sbj AS (
+  SELECT f.doc_id,
+         CASE WHEN t.c_t IS NOT NULL THEN ln(t.c_t / ctx.c_b)
+              WHEN bk.c_b IS NOT NULL THEN ln(CAST(0.4 AS DOUBLE) * bk.c_b / m.c_u)
+              ELSE ln(CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE) * r.c_u / ntot.n) END AS s,
+         CASE WHEN t.c_t IS NULL THEN 1.0 ELSE 0.0 END AS bo
+  FROM tfeats f
+  LEFT JOIN (SELECT tb, c_t FROM tcnt WHERE c_t >= 2) t USING (tb)
+  JOIN bcnt_sb ctx ON ctx.b = f.cb
+  LEFT JOIN (SELECT b, c_b FROM bcnt_sb WHERE c_b >= 2) bk ON bk.b = f.bb
+  JOIN ucnt_sb m ON m.b = f.mb
+  JOIN ucnt_sb r ON r.b = f.rb
+  CROSS JOIN ntot
+),
+sb AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+         round(avg(s), 4) AS sb_mean_logprob,
+         round(exp(-avg(s)), 4) AS sb_ppl,
+         round(avg(bo), 4) AS sb_backoff_frac
+  FROM sbj GROUP BY doc_id
 )
 SELECT s.doc_id, s.source, s.n_bigrams, s.mean_logprob, s.ppl,
        CASE WHEN s.ppl <= t.t1 THEN 'head'
             WHEN s.ppl <= t.t2 THEN 'middle'
-            ELSE 'tail' END AS ppl_bucket
+            ELSE 'tail' END AS ppl_bucket,
+       sb.n_trigrams, sb.sb_mean_logprob, sb.sb_ppl, sb.sb_backoff_frac
 FROM scored s JOIN thr t USING (source)
+LEFT JOIN sb ON sb.doc_id = s.doc_id
 """
 
 

@@ -329,6 +329,133 @@ def bigram_logprob(
     )
 
 
+def _adjacent_trigrams(
+    docs: DataFrame, tokens_col: str, carry_cols: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, t struct<l,m,r>) — one row per adjacent token triple;
+    two zip-with-shifted-slice passes, all in codegen (the trigram face
+    of :func:`_adjacent_pairs`)."""
+    t = F.col(tokens_col)
+    s1 = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    s2 = F.slice(t, 3, F.greatest(F.size(t) - 2, F.lit(0)))
+    lm = F.zip_with(t, s1, lambda a, b: F.struct(a.alias("l"), b.alias("m")))
+    tri = F.zip_with(
+        lm,
+        s2,
+        lambda p, c: F.when(
+            c.isNotNull(),
+            F.struct(p["l"].alias("l"), p["m"].alias("m"), c.alias("r")),
+        ),
+    )
+    return docs.select(
+        "doc_id",
+        *(carry_cols or []),
+        F.explode(F.filter(tri, lambda x: x.isNotNull())).alias("t"),
+    )
+
+
+SB_ALPHA = 0.4  # Brants et al. 2007 §4: the fixed backoff penalty
+
+
+def stupid_backoff_logprob(
+    docs: DataFrame,
+    n_buckets: int = 65536,
+    min_count: int = 2,
+    alpha: float = SB_ALPHA,
+    tokens_col: str = "tokens",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Trigram Stupid Backoff LM score per document (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — THE canonical
+    web-scale distributed LM: no normalized probabilities, no held-out
+    smoothing fit, just relative frequencies and a fixed 0.4 penalty per
+    backoff level, designed exactly so the count tables shard/serve at
+    trillions of tokens):
+
+        S(r | l, m) = c(l,m,r) / c(l,m)            if trigram retained
+                    = α · c(m,r) / c(m)            elif bigram retained
+                    = α² · c(r) / N                otherwise
+
+    Hash-LM flavored like :func:`bigram_logprob`: n-grams hash into
+    ``n_buckets`` buckets so every count table is bounded and broadcast.
+    The trigram and bigram tables are PRUNED at ``min_count`` (Brants
+    §3's count-threshold pruning) — that is what makes backoff actually
+    fire when the corpus scores itself (every observed trigram trivially
+    has count ≥ 1; rare ones are the unreliable mass pruning discards).
+    Denominators are raw (unpruned) context counts; hash collisions can
+    push an individual ratio above 1, the standard hashed-count-table
+    artifact (documented on `bigram_logprob` too).
+
+    One broadcast-joined map pass over the trigram stream, then one
+    groupBy(doc_id) — no corpus-scale shuffle on n-gram keys. Output per
+    doc (needs ≥ 3 tokens): ``n_trigrams``, ``sb_mean_logprob`` (mean
+    ln S), ``sb_ppl`` = exp(−mean), and ``sb_backoff_frac`` = fraction
+    of trigram occurrences that backed off below the trigram level — a
+    quality signal in its own right (high = the doc's token transitions
+    are rare corpus-wide).
+    """
+    from .curation import hash_bucket
+
+    carry = list(carry_cols)
+    tris = _adjacent_trigrams(docs, tokens_col, carry_cols=carry).select(
+        "doc_id",
+        *carry,
+        hash_bucket(
+            F.concat_ws(",", F.col("t.l"), F.col("t.m"), F.col("t.r")), n_buckets
+        ).alias("tb"),
+        hash_bucket(F.concat_ws(",", F.col("t.l"), F.col("t.m")), n_buckets).alias("cb"),
+        hash_bucket(F.concat_ws(",", F.col("t.m"), F.col("t.r")), n_buckets).alias("bb"),
+        hash_bucket(F.col("t.m"), n_buckets).alias("mb"),
+        hash_bucket(F.col("t.r"), n_buckets).alias("rb"),
+    )
+    # Bounded count tables (≤ n_buckets rows each): trigram counts from the
+    # trigram stream; bigram + unigram counts from the FULL pair/token
+    # streams (a trigram-stream-derived bigram count would miss each doc's
+    # last pair / last two tokens).
+    tcnt = tris.groupBy("tb").agg(F.count("*").alias("c_t"))
+    pairs_b = _adjacent_pairs(docs, tokens_col).select(
+        hash_bucket(F.concat_ws(",", F.col("p.l"), F.col("p.r")), n_buckets).alias("b")
+    )
+    bcnt = pairs_b.groupBy("b").agg(F.count("*").alias("c_b"))
+    toks = docs.select(F.explode(tokens_col).alias("w")).select(
+        hash_bucket(F.col("w"), n_buckets).alias("b")
+    )
+    ucnt = toks.groupBy("b").agg(F.count("*").alias("c_u"))
+    n_total = toks.count()  # scalar
+
+    tri_kept = tcnt.filter(F.col("c_t") >= min_count)
+    big_kept = bcnt.filter(F.col("c_b") >= min_count).withColumnRenamed("c_b", "c_bk")
+    joined = (
+        tris.join(F.broadcast(tri_kept), "tb", "left")
+        .join(F.broadcast(bcnt.withColumnRenamed("b", "cb").withColumnRenamed("c_b", "c_ctx")), "cb")
+        .join(F.broadcast(big_kept.withColumnRenamed("b", "bb")), "bb", "left")
+        .join(F.broadcast(ucnt.withColumnRenamed("b", "mb").withColumnRenamed("c_u", "c_m")), "mb")
+        .join(F.broadcast(ucnt.withColumnRenamed("b", "rb").withColumnRenamed("c_u", "c_r")), "rb")
+    )
+    score = (
+        F.when(F.col("c_t").isNotNull(), F.log(F.col("c_t") / F.col("c_ctx")))
+        .when(
+            F.col("c_bk").isNotNull(),
+            F.log(F.lit(float(alpha)) * F.col("c_bk") / F.col("c_m")),
+        )
+        .otherwise(F.log(F.lit(float(alpha) ** 2) * F.col("c_r") / F.lit(float(n_total))))
+    )
+    backed_off = F.when(F.col("c_t").isNull(), F.lit(1.0)).otherwise(F.lit(0.0))
+    scored = joined.groupBy("doc_id", *carry).agg(
+        F.count("*").cast("long").alias("n_trigrams"),
+        F.avg(score).alias("_m"),
+        F.avg(backed_off).alias("_bf"),
+    )
+    return scored.select(
+        "doc_id",
+        *carry,
+        "n_trigrams",
+        F.round("_m", 4).alias("sb_mean_logprob"),
+        F.round(F.exp(-F.col("_m")), 4).alias("sb_ppl"),
+        F.round("_bf", 4).alias("sb_backoff_frac"),
+    )
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int = 50,

@@ -427,6 +427,119 @@ class TestBigramLogprob:
         assert plan.count("BroadcastHashJoin") >= 2
 
 
+class TestStupidBackoff:
+    """Trigram Stupid Backoff (Brants et al. 2007) — hashed, pruned."""
+
+    B, MC, AL = 256, 2, 0.4
+
+    def _twin(self, docs):
+        """Sequential textbook implementation over the same hash space."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        def hb(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % self.B
+
+        tcnt, bcnt, ucnt = Counter(), Counter(), Counter()
+        n_total = 0
+        for _, toks in docs:
+            for i in range(len(toks) - 2):
+                tcnt[hb(f"{toks[i]},{toks[i+1]},{toks[i+2]}")] += 1
+            for i in range(len(toks) - 1):
+                bcnt[hb(f"{toks[i]},{toks[i+1]}")] += 1
+            for w in toks:
+                ucnt[hb(str(w))] += 1
+                n_total += 1
+        want = {}
+        for doc_id, toks in docs:
+            if len(toks) < 3:
+                continue
+            ss, backed = [], 0
+            for i in range(len(toks) - 2):
+                tb = hb(f"{toks[i]},{toks[i+1]},{toks[i+2]}")
+                cb = hb(f"{toks[i]},{toks[i+1]}")
+                bb = hb(f"{toks[i+1]},{toks[i+2]}")
+                if tcnt[tb] >= self.MC:
+                    s = math.log(tcnt[tb] / bcnt[cb])
+                else:
+                    backed += 1
+                    if bcnt[bb] >= self.MC:
+                        s = math.log(self.AL * bcnt[bb] / ucnt[hb(str(toks[i + 1]))])
+                    else:
+                        s = math.log(self.AL**2 * ucnt[hb(str(toks[i + 2]))] / n_total)
+                ss.append(s)
+            m = sum(ss) / len(ss)
+            want[doc_id] = (
+                len(ss), round(m, 4), round(math.exp(-m), 4), round(backed / len(ss), 4)
+            )
+        return want
+
+    def test_matches_python_reference(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            stupid_backoff_logprob,
+        )
+
+        docs = [
+            ("a", [1, 2, 3, 1, 2, 3, 1, 2, 3]),   # frequent trigram (1,2,3)
+            ("b", [1, 2, 3, 4, 5, 6]),            # shares (1,2,3), then rare tail
+            ("c", [7, 8]),                        # < 3 tokens → no row
+            ("d", [9, 10, 11, 9, 10, 12]),        # rare trigrams → backs off
+            ("e", [1, 2, 3, 1, 2, 3]),
+        ]
+        df = spark.createDataFrame(
+            [(d, "s", t, len(t)) for d, t in docs],
+            "doc_id string, source string, tokens array<int>, n_tok int",
+        )
+        got = {
+            r["doc_id"]: (
+                r["n_trigrams"], r["sb_mean_logprob"], r["sb_ppl"], r["sb_backoff_frac"]
+            )
+            for r in stupid_backoff_logprob(
+                df, n_buckets=self.B, min_count=self.MC
+            ).collect()
+        }
+        assert got == self._twin(docs)
+
+    def test_backoff_fires_only_on_rare_trigrams(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            stupid_backoff_logprob,
+        )
+
+        docs = [(f"r{i}", "s", [1, 2, 3, 4, 5], 5) for i in range(4)]
+        docs.append(("lone", "s", [50, 60, 70, 80], 4))  # trigrams seen once
+        df = spark.createDataFrame(
+            docs, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+        rows = {
+            r["doc_id"]: r["sb_backoff_frac"]
+            for r in stupid_backoff_logprob(df, n_buckets=4096).collect()
+        }
+        assert rows["r0"] == 0.0        # repeated corpus trigrams retained
+        assert rows["lone"] == 1.0      # pruned → every trigram backs off
+        scores = {
+            r["doc_id"]: r["sb_mean_logprob"]
+            for r in stupid_backoff_logprob(df, n_buckets=4096).collect()
+        }
+        assert scores["r0"] > scores["lone"]
+
+    def test_count_tables_are_broadcast_and_stream_never_shuffles_on_ngrams(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            stupid_backoff_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [("a", "s", [1, 2, 3, 4], 4)],
+            "doc_id string, source string, tokens array<int>, n_tok int",
+        )
+        plan = (
+            stupid_backoff_logprob(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        # 5 lookup joins (tri, ctx-bigram, backoff-bigram, 2× unigram) all broadcast
+        assert plan.count("BroadcastHashJoin") >= 5
+        assert "SortMergeJoin" not in plan
+
+
 class TestTrainBpe:
     """Distributed BPE training must reproduce the textbook sequential
     algorithm exactly: same merge table (greedy most-frequent pair,
