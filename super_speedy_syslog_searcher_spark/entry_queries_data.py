@@ -203,7 +203,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     one driver row (r4 registry consolidation — absorbs the former
     ``embed_dedup_components``): the text n-gram Jaccard graph and the
     embedding cosine near-dup graph, union-tagged by ``graph``.
-    Oracle = the SAME pair SQLs + recursive CTE closures."""
+    UPGRADED with the leakage-safe train/valid/test ``split`` column
+    (``curation.leakage_safe_splits``): assignment hashes the CLUSTER
+    id, so near-duplicates never straddle the train/eval boundary.
+    Oracle = the SAME pair SQLs + recursive CTE closures + the same
+    md5-bucket split CASE."""
+    from .operators.curation import leakage_safe_splits
     from .operators.dedup import connected_components
 
     text_pairs = ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.6, max_df=50)
@@ -220,7 +225,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
-    return text_cc.unionByName(emb_cc)
+    cc = text_cc.unionByName(emb_cc).withColumn(
+        "_ck", F.concat_ws(":", "graph", F.col("cluster_id").cast("string"))
+    )
+    return leakage_safe_splits(cc, cluster_col="_ck").select(
+        "graph", "node_id", "cluster_id", "cluster_size", "split"
+    )
 
 
 SQL_DEDUP_COMPONENTS = f"""
@@ -766,11 +776,17 @@ SELECT 'lsh' AS method, query_id, rank, neighbor_id FROM ({_ann_lsh_oracle_sql()
 """
 
 SQL_DEDUP_COMPONENTS_COMBINED = f"""
-SELECT 'text' AS graph, doc_id AS node_id, cluster_id, cluster_size
-FROM ({SQL_DEDUP_COMPONENTS})
-UNION ALL
-SELECT 'embed' AS graph, vec_id AS node_id, cluster_id, cluster_size
-FROM ({SQL_EMBED_DEDUP_COMPONENTS})
+SELECT graph, node_id, cluster_id, cluster_size,
+       CASE WHEN CAST('0x' || substr(md5('split:' || graph || ':' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 98 THEN 'train'
+            WHEN CAST('0x' || substr(md5('split:' || graph || ':' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 99 THEN 'valid'
+            ELSE 'test' END AS split
+FROM (
+  SELECT 'text' AS graph, doc_id AS node_id, cluster_id, cluster_size
+  FROM ({SQL_DEDUP_COMPONENTS})
+  UNION ALL
+  SELECT 'embed' AS graph, vec_id AS node_id, cluster_id, cluster_size
+  FROM ({SQL_EMBED_DEDUP_COMPONENTS})
+)
 """
 
 QUERIES = {

@@ -121,6 +121,52 @@ def stratified_sample(
     return out.filter(F.col("bucket") < F.col("rate"))
 
 
+def leakage_safe_splits(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    splits: tuple[tuple[str, int], ...] = (("train", 98), ("valid", 1), ("test", 1)),
+    n_buckets: int = 100,
+    salt: str = "split",
+) -> DataFrame:
+    """Cluster-aware train/valid/test split assignment — the
+    leakage-safe split of dedup-aware LLM data prep (the failure it
+    prevents: two near-duplicate documents landing on opposite sides of
+    the train/eval boundary, inflating eval scores; see Lee et al. 2021
+    §6.2 on train/test overlap from duplication).
+
+    The unit of assignment is the DUPLICATE CLUSTER, not the document:
+    every row hashes ``salt || ':' || cluster_col`` into ``n_buckets``
+    md5 buckets (``hash_bucket`` — deterministic, engine-independent)
+    and the bucket maps to a split by cumulative weight. All members of
+    a cluster share the cluster id, hence the bucket, hence the split —
+    near-duplicates can never straddle splits BY CONSTRUCTION, no
+    coordination needed. Callers splitting a full corpus pass each
+    unclustered doc as its own singleton cluster
+    (``coalesce(cluster_id, doc_id)``).
+
+    Map-only (the split decision adds zero shuffles — the same
+    resume-stable discipline as ``stratified_sample``); weights are
+    integers out of ``n_buckets`` so proportions are exact in
+    expectation and auditable per bucket.
+    """
+    total = sum(w for _, w in splits)
+    if total != n_buckets:
+        raise ValueError(f"split weights must sum to n_buckets ({total} != {n_buckets})")
+    b = hash_bucket(
+        F.concat_ws(":", F.lit(salt), F.col(cluster_col).cast("string")), n_buckets
+    )
+    out = df.withColumn("_sb", b)
+    expr = F.lit(splits[-1][0])
+    acc = 0
+    conds = []
+    for name, w in splits[:-1]:
+        acc += w
+        conds.append((acc, name))
+    for acc, name in reversed(conds):
+        expr = F.when(F.col("_sb") < acc, F.lit(name)).otherwise(expr)
+    return out.withColumn("split", expr).drop("_sb")
+
+
 def url_domain_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-domain URL statistics: total URL mentions and distinct docs."""
     urls = df.select(

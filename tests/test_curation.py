@@ -625,3 +625,68 @@ class TestDecontaminateSpans:
         rows = self._run(spark, [("d1", "just a few words")], [("b1", self.W)])
         assert rows["d1"]["clean_text"] == "just a few words"
         assert rows["d1"]["n_masked_words"] == 0
+
+
+class TestLeakageSafeSplits:
+    """Cluster-aware split assignment (curation.leakage_safe_splits)."""
+
+    def _cc(self, spark):
+        # 3 clusters of varying size + singletons (cluster = own id)
+        rows = []
+        for cid, members in [(1, [1, 2, 3]), (10, [10, 11]), (20, [20, 21, 22, 23])]:
+            rows += [(m, cid) for m in members]
+        rows += [(m, m) for m in range(100, 160)]
+        return spark.createDataFrame(rows, "node long, cluster_id long")
+
+    def test_cluster_members_never_straddle_splits(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            leakage_safe_splits,
+        )
+
+        out = leakage_safe_splits(self._cc(spark)).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+        assert all(len(s) == 1 for s in by_cluster.values())
+
+    def test_matches_md5_twin_and_is_deterministic(self, spark):
+        import hashlib
+
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            leakage_safe_splits,
+        )
+
+        def want(cid):
+            b = int(hashlib.md5(f"split:{cid}".encode()).hexdigest()[:8], 16) % 100
+            return "train" if b < 98 else ("valid" if b < 99 else "test")
+
+        df = self._cc(spark)
+        got1 = {r["node"]: r["split"] for r in leakage_safe_splits(df).collect()}
+        got2 = {r["node"]: r["split"] for r in leakage_safe_splits(df).collect()}
+        assert got1 == got2
+        exp = {r["node"]: want(r["cluster_id"]) for r in df.collect()}
+        assert got1 == exp
+        assert set(got1.values()) >= {"train"}  # 98% weight must appear
+
+    def test_weights_must_sum_to_buckets(self, spark):
+        import pytest as _pytest
+
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            leakage_safe_splits,
+        )
+
+        with _pytest.raises(ValueError):
+            leakage_safe_splits(self._cc(spark), splits=(("train", 50), ("test", 1)))
+
+    def test_map_only_no_exchange(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            leakage_safe_splits,
+        )
+
+        plan = (
+            leakage_safe_splits(self._cc(spark))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
