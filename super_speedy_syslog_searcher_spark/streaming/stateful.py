@@ -278,3 +278,76 @@ def dedup_exact_stateful(docs_stream: DataFrame, ttl_ms: int = 0) -> DataFrame:
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+LSH_PAIRS_OUT_SCHEMA = "a string, b string, band int, bucket long"
+LSH_PAIRS_STATE_SCHEMA = "root string"
+
+
+def lsh_pairs_stateful(docs_stream: DataFrame, k: int = 256, bands: int = 64, n: int = 3) -> DataFrame:
+    """Streaming MinHash-LSH near-dup candidate edges — the stream face
+    of ``operators.dedup.lsh_candidate_pairs(pair_mode="star")``.
+
+    A crawl/ingest stream needs duplicate candidates AS DOCS ARRIVE, not
+    after a batch pass; the batch op's bucket self-join cannot see across
+    micro-batches. Here the GROUP KEY IS THE BAND BUCKET ``(band,
+    bucket)`` and the state is ONE row per bucket: the bucket's HUB (the
+    min id of the bucket's first batch). Every later member emits one
+    edge to the hub — the streaming star. State size = distinct occupied
+    buckets (≤ bands × corpus/bucket-occupancy), never a member list and
+    never quadratic in bucket size: the same mega-bucket discipline as
+    the batch star mode.
+
+    Closure equivalence: a star centered on ANY bucket member has the
+    same transitive closure as the bucket's clique, so duplicate
+    clusters via ``connected_components`` over the emitted edges equal
+    the batch all-pairs clusters (asserted in ``tests/test_streaming.py``)
+    — the hub being first-seen-min rather than global-min changes which
+    edges appear, not which clusters form. Edges are normalized a < b;
+    a re-delivered member re-emits its (hub, member) edge — idempotent
+    under the downstream closure. Docs with no n-grams are dropped
+    before banding (same guard as batch: they'd join every bucket).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import gram_hashes_col, make_minhash_bands_udf
+
+    banded = (
+        docs_stream.select(
+            F.col("doc_id").alias("id"), gram_hashes_col("text", n).alias("gh")
+        )
+        .filter(F.size("gh") > 0)
+        .select(
+            "id",
+            F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias(
+                "band", "bucket"
+            ),
+        )
+    )
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        band, bucket = key
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if len(pdf) == 0:
+            return
+        ids = sorted(set(pdf["id"]))
+        if state.exists:
+            (root,) = state.get
+        else:
+            root = ids[0]
+            state.update((root,))
+        edges = [
+            {"a": min(root, m), "b": max(root, m), "band": int(band), "bucket": int(bucket)}
+            for m in ids
+            if m != root
+        ]
+        if edges:
+            yield pd.DataFrame(edges)
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        fn,
+        outputStructType=LSH_PAIRS_OUT_SCHEMA,
+        stateStructType=LSH_PAIRS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -462,3 +462,71 @@ def test_stateful_exact_dedup_ttl_eviction(spark, tmp_path):
     rows = spark.read.parquet(out_dir).collect()
     emitted = sorted(r["doc_id"] for r in rows)
     assert emitted == ["a1", "a2", "b1"]
+
+
+def test_stateful_lsh_pairs_closure_matches_batch(spark, tmp_path):
+    """lsh_pairs_stateful across two micro-batches must produce edges
+    whose transitive closure equals the batch all-pairs LSH closure over
+    the full corpus — including clusters that only connect ACROSS the
+    batch boundary — and a checkpoint restart must not re-emit batch-1
+    edges."""
+    from super_speedy_syslog_searcher_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+    )
+    from super_speedy_syslog_searcher_spark.streaming.stateful import lsh_pairs_stateful
+
+    in_dir = str(tmp_path / "docs_stream")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "edges")
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    variant = base.replace("lazy", "sleepy")
+    other = "completely different content about spark structured streaming state stores here"
+    # cluster 1 straddles the batch boundary: 101/102 in batch 1, 103 in
+    # batch 2 (ids numeric-string: connected_components' convergence
+    # check sums labels)
+    batch1 = [("101", "s", base), ("102", "s", base + " again"),
+              ("201", "s", other), ("301", "s", "short words only few")]
+    batch2 = [("103", "s", variant), ("202", "s", other + " indeed"),
+              ("302", "s", "another singleton text entirely unrelated to anything")]
+    schema = "doc_id string, source string, text string"
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        q = (
+            lsh_pairs_stateful(stream, k=64, bands=16)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once(batch1, "overwrite")
+    n_after_b1 = spark.read.parquet(out_dir).count()
+    run_once(batch2, "append")
+    stream_edges = (
+        spark.read.parquet(out_dir).select("a", "b").distinct()
+    )
+    # restart emitted only NEW edges (batch-2 members against stored hubs)
+    assert stream_edges.count() > 0
+    assert spark.read.parquet(out_dir).count() > n_after_b1
+
+    full = spark.createDataFrame(batch1 + batch2, schema)
+    batch_edges = lsh_candidate_pairs(full, k=64, bands=16)
+
+    def clusters(edges):
+        rows = connected_components(edges).collect()
+        clus = {}
+        for r in rows:
+            clus.setdefault(r["cluster_id"], set()).add(r["node"])
+        return {frozenset(v) for v in clus.values()}
+
+    got, want = clusters(stream_edges), clusters(batch_edges)
+    # same near-dup clusters, including the cross-batch one
+    assert got == want
+    assert any({"101", "102", "103"} <= c for c in want)
