@@ -264,7 +264,17 @@ HAVING count(*) >= {WINNOW_MIN_SHARED}
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return repetition_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+    """Gopher repetition filters + (r4.3) the Gopher QUALITY rules of the
+    same appendix (``curation.gopher_quality_stats``: word-count/word-
+    length bounds, symbol ratio, bullet/ellipsis line fractions, alpha-
+    word fraction, stopword requirement) joined per doc — the full
+    Rae et al. 2021 Table A1 rule set in one driver row."""
+    from .operators.curation import gopher_quality_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    rep = repetition_stats(d)
+    gq = gopher_quality_stats(d).drop("n_words")  # rep already carries n_words
+    return rep.join(gq, "doc_id")
 
 
 SQL_TEXT_REPETITION = """
@@ -304,11 +314,44 @@ fracs AS (
          round(COALESCE(t3s.c * t3s.l, 0) / CAST(n_chars AS DOUBLE), 4) AS top3gram_frac,
          round(COALESCE(d5, 0) / CAST(n_chars AS DOUBLE), 4) AS dup5gram_frac
   FROM per_doc
+),
+rep_out AS (
+  SELECT *,
+         CASE WHEN top2gram_frac <= 0.20 AND top3gram_frac <= 0.18
+                   AND dup5gram_frac <= 0.15 THEN 1 ELSE 0 END AS keep
+  FROM fracs
+),
+gq_base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> length(x) > 0) AS wl,
+         string_split(text, chr(10)) AS ll
+  FROM documents
+),
+gq AS (
+  SELECT doc_id,
+         CASE WHEN len(wl) > 0 THEN round(list_sum(list_transform(wl, x -> length(x))) / CAST(len(wl) AS DOUBLE), 4) END AS mean_word_len,
+         CASE WHEN len(wl) > 0 THEN round(
+           (length(text) - length(replace(text, '#', ''))
+            + CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+            + length(text) - length(replace(text, '…', ''))) / CAST(len(wl) AS DOUBLE), 4) END AS symbol_word_ratio,
+         CASE WHEN len(ll) > 0 THEN round(len(list_filter(ll, l -> substr(l, 1, 1) IN ('•', '‣', '▪', '-', '*'))) / CAST(len(ll) AS DOUBLE), 4) END AS bullet_line_frac,
+         CASE WHEN len(ll) > 0 THEN round(len(list_filter(ll, l -> ends_with(l, '...') OR ends_with(l, '…'))) / CAST(len(ll) AS DOUBLE), 4) END AS ellipsis_line_frac,
+         CASE WHEN len(wl) > 0 THEN round(len(list_filter(wl, w -> regexp_matches(w, '[A-Za-z]'))) / CAST(len(wl) AS DOUBLE), 4) END AS alpha_word_frac,
+         CAST(len(list_intersect(list_distinct(list_transform(wl, w -> lower(w))),
+              ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT) AS stop_hits,
+         CAST(len(wl) AS BIGINT) AS gq_n_words
+  FROM gq_base
 )
-SELECT *,
-       CASE WHEN top2gram_frac <= 0.20 AND top3gram_frac <= 0.18
-                 AND dup5gram_frac <= 0.15 THEN 1 ELSE 0 END AS keep
-FROM fracs
+SELECT r.*, g.mean_word_len, g.symbol_word_ratio, g.bullet_line_frac,
+       g.ellipsis_line_frac, g.alpha_word_frac, g.stop_hits,
+       CASE WHEN g.gq_n_words >= 50 AND g.gq_n_words <= 100000
+                 AND g.mean_word_len >= 3.0 AND g.mean_word_len <= 10.0
+                 AND g.symbol_word_ratio <= 0.1
+                 AND g.bullet_line_frac <= 0.9
+                 AND g.ellipsis_line_frac <= 0.3
+                 AND g.alpha_word_frac >= 0.8
+                 AND g.stop_hits >= 2 THEN 1 ELSE 0 END AS gopher_pass
+FROM rep_out r JOIN gq g USING (doc_id)
 """
 
 # ---------------------------------------------------------------------------

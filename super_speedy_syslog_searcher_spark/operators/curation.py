@@ -706,3 +706,95 @@ def decontaminate_spans(
         F.size(F.filter(masked, lambda w: w == mask)).cast("long").alias("n_masked_words"),
         F.size("ws").cast("long").alias("n_words"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_BULLET_CHARS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_quality_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher quality-rule stats + keep flag (Rae et al. 2021, Table A1)
+    — the companion to :func:`repetition_stats` (which carries the
+    repetition rules of the same appendix): word-count bounds, mean word
+    length bounds, symbol-to-word ratio (``#`` and ellipses), fractions
+    of bullet-led and ellipsis-terminated lines, fraction of words with
+    an alphabetic character, and the ≥2-stopwords requirement.
+
+    Pure Column expressions end to end — higher-order array functions
+    over the word/line splits, no UDF, no shuffle (map-only; the
+    per-doc stats need no aggregate because each doc is one row). Every
+    count stays integer until the final division and every regex sits in
+    the Java∩RE2 subset, so the DuckDB twin reproduces each value
+    bit-for-bit (module-head discipline).
+
+    Ratios are NULL for empty docs (0 words / 0 lines) and the keep flag
+    is then false — mirrored by the twin's NULL propagation.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(text, " "), lambda x: F.length(x) > 0)
+    lines = F.split(text, "\n")
+    n_words = F.size(words).cast("long")
+    sum_wlen = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ell3 = (
+        (F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))) / F.lit(3)
+    ).cast("long")
+    n_ellu = F.length(text) - F.length(F.replace(text, F.lit("…"), F.lit("")))
+    n_symbols = (n_hash + n_ell3 + n_ellu).cast("long")
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(lines, lambda l: l.substr(1, 1).isin(*_BULLET_CHARS))
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+
+    def ratio(num, den):
+        return F.round(F.when(den > 0, num / den), 4)
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        ratio(sum_wlen, n_words).alias("mean_word_len"),
+        ratio(n_symbols, n_words).alias("symbol_word_ratio"),
+        ratio(n_bullet, n_lines).alias("bullet_line_frac"),
+        ratio(n_ell_lines, n_lines).alias("ellipsis_line_frac"),
+        ratio(n_alpha, n_words).alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn(
+        "gopher_pass", F.when(F.coalesce(keep, F.lit(False)), 1).otherwise(0)
+    )

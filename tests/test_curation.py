@@ -690,3 +690,73 @@ class TestLeakageSafeSplits:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestGopherQualityStats:
+    """Gopher quality rules (Rae et al. 2021, Table A1)."""
+
+    def _run(self, spark, docs):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            gopher_quality_stats,
+        )
+
+        df = spark.createDataFrame(docs, "doc_id string, text string")
+        return {r["doc_id"]: r.asDict() for r in gopher_quality_stats(df).collect()}
+
+    def test_values_match_python_twin(self, spark):
+        import re
+
+        good = " ".join(
+            ["the quick brown fox jumps over and that have with lazy dog today"] * 5
+        )
+        docs = [
+            ("good", good),
+            ("bullets", "\n".join(["- item one here"] * 9 + ["closing line words"])),
+            ("symbols", "word " * 20 + "# # # # # ... … rest"),
+            ("empty", ""),
+            ("noalpha", "123 456 789 000 111"),
+            ("ellipsis", "first line...\nsecond…\nthird stays here"),
+        ]
+        got = self._run(spark, docs)
+        stop = {"the", "be", "to", "of", "and", "that", "have", "with"}
+        for doc_id, text in docs:
+            words = [w for w in text.split(" ") if w]
+            lines = text.split("\n")
+            nw, nl = len(words), len(lines)
+            r = got[doc_id]
+            assert r["n_words"] == nw
+            if nw:
+                assert r["mean_word_len"] == round(sum(map(len, words)) / nw, 4)
+                n_sym = (
+                    text.count("#")
+                    + (len(text) - len(text.replace("...", ""))) // 3
+                    + text.count("…")
+                )
+                assert r["symbol_word_ratio"] == round(n_sym / nw, 4)
+                assert r["alpha_word_frac"] == round(
+                    sum(1 for w in words if re.search("[A-Za-z]", w)) / nw, 4
+                )
+            else:
+                assert r["mean_word_len"] is None
+            assert r["bullet_line_frac"] == round(
+                sum(1 for l in lines if l[:1] in tuple("•‣▪-*")) / nl, 4
+            )
+            assert r["ellipsis_line_frac"] == round(
+                sum(1 for l in lines if l.endswith("...") or l.endswith("…")) / nl, 4
+            )
+            assert r["stop_hits"] == len(stop & {w.lower() for w in words})
+        assert got["good"]["gopher_pass"] == 1
+        assert {d: got[d]["gopher_pass"] for d in
+                ("bullets", "symbols", "empty", "noalpha")} == dict.fromkeys(
+                    ("bullets", "symbols", "empty", "noalpha"), 0)
+
+    def test_map_only_no_python_no_exchange(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            gopher_quality_stats,
+        )
+
+        df = spark.createDataFrame([("a", "x y z")], "doc_id string, text string")
+        plan = (
+            gopher_quality_stats(df)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan and "Python" not in plan
