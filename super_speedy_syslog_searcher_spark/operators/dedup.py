@@ -568,3 +568,82 @@ def duplicate_substring_spans(
         )
         .select("doc_id", "span_start", "span_end", "dup_words")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental LSH dedup against a persisted band index (crawl-delta shape)
+# ---------------------------------------------------------------------------
+
+
+def lsh_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 256,
+    bands: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """The persistable LSH index of a corpus: ``(id, band, bucket)`` — 64
+    narrow rows per doc, the SAME banded table ``lsh_candidate_pairs``
+    builds internally.  Write it once (parquet/Iceberg, partitioned by
+    ``band``), then dedup each future crawl delta against it with
+    :func:`lsh_pairs_against_index` instead of re-banding the
+    ever-growing corpus — the production shape for continuous ingestion
+    (the batch twin of ``streaming.stateful.lsh_pairs_stateful``, whose
+    state store is exactly this index keyed by bucket)."""
+    hashed = df.select(
+        F.col(id_col).alias("id"), gram_hashes_col(text_col, n).alias("gh")
+    ).filter(F.size("gh") > 0)
+    return hashed.select(
+        "id",
+        F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias(
+            "band", "bucket"
+        ),
+    )
+
+
+def lsh_pairs_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 256,
+    bands: int = 64,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH candidates for a corpus DELTA: returns
+    ``(pairs, new_index)`` where ``pairs`` are edges (a < b) between new
+    docs and EITHER indexed docs or other new docs sharing a band
+    bucket, and ``new_index`` is the delta's band table — append it to
+    the stored index (`unionByName` / Iceberg append) to absorb the
+    delta for the next increment.
+
+    Closure property: running deltas D1, D2, ... through this and
+    accumulating edges yields the same duplicate clusters as one batch
+    ``lsh_candidate_pairs`` over the full corpus — every cross-delta
+    duplicate pair shares all its band buckets regardless of arrival
+    order, so at least one bucket join emits an edge (asserted in
+    ``tests/test_dataops.py``).
+
+    Scale shape: the join is keyed on (band, bucket) — the stored index
+    never re-bands and, bucketed/partitioned by band, only matching
+    buckets are read; the delta side is typically tiny relative to the
+    index (AQE broadcasts it when it fits). The index grows by
+    |delta|·bands rows per increment, never rewritten.
+    """
+    new_index = lsh_band_index(new_docs, id_col, text_col, k=k, bands=bands, n=n)
+    new_index = new_index.localCheckpoint(eager=False)  # band UDF runs once
+    old = index.select(F.col("id").alias("b"), "band", "bucket")
+    nw = new_index.select(F.col("id").alias("a"), "band", "bucket")
+    cross = (
+        nw.join(old, ["band", "bucket"])
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+    )
+    nb = new_index.select(F.col("id").alias("b"), "band", "bucket")
+    within = (
+        nw.join(nb, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    return cross.unionByName(within).distinct(), new_index

@@ -926,3 +926,71 @@ class TestDecontaminateEmbeddings:
             .toString()
         )
         assert "Exchange" not in plan  # the corpus never shuffles
+
+
+class TestIncrementalLshIndex:
+    """lsh_band_index + lsh_pairs_against_index (crawl-delta dedup)."""
+
+    BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+    OTHER = "completely different content about spark structured streaming state stores"
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_incremental_closure_equals_full_batch(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import (
+            connected_components,
+            lsh_band_index,
+            lsh_candidate_pairs,
+            lsh_pairs_against_index,
+        )
+
+        d1 = [("101", self.BASE), ("102", self.BASE + " again"), ("201", self.OTHER)]
+        d2 = [("103", self.BASE.replace("lazy", "sleepy")),
+              ("202", self.OTHER + " indeed"),
+              ("301", "a fully unrelated singleton text goes right here")]
+        d3 = [("104", self.BASE + " once more"), ("302", "another loner entirely")]
+
+        index = lsh_band_index(self._docs(spark, d1), k=64, bands=16)
+        all_edges = None
+        for delta in (d2, d3):
+            pairs, new_idx = lsh_pairs_against_index(
+                self._docs(spark, delta), index, k=64, bands=16
+            )
+            all_edges = pairs if all_edges is None else all_edges.unionByName(pairs)
+            index = index.unionByName(new_idx)
+
+        # delta-1 internal pairs come from the initial index build
+        first = lsh_candidate_pairs(self._docs(spark, d1), k=64, bands=16)
+        got_edges = all_edges.unionByName(first).distinct()
+
+        full = lsh_candidate_pairs(self._docs(spark, d1 + d2 + d3), k=64, bands=16)
+
+        def clusters(edges):
+            out = {}
+            for r in connected_components(edges).collect():
+                out.setdefault(r["cluster_id"], set()).add(r["node"])
+            return {frozenset(v) for v in out.values()}
+
+        got, want = clusters(got_edges), clusters(full)
+        assert got == want
+        assert any({"101", "102", "103", "104"} <= c for c in want)
+
+    def test_index_rows_are_narrow_and_banded(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import lsh_band_index
+
+        idx = lsh_band_index(self._docs(spark, [("1", self.BASE)]), k=64, bands=16)
+        assert idx.columns == ["id", "band", "bucket"]
+        assert idx.count() == 16  # bands rows per doc
+
+    def test_gramless_new_docs_are_skipped(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import (
+            lsh_band_index,
+            lsh_pairs_against_index,
+        )
+
+        index = lsh_band_index(self._docs(spark, [("1", self.BASE)]), k=64, bands=16)
+        pairs, new_idx = lsh_pairs_against_index(
+            self._docs(spark, [("2", "two words")]), index, k=64, bands=16
+        )
+        assert pairs.count() == 0 and new_idx.count() == 0
