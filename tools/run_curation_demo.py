@@ -6,10 +6,15 @@ Usage: spark-submit tools/run_curation_demo.py [--sf-dir DIR] [--out DIR]
 
 Stages (each prints a funnel row: docs in → docs out):
   1. quality gate        quality_stats keep=1 ∧ Gopher repetition keep=1
+                         ∧ Gopher quality rules pass (corpus-tuned
+                         thresholds: min_words=20, min_stop_hits=1)
   2. dedup               exact + MinHash-LSH pairs → connected components
                          → keep each cluster's min id
+  2b. leakage-safe split cluster-keyed train/valid/test; train continues
   3. decontaminate       drop docs sharing an 8-gram with a small
                          synthetic "benchmark" set
+  3b. LM filter          trigram Stupid Backoff ppl per doc → drop the
+                         per-language tail third (CCNet slice selection)
   4. mixture sample      sample_to_mixture to per-source token targets
                          (exact integer thresholds)
   5. shuffle             global_shuffle — deterministic training order
@@ -32,7 +37,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
-from super_speedy_syslog_searcher_spark.operators.curation import decontaminate, repetition_stats
+from super_speedy_syslog_searcher_spark.operators.curation import (
+    decontaminate,
+    gopher_quality_stats,
+    leakage_safe_splits,
+    repetition_stats,
+)
 from super_speedy_syslog_searcher_spark.operators.dedup import (
     connected_components,
     minhash_lsh_dedup_pairs,
@@ -42,7 +52,9 @@ from super_speedy_syslog_searcher_spark.operators.tokens import (
     assemble_sequences,
     global_shuffle,
     mixture_sample_stats,
+    perplexity_buckets,
     sample_to_mixture,
+    stupid_backoff_logprob,
 )
 from super_speedy_syslog_searcher_spark.session import get_spark
 
@@ -64,7 +76,16 @@ def main() -> None:
     # 1. quality gate: map-only column pipelines, one semi-join each
     q_keep = quality_stats(docs).filter(F.col("keep") == 1).select("doc_id")
     g_keep = repetition_stats(docs).filter(F.col("keep") == 1).select("doc_id")
-    docs = docs.join(q_keep, "doc_id", "left_semi").join(g_keep, "doc_id", "left_semi")
+    gq_keep = (
+        gopher_quality_stats(docs, min_words=20, min_stop_hits=1)
+        .filter(F.col("gopher_pass") == 1)
+        .select("doc_id")
+    )
+    docs = (
+        docs.join(q_keep, "doc_id", "left_semi")
+        .join(g_keep, "doc_id", "left_semi")
+        .join(gq_keep, "doc_id", "left_semi")
+    )
     funnel.append(("quality+gopher", docs.count()))
 
     # 2. dedup: LSH candidate pairs (subsumes exact dups) → closure →
@@ -76,6 +97,19 @@ def main() -> None:
     )
     docs = docs.join(losers, "doc_id", "left_anti")
     funnel.append(("dedup", docs.count()))
+
+    # 2b. leakage-safe split: the split key is the duplicate CLUSTER
+    #     (unclustered docs are their own singleton cluster), so
+    #     near-duplicates can never straddle the train/eval boundary
+    labels = clusters.select(F.col("node").alias("doc_id"), "cluster_id")
+    with_ck = docs.join(labels, "doc_id", "left").withColumn(
+        "_ck", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    split_docs = leakage_safe_splits(with_ck, cluster_col="_ck")
+    print("== leakage-safe split (cluster-keyed) ==")
+    split_docs.groupBy("split").count().orderBy("split").show(truncate=False)
+    docs = split_docs.filter(F.col("split") == "train").drop("_ck", "cluster_id", "split")
+    funnel.append(("train-split", docs.count()))
 
     # 3. decontaminate against a synthetic benchmark: the first 5 docs'
     #    first 40 words stand in for eval prompts (so hits are real)
@@ -100,6 +134,14 @@ def main() -> None:
         F.col("lang").alias("source"),  # mix/pack per language stream
         encode_text_udf("text").alias("tokens"),
     ).withColumn("n_tok", F.size("tokens"))
+    # 3b. LM filter: trigram Stupid Backoff perplexity per doc, then the
+    #     CCNet slice selection per language stream — keep head + middle
+    sb = stupid_backoff_logprob(tok, carry_cols=("source",))
+    bucketed = perplexity_buckets(sb, stratum_col="source", value_col="sb_ppl")
+    lm_keep = bucketed.filter(F.col("ppl_bucket") != "tail").select("doc_id")
+    tok = tok.join(lm_keep, "doc_id", "left_semi")
+    funnel.append(("lm-filtered", tok.count()))
+
     stats = mixture_sample_stats(tok, MIX_PPM)
     sampled = sample_to_mixture(tok, MIX_PPM)
     funnel.append(("mixture-sampled", sampled.count()))
