@@ -153,6 +153,39 @@ def main() -> None:
             "id-keyed (AQE turns it into a broadcast when contamination "
             "is rare).",
         ),
+        (
+            "Trigram Stupid Backoff LM score (5 broadcast count-table lookups)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.tokens",
+                fromlist=["stupid_backoff_logprob"],
+            ).stupid_backoff_logprob(docs),
+            "The trigram stream is pure zip_with/explode Column algebra; "
+            "its five count lookups (pruned trigram, context bigram, "
+            "pruned backoff bigram, two unigram aliases) are ALL "
+            "BroadcastHashJoins over hash-bucket-bounded tables, so the "
+            "corpus never shuffles on an n-gram key — the only wide "
+            "exchanges are the bounded bucket aggregates and the final "
+            "per-doc mean.",
+        ),
+        (
+            "Incremental LSH dedup (crawl delta vs persisted band index)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.dedup",
+                fromlist=["lsh_band_index", "lsh_pairs_against_index"],
+            ).lsh_pairs_against_index(
+                documents,
+                __import__(
+                    "super_speedy_syslog_searcher_spark.operators.dedup",
+                    fromlist=["lsh_band_index"],
+                ).lsh_band_index(documents.limit(50)),
+            )[0],
+            "The delta is banded ONCE (single ArrowEvalPython, "
+            "localCheckpoint shared by both join legs) and joined against "
+            "the stored index on (band, bucket) — the index is an "
+            "append-only narrow table that is never re-banded; with a "
+            "band-partitioned layout only matching buckets are read, and "
+            "AQE broadcasts the (typically tiny) delta side.",
+        ),
     ]
     out = ["# PLANS — physical plans of the headline operators\n",
            f"Generated by `python tools/dump_plans.py` at sf0.001.\n"]
