@@ -142,6 +142,16 @@ def run_bench(spark, sf_dir: str) -> dict:
 
         pack_sequences(docs, max_len=512).count()
 
+    # q9: trigram Stupid Backoff LM scoring (r4.3) — the corpus trigram
+    # stream against five broadcast count tables; measures the pure
+    # Column n-gram algebra + broadcast-lookup path at corpus scale
+    def q_sb():
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            stupid_backoff_logprob,
+        )
+
+        stupid_backoff_logprob(docs).count()
+
     # e2e runs first and pays whole-write-path JIT on its first rep;
     # 3 runs so the reported min is steady-state even in a window with
     # one throttling spike
@@ -155,6 +165,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("dedup_substring", q_substring)
     timed("ann_cosine_topk", q_ann)
     timed("tokens_pack", q_pack)
+    timed("tokens_stupid_backoff", q_sb)
 
     e2e = timings["e2e_parse_enrich_route_agg"]
     return {

@@ -647,3 +647,59 @@ def lsh_pairs_against_index(
         .select("a", "b")
     )
     return cross.unionByName(within).distinct(), new_index
+
+
+def dedup_report(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    weight_col: str | None = "n_tok",
+) -> DataFrame:
+    """Per-source dedup telemetry — the operational report every
+    production dedup run emits before anyone agrees to drop data:
+
+    ``(source, n_docs, n_dup_docs, n_clusters, n_dropped_docs,
+    dup_doc_frac, dropped_weight_frac)``
+
+    where a *dup doc* belongs to any duplicate cluster, a *dropped doc*
+    is a non-keeper (``node != cluster_id``), and
+    ``dropped_weight_frac`` weights drops by ``weight_col`` (tokens —
+    the number that actually matters for a training-token budget; pass
+    ``None`` to count docs). ``n_clusters`` counts clusters whose
+    KEEPER lives in this source (clusters spanning sources are counted
+    once, at the keeper's source).
+
+    Scale shape: one broadcast-or-SMJ join of the (id, cluster) table
+    onto docs keyed on the id, then a single per-source aggregate with
+    map-side partials — no window, no collect beyond the |sources|-row
+    result. The reference's analogue is the per-file summary counters
+    (--summary, /root/reference/src/bin/s4.rs summary printing) applied
+    to the dedup decision surface.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    lab = components.select(
+        F.col("node").alias(id_col),
+        F.col("cluster_id").alias("_cl"),
+    )
+    joined = docs.select(
+        F.col(id_col), F.col(source_col).alias("source"), w.alias("_w")
+    ).join(lab, id_col, "left")
+    is_dup = F.col("_cl").isNotNull()
+    is_drop = is_dup & (F.col(id_col) != F.col("_cl"))
+    is_keeper_of_cluster = is_dup & (F.col(id_col) == F.col("_cl"))
+    agg = joined.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(is_dup.cast("long")).alias("n_dup_docs"),
+        F.sum(is_keeper_of_cluster.cast("long")).alias("n_clusters"),
+        F.sum(is_drop.cast("long")).alias("n_dropped_docs"),
+        F.sum("_w").cast("long").alias("_w_total"),
+        F.sum(F.when(is_drop, F.col("_w")).otherwise(F.lit(0))).cast("long").alias("_w_drop"),
+    )
+    return agg.select(
+        "source", "n_docs", "n_dup_docs", "n_clusters", "n_dropped_docs",
+        F.round(F.col("n_dup_docs") / F.col("n_docs"), 4).alias("dup_doc_frac"),
+        F.round(
+            F.when(F.col("_w_total") > 0, F.col("_w_drop") / F.col("_w_total")), 4
+        ).alias("dropped_weight_frac"),
+    )

@@ -994,3 +994,38 @@ class TestIncrementalLshIndex:
             self._docs(spark, [("2", "two words")]), index, k=64, bands=16
         )
         assert pairs.count() == 0 and new_idx.count() == 0
+
+
+class TestDedupReport:
+    def test_report_values(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import dedup_report
+
+        docs = spark.createDataFrame(
+            [("1", "a", 10), ("2", "a", 20), ("3", "a", 30),
+             ("4", "b", 40), ("5", "b", 50)],
+            "doc_id string, source string, n_tok int",
+        )
+        # cluster {1,2,4} keeper 1 (source a); 3 and 5 unclustered
+        comps = spark.createDataFrame(
+            [("1", "1"), ("2", "1"), ("4", "1")], "node string, cluster_id string"
+        )
+        rows = {r["source"]: r.asDict() for r in dedup_report(docs, comps).collect()}
+        a, b = rows["a"], rows["b"]
+        assert (a["n_docs"], a["n_dup_docs"], a["n_clusters"], a["n_dropped_docs"]) == (3, 2, 1, 1)
+        assert a["dup_doc_frac"] == round(2 / 3, 4)
+        assert a["dropped_weight_frac"] == round(20 / 60, 4)   # doc 2 dropped
+        assert (b["n_docs"], b["n_dup_docs"], b["n_clusters"], b["n_dropped_docs"]) == (2, 1, 0, 1)
+        assert b["dropped_weight_frac"] == round(40 / 90, 4)   # doc 4 dropped
+
+    def test_doc_counting_mode_and_no_window(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.dedup import dedup_report
+
+        docs = spark.createDataFrame(
+            [("1", "a", 1), ("2", "a", 1)], "doc_id string, source string, n_tok int"
+        )
+        comps = spark.createDataFrame([("2", "2")], "node string, cluster_id string")
+        out = dedup_report(docs, comps, weight_col=None)
+        r = {x["source"]: x.asDict() for x in out.collect()}["a"]
+        assert r["n_dropped_docs"] == 0 and r["n_clusters"] == 1
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
