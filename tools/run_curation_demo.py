@@ -45,6 +45,7 @@ from super_speedy_syslog_searcher_spark.operators.curation import (
 )
 from super_speedy_syslog_searcher_spark.operators.dedup import (
     connected_components,
+    dedup_report,
     minhash_lsh_dedup_pairs,
 )
 from super_speedy_syslog_searcher_spark.operators.textstats import quality_stats
@@ -95,6 +96,10 @@ def main() -> None:
     losers = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("doc_id")
     )
+    print("== dedup telemetry (per source-language) ==")
+    dedup_report(
+        docs.withColumn("n_tok", F.length("text")), clusters, source_col="lang"
+    ).orderBy("source").show(truncate=False)
     docs = docs.join(losers, "doc_id", "left_anti")
     funnel.append(("dedup", docs.count()))
 
