@@ -393,6 +393,15 @@ def stupid_backoff_logprob(
     of trigram occurrences that backed off below the trigram level — a
     quality signal in its own right (high = the doc's token transitions
     are rare corpus-wide).
+
+    Scan shape: ALL THREE count tables (and the total-token scalar) come
+    from ONE corpus scan — uni/bi/trigram streams are tagged into a
+    single explode (the ``repetition_stats`` pattern) and one
+    (kind, bucket) aggregate, collected driver-side (bounded:
+    ≤ 3·n_buckets rows) and re-emitted as literal broadcast tables.
+    Separate per-table aggregates would each re-scan the corpus inside
+    the broadcast exchanges — 4 extra full scans at 100 TB. The probe
+    trigram stream is the only other scan: 2 total.
     """
     from .curation import hash_bucket
 
@@ -408,29 +417,60 @@ def stupid_backoff_logprob(
         hash_bucket(F.col("t.m"), n_buckets).alias("mb"),
         hash_bucket(F.col("t.r"), n_buckets).alias("rb"),
     )
-    # Bounded count tables (≤ n_buckets rows each): trigram counts from the
-    # trigram stream; bigram + unigram counts from the FULL pair/token
-    # streams (a trigram-stream-derived bigram count would miss each doc's
-    # last pair / last two tokens).
-    tcnt = tris.groupBy("tb").agg(F.count("*").alias("c_t"))
-    pairs_b = _adjacent_pairs(docs, tokens_col).select(
-        hash_bucket(F.concat_ws(",", F.col("p.l"), F.col("p.r")), n_buckets).alias("b")
+    # ONE tagged n-gram stream → one aggregate for every count table.
+    # Bigram/unigram counts use the FULL pair/token streams (a
+    # trigram-stream-derived bigram count would miss each doc's last
+    # pair / last two tokens), which the per-order slices preserve.
+    t = F.col(tokens_col)
+    s1 = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    s2 = F.slice(t, 3, F.greatest(F.size(t) - 2, F.lit(0)))
+    k1 = F.transform(t, lambda a: F.struct(F.lit(1).alias("kind"), a.cast("string").alias("key")))
+    k2 = F.zip_with(
+        t, s1,
+        lambda a, b: F.when(
+            b.isNotNull(),
+            F.struct(F.lit(2).alias("kind"), F.concat_ws(",", a, b).alias("key")),
+        ),
     )
-    bcnt = pairs_b.groupBy("b").agg(F.count("*").alias("c_b"))
-    toks = docs.select(F.explode(tokens_col).alias("w")).select(
-        hash_bucket(F.col("w"), n_buckets).alias("b")
+    lm = F.zip_with(t, s1, lambda a, b: F.struct(a.alias("l"), b.alias("m")))
+    k3 = F.zip_with(
+        lm, s2,
+        lambda p, c: F.when(
+            c.isNotNull(),
+            F.struct(
+                F.lit(3).alias("kind"),
+                F.concat_ws(",", p["l"], p["m"], c).alias("key"),
+            ),
+        ),
     )
-    ucnt = toks.groupBy("b").agg(F.count("*").alias("c_u"))
-    n_total = toks.count()  # scalar
+    tagged = docs.select(
+        F.explode(
+            F.filter(F.concat(k1, k2, k3), lambda x: x.isNotNull())
+        ).alias("g")
+    ).select(F.col("g.kind").alias("kind"), hash_bucket(F.col("g.key"), n_buckets).alias("b"))
+    rows = tagged.groupBy("kind", "b").agg(F.count("*").alias("c")).collect()
+    spark = docs.sparkSession
+    n_total = sum(r["c"] for r in rows if r["kind"] == 1)
 
-    tri_kept = tcnt.filter(F.col("c_t") >= min_count)
-    big_kept = bcnt.filter(F.col("c_b") >= min_count).withColumnRenamed("c_b", "c_bk")
+    def table(kind: int, cols: str, keep=None):
+        data = [(r["b"], r["c"]) for r in rows if r["kind"] == kind and (keep is None or keep(r["c"]))]
+        return spark.createDataFrame(data, cols) if data else spark.createDataFrame([], cols)
+
+    tri_kept = table(3, "tb long, c_t long", keep=lambda c: c >= min_count)
+    big_all = [(r["b"], r["c"]) for r in rows if r["kind"] == 2]
+    ctx_tbl = spark.createDataFrame(big_all or [], "cb long, c_ctx long")
+    big_kept = spark.createDataFrame(
+        [(b, c) for b, c in big_all if c >= min_count] or [], "bb long, c_bk long"
+    )
+    uni_all = [(r["b"], r["c"]) for r in rows if r["kind"] == 1]
+    uni_m = spark.createDataFrame(uni_all or [], "mb long, c_m long")
+    uni_r = spark.createDataFrame(uni_all or [], "rb long, c_r long")
     joined = (
         tris.join(F.broadcast(tri_kept), "tb", "left")
-        .join(F.broadcast(bcnt.withColumnRenamed("b", "cb").withColumnRenamed("c_b", "c_ctx")), "cb")
-        .join(F.broadcast(big_kept.withColumnRenamed("b", "bb")), "bb", "left")
-        .join(F.broadcast(ucnt.withColumnRenamed("b", "mb").withColumnRenamed("c_u", "c_m")), "mb")
-        .join(F.broadcast(ucnt.withColumnRenamed("b", "rb").withColumnRenamed("c_u", "c_r")), "rb")
+        .join(F.broadcast(ctx_tbl), "cb")
+        .join(F.broadcast(big_kept), "bb", "left")
+        .join(F.broadcast(uni_m), "mb")
+        .join(F.broadcast(uni_r), "rb")
     )
     score = (
         F.when(F.col("c_t").isNotNull(), F.log(F.col("c_t") / F.col("c_ctx")))
