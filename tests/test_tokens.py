@@ -523,6 +523,31 @@ class TestStupidBackoff:
         }
         assert scores["r0"] > scores["lone"]
 
+    def test_fast_hash_same_shape_and_semantics(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            stupid_backoff_logprob,
+        )
+
+        docs = [(f"r{i}", "s", [1, 2, 3, 4, 5], 5) for i in range(4)]
+        docs.append(("lone", "s", [50, 60, 70, 80], 4))
+        df = spark.createDataFrame(
+            docs, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+        slow = stupid_backoff_logprob(df, n_buckets=4096)
+        fast = stupid_backoff_logprob(df, n_buckets=4096, fast_hash=True)
+        assert fast.schema == slow.schema
+        rows_f = {r["doc_id"]: r for r in fast.collect()}
+        rows_s = {r["doc_id"]: r for r in slow.collect()}
+        assert set(rows_f) == set(rows_s)
+        # structural stats are hash-independent; only bucket ids moved
+        for d in rows_f:
+            assert rows_f[d]["n_trigrams"] == rows_s[d]["n_trigrams"]
+        # semantics survive the hash swap: repeated trigrams retained,
+        # singletons pruned -> full backoff
+        assert rows_f["r0"]["sb_backoff_frac"] == 0.0
+        assert rows_f["lone"]["sb_backoff_frac"] == 1.0
+        assert rows_f["r0"]["sb_mean_logprob"] > rows_f["lone"]["sb_mean_logprob"]
+
     def test_count_tables_are_broadcast_and_stream_never_shuffles_on_ngrams(self, spark):
         from super_speedy_syslog_searcher_spark.operators.tokens import (
             stupid_backoff_logprob,
