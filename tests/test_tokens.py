@@ -523,6 +523,16 @@ class TestStupidBackoff:
         }
         assert scores["r0"] > scores["lone"]
 
+    def test_degenerate_inputs(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            stupid_backoff_logprob,
+        )
+
+        schema = "doc_id string, source string, tokens array<int>, n_tok int"
+        assert stupid_backoff_logprob(spark.createDataFrame([], schema)).count() == 0
+        short = spark.createDataFrame([("a", "s", [1, 2], 2)], schema)
+        assert stupid_backoff_logprob(short).count() == 0  # < 3 tokens
+
     def test_fast_hash_same_shape_and_semantics(self, spark):
         from super_speedy_syslog_searcher_spark.operators.tokens import (
             stupid_backoff_logprob,
