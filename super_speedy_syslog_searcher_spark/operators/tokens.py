@@ -136,7 +136,9 @@ def pack_sequences(
     )
 
 
-def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
+def assemble_sequences(
+    docs: DataFrame, max_len: int = 512, mask_spans: DataFrame | None = None
+) -> DataFrame:
     """Materialize the packed sequences: ``(source, seq_id, tokens, n_tok,
     n_docs, doc_starts)`` with tokens = the max_len-token training row
     (final sequence of each source may be shorter). One shuffle on
@@ -148,8 +150,28 @@ def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
     position-id reset needs so packed neighbors don't attend across
     document boundaries. A sequence that begins mid-document has no 0
     entry (the carry-in is a continuation, not a start).
+
+    ``mask_spans`` (optional): a ``(doc_id, beg, end)`` table of
+    half-open token-offset intervals to EXCLUDE from the training loss
+    (contaminated spans from ``curation.decontaminate_spans`` mapped to
+    token offsets, scrubbed-PII spans, FIM sentinels...). The output
+    then carries ``loss_mask`` — an int array aligned 1:1 with
+    ``tokens`` (1 = train, 0 = masked) — and ``n_masked``: the standard
+    packed-trainer contract where dropping the span would change every
+    neighbor's position but masking keeps the stream layout stable.
+    Spans are grouped per doc (bounded by spans-per-doc, a handful in
+    practice) and joined onto the doc row BEFORE chunking, so masking
+    adds one id-keyed broadcast-or-SMJ join and pure array algebra — the
+    packing's shuffle structure is unchanged; overlapping spans union.
     """
     started = _with_stream_start(docs.filter(F.col("n_tok") > 0))
+    if mask_spans is not None:
+        sp = mask_spans.groupBy("doc_id").agg(
+            F.collect_list(
+                F.struct(F.col("beg").cast("long").alias("beg"), F.col("end").cast("long").alias("end"))
+            ).alias("_spans")
+        )
+        started = started.join(sp, "doc_id", "left")
     first_seq = F.floor(F.col("start") / max_len)
     last_seq = F.floor((F.col("start") + F.col("n_tok") - 1) / max_len)
     chunks = started.select(
@@ -157,35 +179,64 @@ def assemble_sequences(docs: DataFrame, max_len: int = 512) -> DataFrame:
         "tokens",
         "n_tok",
         "start",
+        *(["_spans"] if mask_spans is not None else []),
         F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
     )
     g0 = F.greatest(F.col("start"), F.col("seq_id") * max_len)
     g1 = F.least(F.col("start") + F.col("n_tok"), (F.col("seq_id") + 1) * max_len)
-    piece = F.struct(
+    fields = [
         (g0 - F.col("seq_id") * max_len).cast("int").alias("seq_off"),
         F.slice(
             "tokens", (g0 - F.col("start") + 1).cast("int"), (g1 - g0).cast("int")
         ).alias("part"),
         (g0 == F.col("start")).alias("is_start"),
-    )
-    return (
+    ]
+    if mask_spans is not None:
+        # doc-coordinate positions of this chunk -> 0 where any span covers
+        fields.append(
+            F.transform(
+                F.sequence(g0 - F.col("start"), g1 - F.col("start") - 1),
+                lambda pos: F.when(
+                    F.exists(
+                        F.coalesce(
+                            F.col("_spans"),
+                            F.array().cast("array<struct<beg:bigint,end:bigint>>"),
+                        ),
+                        lambda sx: (pos >= sx["beg"]) & (pos < sx["end"]),
+                    ),
+                    F.lit(0),
+                ).otherwise(F.lit(1)),
+            ).alias("mask")
+        )
+    piece = F.struct(*fields)
+    out_cols = [
+        "source",
+        "seq_id",
+        F.flatten(F.transform("_ps", lambda s: s["part"])).alias("tokens"),
+        "n_docs",
+        F.transform(
+            F.filter("_ps", lambda s: s["is_start"]), lambda s: s["seq_off"]
+        ).alias("doc_starts"),
+    ]
+    if mask_spans is not None:
+        out_cols.append(
+            F.flatten(F.transform("_ps", lambda s: s["mask"])).alias("loss_mask")
+        )
+    out = (
         chunks.select("source", "seq_id", piece.alias("p"))
         .groupBy("source", "seq_id")
         .agg(
             F.array_sort(F.collect_list("p")).alias("_ps"),
             F.count("*").alias("n_docs"),
         )
-        .select(
-            "source",
-            "seq_id",
-            F.flatten(F.transform("_ps", lambda s: s["part"])).alias("tokens"),
-            "n_docs",
-            F.transform(
-                F.filter("_ps", lambda s: s["is_start"]), lambda s: s["seq_off"]
-            ).alias("doc_starts"),
-        )
+        .select(*out_cols)
         .withColumn("n_tok", F.size("tokens"))
     )
+    if mask_spans is not None:
+        out = out.withColumn(
+            "n_masked", F.size(F.filter("loss_mask", lambda m: m == 0))
+        )
+    return out
 
 
 def mixture_weights(docs: DataFrame, targets: dict[str, float]) -> DataFrame:

@@ -1093,3 +1093,53 @@ class TestBestfitPacking:
 
         df = self._docs(spark, [])
         assert pack_sequences_bestfit(df, max_len=64).count() == 0
+
+
+class TestAssembleWithLossMask:
+    """assemble_sequences(mask_spans=...) — packed loss-mask contract."""
+
+    def _spans(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id string, beg int, end int")
+
+    def test_mask_aligns_with_doc_positions_across_boundaries(self, spark):
+        # stream s1: a1 [0,7) a2 [7,15) a3 [15,41) a4 [41,42); max_len 10
+        spec = [
+            ("a1", "s1", list(range(0, 7))),
+            ("a2", "s1", list(range(100, 108))),
+            ("a3", "s1", list(range(200, 226))),
+            ("a4", "s1", [5]),
+        ]
+        df = _mk_docs(spark, spec)
+        # a2 tokens [2,6) masked -> global stream [9,13): straddles seq 0/1
+        # a3 tokens [0,3) masked -> global [15,18) inside seq 1
+        spans = self._spans(spark, [("a2", 2, 6), ("a3", 0, 3)])
+        got = {
+            r["seq_id"]: r
+            for r in assemble_sequences(df, max_len=10, mask_spans=spans).collect()
+        }
+        toks = {d: t for d, _, t in spec}
+        stream = [t for d in ("a1", "a2", "a3", "a4") for t in toks[d]]
+        masked_global = set(range(9, 13)) | set(range(15, 18))
+        for sid, r in got.items():
+            base = sid * 10
+            assert list(r["tokens"]) == stream[base : base + 10]
+            assert len(r["loss_mask"]) == r["n_tok"]
+            want = [0 if base + i in masked_global else 1 for i in range(r["n_tok"])]
+            assert list(r["loss_mask"]) == want, sid
+            assert r["n_masked"] == want.count(0)
+
+    def test_overlapping_spans_union_and_unspanned_docs_all_ones(self, spark):
+        spec = [("d1", "s", list(range(10))), ("d2", "s", list(range(50, 58)))]
+        df = _mk_docs(spark, spec)
+        spans = self._spans(spark, [("d1", 2, 6), ("d1", 4, 8)])
+        rows = assemble_sequences(df, max_len=100, mask_spans=spans).collect()
+        assert len(rows) == 1
+        m = list(rows[0]["loss_mask"])
+        assert m == [1, 1, 0, 0, 0, 0, 0, 0, 1, 1] + [1] * 8
+        assert rows[0]["n_masked"] == 6
+
+    def test_without_spans_output_unchanged(self, spark):
+        spec = [("d1", "s", list(range(10)))]
+        df = _mk_docs(spark, spec)
+        cols = assemble_sequences(df, max_len=4).columns
+        assert "loss_mask" not in cols and "n_masked" not in cols
