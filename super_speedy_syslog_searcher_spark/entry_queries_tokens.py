@@ -96,11 +96,22 @@ def q_tokens_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     comma-joined token values (the driver comparator hashes scalar cells
     only) — full token-array equality, the strongest form of the
     north_rule invariant."""
+    from .operators.curation import hash_bucket
     from .operators.tokens import assemble_sequences
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = assemble_sequences(rendered_docs(spark, sf_dir), max_len=PACK_MAX_LEN)
+    docs = rendered_docs(spark, sf_dir)
+    # r4.3: loss-mask contract under the gate — every ~5th doc (md5-
+    # derived, engine-independent) carries a masked token span [2, 9);
+    # the twin recomputes the same spans and mask arrays from scratch
+    spans = (
+        docs.select("doc_id")
+        .filter(hash_bucket(F.concat(F.lit("span:"), F.col("doc_id")), 5) == 0)
+        .select("doc_id", F.lit(2).alias("beg"), F.lit(9).alias("end"))
+    )
+    out = assemble_sequences(docs, max_len=PACK_MAX_LEN, mask_spans=spans)
     joined = F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
+    mask_joined = F.concat_ws(",", F.transform("loss_mask", lambda m: m.cast("string")))
     return out.select(
         "source",
         F.col("seq_id").cast("bigint").alias("seq_id"),
@@ -112,6 +123,8 @@ def q_tokens_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(",", F.transform("doc_starts", lambda s: s.cast("string"))).alias(
             "doc_starts"
         ),
+        F.md5(mask_joined).alias("loss_mask_md5"),
+        F.col("n_masked").cast("bigint").alias("n_masked"),
     )
 
 
@@ -123,12 +136,18 @@ parts AS (
          (g0 = start) AS is_start,
          list_transform(generate_series(CAST(g0 - start + 1 AS INT),
                                         CAST(g1 - start AS INT)),
-                        i -> unicode(substr(line, i, 1))) AS part
+                        i -> unicode(substr(line, i, 1))) AS part,
+         list_transform(generate_series(CAST(g0 - start AS INT),
+                                        CAST(g1 - start - 1 AS INT)),
+                        p -> CASE WHEN CAST('0x' || substr(md5('span:' || doc_id), 1, 8) AS BIGINT) % 5 = 0
+                                       AND p >= 2 AND p < 9
+                                  THEN 0 ELSE 1 END) AS mask
   FROM bounds
 ),
 asm AS (
   SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
          flatten(list(part ORDER BY seq_off)) AS tokens,
+         flatten(list(mask ORDER BY seq_off)) AS lm,
          CAST(count(*) AS BIGINT) AS n_docs,
          COALESCE(array_to_string(list(seq_off ORDER BY seq_off) FILTER (WHERE is_start), ','), '')
            AS doc_starts
@@ -138,7 +157,9 @@ SELECT source, seq_id,
        md5(array_to_string(tokens, ',')) AS tokens_md5,
        CAST(len(tokens) AS BIGINT) AS n_tok,
        n_docs,
-       doc_starts
+       doc_starts,
+       md5(array_to_string(lm, ',')) AS loss_mask_md5,
+       CAST(len(list_filter(lm, m -> m = 0)) AS BIGINT) AS n_masked
 FROM asm
 """
 
