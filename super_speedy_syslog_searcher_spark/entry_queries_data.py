@@ -204,10 +204,14 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``embed_dedup_components``): the text n-gram Jaccard graph and the
     embedding cosine near-dup graph, union-tagged by ``graph``.
     UPGRADED with the leakage-safe train/valid/test ``split`` column
-    (``curation.leakage_safe_splits``): assignment hashes the CLUSTER
-    id, so near-duplicates never straddle the train/eval boundary.
-    Oracle = the SAME pair SQLs + recursive CTE closures + the same
-    md5-bucket split CASE."""
+    (``curation.leakage_safe_splits``): the split key is the cluster of
+    the UNION graph (text edges ∪ embed edges → one closure), so a
+    document gets ONE split label that is leakage-safe under BOTH
+    similarity definitions — per-graph keys would let the same doc (or
+    two near-duplicates) carry conflicting labels across the two graph
+    views (review r4.3). Oracle = the SAME pair SQLs + recursive CTE
+    closures, plus a third recursive closure over the unioned pairs for
+    the split, with the same md5-bucket CASE."""
     from .operators.curation import leakage_safe_splits
     from .operators.dedup import connected_components
 
@@ -225,10 +229,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
-    cc = text_cc.unionByName(emb_cc).withColumn(
-        "_ck", F.concat_ws(":", "graph", F.col("cluster_id").cast("string"))
+    upairs = (
+        text_pairs.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+        .unionByName(
+            emb_pairs.select(F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b"))
+        )
     )
-    return leakage_safe_splits(cc, cluster_col="_ck").select(
+    usplit = leakage_safe_splits(
+        connected_components(upairs).select(
+            F.col("node").cast("long").alias("node_id"), F.col("cluster_id").alias("_ucl")
+        ),
+        cluster_col="_ucl",
+    ).select("node_id", "split")
+    cc = text_cc.unionByName(emb_cc)
+    return cc.join(usplit, "node_id").select(
         "graph", "node_id", "cluster_id", "cluster_size", "split"
     )
 
@@ -776,17 +790,38 @@ SELECT 'lsh' AS method, query_id, rank, neighbor_id FROM ({_ann_lsh_oracle_sql()
 """
 
 SQL_DEDUP_COMPONENTS_COMBINED = f"""
-SELECT graph, node_id, cluster_id, cluster_size,
-       CASE WHEN CAST('0x' || substr(md5('split:' || graph || ':' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 98 THEN 'train'
-            WHEN CAST('0x' || substr(md5('split:' || graph || ':' || CAST(cluster_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 99 THEN 'valid'
-            ELSE 'test' END AS split
+SELECT g.graph, g.node_id, g.cluster_id, g.cluster_size, u.split
 FROM (
   SELECT 'text' AS graph, doc_id AS node_id, cluster_id, cluster_size
   FROM ({SQL_DEDUP_COMPONENTS})
   UNION ALL
   SELECT 'embed' AS graph, vec_id AS node_id, cluster_id, cluster_size
   FROM ({SQL_EMBED_DEDUP_COMPONENTS})
-)
+) g
+JOIN (
+  WITH RECURSIVE upairs AS (
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM ({_SQL_JACCARD_BODY})
+    UNION
+    SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b FROM ({SQL_EMBED_COSINE_DUP})
+  ),
+  uedges AS (
+    SELECT a AS src, b AS dst FROM upairs
+    UNION
+    SELECT b AS src, a AS dst FROM upairs
+  ),
+  unodes AS (SELECT DISTINCT src AS node FROM uedges),
+  ureach(node, r) AS (
+    SELECT node, node FROM unodes
+    UNION
+    SELECT e.src, ureach.r FROM uedges e JOIN ureach ON ureach.node = e.dst
+  ),
+  ulabels AS (SELECT node, min(r) AS ucl FROM ureach GROUP BY node)
+  SELECT node AS node_id,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(ucl AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 98 THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:' || CAST(ucl AS VARCHAR)), 1, 8) AS BIGINT) % 100 < 99 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM ulabels
+) u ON u.node_id = g.node_id
 """
 
 QUERIES = {

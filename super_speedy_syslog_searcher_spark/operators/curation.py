@@ -127,6 +127,7 @@ def leakage_safe_splits(
     splits: tuple[tuple[str, int], ...] = (("train", 98), ("valid", 1), ("test", 1)),
     n_buckets: int = 100,
     salt: str = "split",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Cluster-aware train/valid/test split assignment — the
     leakage-safe split of dedup-aware LLM data prep (the failure it
@@ -148,13 +149,30 @@ def leakage_safe_splits(
     resume-stable discipline as ``stratified_sample``); weights are
     integers out of ``n_buckets`` so proportions are exact in
     expectation and auditable per bucket.
+
+    NULL cluster keys: pass ``id_col`` to make each NULL-cluster row its
+    own singleton cluster (``coalesce(cluster_col, id_col)`` built in —
+    the raw docs⟕components left-join works as-is). Without ``id_col``
+    a NULL key raises at execution time rather than silently hashing
+    every unclustered row into the single ``md5('<salt>:')`` bucket
+    (``concat_ws`` drops NULLs — review r4.3).
     """
     total = sum(w for _, w in splits)
     if total != n_buckets:
         raise ValueError(f"split weights must sum to n_buckets ({total} != {n_buckets})")
-    b = hash_bucket(
-        F.concat_ws(":", F.lit(salt), F.col(cluster_col).cast("string")), n_buckets
-    )
+    key = F.col(cluster_col).cast("string")
+    if id_col is not None:
+        key = F.coalesce(key, F.col(id_col).cast("string"))
+    key = F.when(
+        key.isNull(),
+        F.raise_error(
+            F.lit(
+                f"leakage_safe_splits: NULL cluster key in {cluster_col!r} — "
+                "pass id_col for a singleton-cluster fallback"
+            )
+        ).cast("string"),
+    ).otherwise(key)
+    b = hash_bucket(F.concat_ws(":", F.lit(salt), key), n_buckets)
     out = df.withColumn("_sb", b)
     expr = F.lit(splits[-1][0])
     acc = 0

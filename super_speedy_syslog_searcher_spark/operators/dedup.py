@@ -232,18 +232,10 @@ def lsh_candidate_pairs(
       100-TB shape for UNVERIFIED LSH dedup (candidates → closure →
       keep min per cluster), the standard web-dedup pipeline.
     """
-    # docs with no n-grams (fewer than n words) would all share the
-    # all-zero signature and therefore EVERY band bucket — at corpus
-    # scale that is a quadratic candidate blowup among short docs, for
-    # pairs the exact-Jaccard verify would discard anyway. Drop them
-    # before banding.
-    hashed = df.select(
-        F.col(id_col).alias("id"), gram_hashes_col(text_col, n).alias("gh")
-    ).filter(F.size("gh") > 0)
-    banded = hashed.select(
-        "id",
-        F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias("band", "bucket"),
-    )
+    # single banding definition for batch/stream/index faces (r4.3
+    # review: three copies risked silent signature drift) — includes the
+    # gram-less-doc guard; see lsh_band_index for why it matters
+    banded = lsh_band_index(df, id_col, text_col, k=k, bands=bands, n=n)
     if pair_mode == "star":
         # roots via groupBy (NOT a window): a web-scale mega-bucket under
         # Window.partitionBy(band, bucket) is ONE window partition = one
@@ -591,6 +583,11 @@ def lsh_band_index(
     ever-growing corpus — the production shape for continuous ingestion
     (the batch twin of ``streaming.stateful.lsh_pairs_stateful``, whose
     state store is exactly this index keyed by bucket)."""
+    # docs with no n-grams (fewer than n words) would all share the
+    # all-zero signature and therefore EVERY band bucket — at corpus
+    # scale that is a quadratic candidate blowup among short docs. Drop
+    # them before banding (batch, stream, and index faces all inherit
+    # this guard from here).
     hashed = df.select(
         F.col(id_col).alias("id"), gram_hashes_col(text_col, n).alias("gh")
     ).filter(F.size("gh") > 0)

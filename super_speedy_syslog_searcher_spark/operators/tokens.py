@@ -319,7 +319,7 @@ def _adjacent_pairs(
     """(doc_id, p struct<l,r>) — one row per adjacent token pair; the
     zip-with-shifted-slice build keeps everything in codegen."""
     t = F.col(tokens_col)
-    shifted = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
+    shifted = _shifted(t, 1)
     pairs = F.zip_with(
         t, shifted, lambda a, b: F.when(b.isNotNull(), F.struct(a.alias("l"), b.alias("r")))
     )
@@ -380,6 +380,13 @@ def bigram_logprob(
     )
 
 
+def _shifted(t, by: int):
+    """tokens[by:] as a codegen slice — the shared shift for the
+    pair/trigram windows (one definition so the count streams and probe
+    streams can never drift off each other's gram boundaries)."""
+    return F.slice(t, by + 1, F.greatest(F.size(t) - by, F.lit(0)))
+
+
 def _adjacent_trigrams(
     docs: DataFrame, tokens_col: str, carry_cols: list[str] | None = None
 ) -> DataFrame:
@@ -387,8 +394,8 @@ def _adjacent_trigrams(
     two zip-with-shifted-slice passes, all in codegen (the trigram face
     of :func:`_adjacent_pairs`)."""
     t = F.col(tokens_col)
-    s1 = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
-    s2 = F.slice(t, 3, F.greatest(F.size(t) - 2, F.lit(0)))
+    s1 = _shifted(t, 1)
+    s2 = _shifted(t, 2)
     lm = F.zip_with(t, s1, lambda a, b: F.struct(a.alias("l"), b.alias("m")))
     tri = F.zip_with(
         lm,
@@ -486,8 +493,8 @@ def stupid_backoff_logprob(
     # trigram-stream-derived bigram count would miss each doc's last
     # pair / last two tokens), which the per-order slices preserve.
     t = F.col(tokens_col)
-    s1 = F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0)))
-    s2 = F.slice(t, 3, F.greatest(F.size(t) - 2, F.lit(0)))
+    s1 = _shifted(t, 1)
+    s2 = _shifted(t, 2)
     k1 = F.transform(t, lambda a: F.struct(F.lit(1).alias("kind"), a.cast("string").alias("key")))
     k2 = F.zip_with(
         t, s1,

@@ -308,22 +308,9 @@ def lsh_pairs_stateful(docs_stream: DataFrame, k: int = 256, bands: int = 64, n:
     under the downstream closure. Docs with no n-grams are dropped
     before banding (same guard as batch: they'd join every bucket).
     """
-    from pyspark.sql import functions as F
+    from ..operators.dedup import lsh_band_index
 
-    from ..operators.dedup import gram_hashes_col, make_minhash_bands_udf
-
-    banded = (
-        docs_stream.select(
-            F.col("doc_id").alias("id"), gram_hashes_col("text", n).alias("gh")
-        )
-        .filter(F.size("gh") > 0)
-        .select(
-            "id",
-            F.posexplode(make_minhash_bands_udf(k=k, bands=bands)(F.col("gh"))).alias(
-                "band", "bucket"
-            ),
-        )
-    )
+    banded = lsh_band_index(docs_stream, "doc_id", "text", k=k, bands=bands, n=n)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
         band, bucket = key

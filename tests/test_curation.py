@@ -691,6 +691,40 @@ class TestLeakageSafeSplits:
         )
         assert "Exchange" not in plan
 
+    def test_null_cluster_key_raises_without_id_col(self, spark):
+        import pytest as _pytest
+
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            leakage_safe_splits,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, 7)], "node long, cluster_id long"
+        )
+        with _pytest.raises(Exception, match="NULL cluster key"):
+            leakage_safe_splits(df).collect()
+
+    def test_id_col_fallback_makes_singletons(self, spark):
+        import hashlib
+
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            leakage_safe_splits,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, 7), (3, None)], "node long, cluster_id long"
+        )
+        got = {
+            r["node"]: r["split"]
+            for r in leakage_safe_splits(df, id_col="node").collect()
+        }
+
+        def want(key):
+            b = int(hashlib.md5(f"split:{key}".encode()).hexdigest()[:8], 16) % 100
+            return "train" if b < 98 else ("valid" if b < 99 else "test")
+
+        assert got == {1: want(1), 2: want(7), 3: want(3)}
+
 
 class TestGopherQualityStats:
     """Gopher quality rules (Rae et al. 2021, Table A1)."""

@@ -17,9 +17,14 @@ from super_speedy_syslog_searcher_spark import entry_queries_curation as EQC
 from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
 from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
 from super_speedy_syslog_searcher_spark.operators.enrich import enrich
-from super_speedy_syslog_searcher_spark.operators.dedup import lsh_candidate_pairs, simhash_pairs
+from super_speedy_syslog_searcher_spark.operators.dedup import (
+    lsh_band_index,
+    lsh_candidate_pairs,
+    lsh_pairs_against_index,
+    simhash_pairs,
+)
 from super_speedy_syslog_searcher_spark.operators.merge import global_sort, with_source_order
-from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences
+from super_speedy_syslog_searcher_spark.operators.tokens import pack_sequences, stupid_backoff_logprob, bigram_logprob
 from super_speedy_syslog_searcher_spark.session import get_spark
 
 SF = "/root/testdata/sf0.001"
@@ -123,9 +128,7 @@ def main() -> None:
         ),
         (
             "Hashed bigram-LM quality score (bounded count tables broadcast)",
-            __import__(
-                "super_speedy_syslog_searcher_spark.operators.tokens", fromlist=["bigram_logprob"]
-            ).bigram_logprob(docs),
+            bigram_logprob(docs),
             "Both count tables are keyed on FIXED hash buckets, so they "
             "broadcast at any corpus size and the pair stream map-joins "
             "them without shuffling; the only wide exchanges are the "
@@ -155,10 +158,7 @@ def main() -> None:
         ),
         (
             "Trigram Stupid Backoff LM score (5 broadcast count-table lookups)",
-            __import__(
-                "super_speedy_syslog_searcher_spark.operators.tokens",
-                fromlist=["stupid_backoff_logprob"],
-            ).stupid_backoff_logprob(docs),
+            stupid_backoff_logprob(docs),
             "The trigram stream is pure zip_with/explode Column algebra; "
             "its five count lookups (pruned trigram, context bigram, "
             "pruned backoff bigram, two unigram aliases) are ALL "
@@ -169,16 +169,7 @@ def main() -> None:
         ),
         (
             "Incremental LSH dedup (crawl delta vs persisted band index)",
-            __import__(
-                "super_speedy_syslog_searcher_spark.operators.dedup",
-                fromlist=["lsh_band_index", "lsh_pairs_against_index"],
-            ).lsh_pairs_against_index(
-                documents,
-                __import__(
-                    "super_speedy_syslog_searcher_spark.operators.dedup",
-                    fromlist=["lsh_band_index"],
-                ).lsh_band_index(documents.limit(50)),
-            )[0],
+            lsh_pairs_against_index(documents, lsh_band_index(documents.limit(50)))[0],
             "The delta is banded ONCE (single ArrowEvalPython, "
             "localCheckpoint shared by both join legs) and joined against "
             "the stored index on (band, bucket) — the index is an "

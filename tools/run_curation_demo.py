@@ -107,13 +107,11 @@ def main() -> None:
     #     (unclustered docs are their own singleton cluster), so
     #     near-duplicates can never straddle the train/eval boundary
     labels = clusters.select(F.col("node").alias("doc_id"), "cluster_id")
-    with_ck = docs.join(labels, "doc_id", "left").withColumn(
-        "_ck", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
-    )
-    split_docs = leakage_safe_splits(with_ck, cluster_col="_ck")
+    with_cl = docs.join(labels, "doc_id", "left")
+    split_docs = leakage_safe_splits(with_cl, cluster_col="cluster_id", id_col="doc_id")
     print("== leakage-safe split (cluster-keyed) ==")
     split_docs.groupBy("split").count().orderBy("split").show(truncate=False)
-    docs = split_docs.filter(F.col("split") == "train").drop("_ck", "cluster_id", "split")
+    docs = split_docs.filter(F.col("split") == "train").drop("cluster_id", "split")
     funnel.append(("train-split", docs.count()))
 
     # 3. decontaminate against a synthetic benchmark: the first 5 docs'
