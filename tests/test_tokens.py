@@ -1143,3 +1143,65 @@ class TestAssembleWithLossMask:
         df = _mk_docs(spark, spec)
         cols = assemble_sequences(df, max_len=4).columns
         assert "loss_mask" not in cols and "n_masked" not in cols
+
+
+class TestLossMaskProperty:
+    """Property test: assemble_sequences(mask_spans=...) vs a sequential
+    python packer over randomized corpora, spans included degenerate
+    (empty, out-of-range, overlapping)."""
+
+    def test_random_corpora_match_python_packer(self, spark):
+        import random
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            assemble_sequences,
+        )
+
+        for seed in range(6):
+            rng = random.Random(seed)
+            max_len = rng.choice([4, 7, 10])
+            docs, spans = [], []
+            for i in range(rng.randint(3, 10)):
+                src = f"s{rng.randint(0, 1)}"
+                n = rng.randint(0, 3 * max_len)
+                toks = [rng.randint(0, 500) for _ in range(n)]
+                did = f"d{i:04d}"
+                docs.append((did, src, toks, n))
+                for _ in range(rng.randint(0, 2)):
+                    beg = rng.randint(0, n + 2)
+                    end = rng.randint(beg, beg + max_len)
+                    spans.append((did, beg, end))
+            df = spark.createDataFrame(
+                docs, "doc_id string, source string, tokens array<int>, n_tok int"
+            )
+            sp = spark.createDataFrame(spans or [("none", 0, 0)],
+                                       "doc_id string, beg int, end int")
+            got = {
+                (r["source"], r["seq_id"]): (
+                    list(r["tokens"]), list(r["loss_mask"]), list(r["doc_starts"])
+                )
+                for r in assemble_sequences(df, max_len=max_len, mask_spans=sp).collect()
+            }
+
+            # python reference packer
+            want = {}
+            by_src = {}
+            for did, src, toks, n in sorted(docs):
+                if n > 0:
+                    by_src.setdefault(src, []).append((did, toks))
+            for src, items in by_src.items():
+                stream, mask, starts = [], [], []
+                for did, toks in items:
+                    masked = set()
+                    for sd, b, e in spans:
+                        if sd == did:
+                            masked |= set(range(b, min(e, len(toks))))
+                    starts.append(len(stream))
+                    stream.extend(toks)
+                    mask.extend(0 if p in masked else 1 for p in range(len(toks)))
+                for sid in range((len(stream) + max_len - 1) // max_len):
+                    lo = sid * max_len
+                    hi = min(lo + max_len, len(stream))
+                    ds = sorted(s - lo for s in starts if lo <= s < hi)
+                    want[(src, sid)] = (stream[lo:hi], mask[lo:hi], ds)
+            assert got == want, f"seed={seed}"
