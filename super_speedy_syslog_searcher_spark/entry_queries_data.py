@@ -215,14 +215,20 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.curation import leakage_safe_splits
     from .operators.dedup import connected_components
 
-    text_pairs = ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.6, max_df=50)
+    # each pair generator feeds TWO closures (its own graph + the union
+    # split graph) — materialize once so jaccard/cosine don't run twice
+    text_pairs = ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), threshold=0.6, max_df=50
+    ).localCheckpoint(eager=False)
     text_cc = connected_components(text_pairs).select(
         F.lit("text").alias("graph"),
         F.col("node").cast("long").alias("node_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
-    emb_pairs = cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99)
+    emb_pairs = cosine_dup_pairs(_embs2(spark, sf_dir), threshold=0.99).localCheckpoint(
+        eager=False
+    )
     emb_cc = connected_components(emb_pairs).select(
         F.lit("embed").alias("graph"),
         F.col("node").cast("long").alias("node_id"),
