@@ -1218,3 +1218,63 @@ def pack_sequences_bestfit(
         (F.col("bin_base") + ((off - rem) / F.col("k"))).cast("long").alias("bin_id"),
         (F.col("slot_base") + rem * F.col("length")).cast("int").alias("bin_off"),
     )
+
+
+def replicate_for_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    n_buckets: int = 1_000_000,
+    id_col: str = "doc_id",
+    max_rate: float = 16.0,
+) -> DataFrame:
+    """Deterministic UPSAMPLING to a target mixture — the epochs>1 face
+    of :func:`sample_to_mixture` (which only downsamples at max
+    retention): low-resource sources in multilingual / temperature-
+    sampled training runs repeat their documents across effective epochs
+    (Xue et al. 2021 mT5 §3.1's α-sampling repeats low-resource data).
+
+    ``rates[source] = r`` (docs per source kept ``r`` times on average):
+    every doc emits ``floor(r)`` copies, plus one more iff
+    md5-bucket(doc_id) < round(frac(r)·n_buckets) — the same exact
+    integer boundary discipline as ``sample_to_mixture``, so re-runs and
+    either engine agree on every fractional-copy decision. Copies carry
+    ``epoch`` (0-based) and a suffixed doc id (``doc#e<epoch>``, stable
+    input for the deterministic ``global_shuffle`` so repeats interleave
+    rather than cluster). Sources absent from ``rates`` pass through as
+    epoch 0 with rate 1.
+
+    Scale shape: one broadcast of the |sources|-row rate table, then a
+    map-side ``explode(sequence(0, n_copies-1))`` — no shuffle; output
+    volume is exactly Σ n_docs_s·r_s. ``max_rate`` guards a typo'd rate
+    from exploding the corpus (raise, not silently emit 1000 epochs).
+    """
+    for s, r in rates.items():
+        if r < 0 or r > max_rate:
+            raise ValueError(f"rate for {s!r} out of [0, {max_rate}]: {r}")
+    from .curation import hash_bucket
+
+    spark = docs.sparkSession
+    rows = [
+        (s, int(r), int(round((r - int(r)) * n_buckets))) for s, r in sorted(rates.items())
+    ]
+    rate_df = spark.createDataFrame(rows, "source string, whole int, frac_buckets long")
+    joined = docs.join(F.broadcast(rate_df), "source", "left").withColumn(
+        "_n",
+        F.when(
+            F.col("whole").isNull(), F.lit(1)  # untargeted source: 1 copy
+        ).otherwise(
+            F.col("whole")
+            + F.when(
+                hash_bucket(F.col(id_col), n_buckets) < F.col("frac_buckets"), 1
+            ).otherwise(0)
+        ),
+    )
+    return (
+        joined.filter(F.col("_n") > 0)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("whole", "frac_buckets", "_n")
+        .withColumn(
+            id_col,
+            F.concat(F.col(id_col), F.lit("#e"), F.col("epoch").cast("string")),
+        )
+    )

@@ -1205,3 +1205,65 @@ class TestLossMaskProperty:
                     ds = sorted(s - lo for s in starts if lo <= s < hi)
                     want[(src, sid)] = (stream[lo:hi], mask[lo:hi], ds)
             assert got == want, f"seed={seed}"
+
+
+class TestReplicateForMixture:
+    def _docs(self, spark, n_per_src):
+        rows = [
+            (f"{s}{i:03d}", s, [1, 2, 3], 3)
+            for s, n in n_per_src.items()
+            for i in range(n)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id string, source string, tokens array<int>, n_tok int"
+        )
+
+    def test_copy_counts_match_python_twin(self, spark):
+        import hashlib
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            replicate_for_mixture,
+        )
+
+        NB = 1000
+        rates = {"lo": 2.5, "mid": 1.0, "zero": 0.4}
+        df = self._docs(spark, {"lo": 40, "mid": 10, "zero": 20, "other": 5})
+        out = replicate_for_mixture(df, rates, n_buckets=NB).collect()
+
+        def bucket(d):
+            return int(hashlib.md5(d.encode()).hexdigest()[:8], 16) % NB
+
+        want = {}
+        for r in df.collect():
+            d, s = r["doc_id"], r["source"]
+            if s in rates:
+                rt = rates[s]
+                n = int(rt) + (1 if bucket(d) < round((rt - int(rt)) * NB) else 0)
+            else:
+                n = 1
+            for e in range(n):
+                want[f"{d}#e{e}"] = (s, e)
+        got = {r["doc_id"]: (r["source"], r["epoch"]) for r in out}
+        assert got == want
+        # statistical sanity: 'lo' upsampled 2-3x, 'zero' heavily downsampled
+        n_lo = sum(1 for k in got if k.startswith("lo"))
+        assert 80 <= n_lo <= 120
+        assert sum(1 for k in got if k.startswith("other")) == 5
+
+    def test_rate_guard_and_no_shuffle(self, spark):
+        import pytest as _pytest
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            replicate_for_mixture,
+        )
+
+        df = self._docs(spark, {"a": 2})
+        with _pytest.raises(ValueError):
+            replicate_for_mixture(df, {"a": 100.0})
+        plan = (
+            replicate_for_mixture(df, {"a": 1.5})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange hashpartitioning" not in plan
