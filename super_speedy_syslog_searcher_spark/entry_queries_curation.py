@@ -20,14 +20,22 @@ from pyspark.sql import functions as F
 from .entry_queries import _SQL_LINE_EXPR, _line_expr
 from .entry_queries_data import SQL_DOCS2, _docs, _docs2
 from .operators.curation import (
+    CONTROL_RE,
     EMAIL_RE,
+    HSPACE_RE,
+    HTML_BLOCK_RE,
+    HTML_DROP_RES,
+    HTML_ENTITIES,
+    HTML_TAG_RE,
     IPV4_RE,
     PHONE_RE,
     URL_DOMAIN_RE,
     decontaminate,
     drop_boilerplate_lines,
     dsir_weights,
+    extract_html_text,
     length_quantiles,
+    normalize_text,
     pii_scrub,
     repetition_stats,
     stratified_sample,
@@ -63,9 +71,34 @@ def _seed_pii(d: DataFrame) -> DataFrame:
     )
 
 
+# decomposed / control / NBSP seeds for the normalize_text leg of the
+# row — the SAME Python strings are interpolated into the SQL twin, so
+# both engines see identical codepoints (NFC must compose them).
+UNICODE_SEEDS = {
+    4: " cafe\u0301 latte",  # e + combining acute -> caf\xe9
+    6: " A\u030angstro\u0308m",  # ring/diaeresis -> \xc5ngstr\xf6m
+    9: " x\u00a0y  z",  # NBSP + space run collapse
+    10: " ctl\u0007q\u009fz",  # C0 + C1 controls stripped
+}
+
+
+def _seed_unicode(d: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    t = F.col("text")
+    for mod, s in sorted(UNICODE_SEEDS.items()):
+        t = F.concat(t, F.when(did % mod == 0, F.lit(s)).otherwise(F.lit("")))
+    return d.select("doc_id", t.alias("text"))
+
+
 def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Redaction counts + scrubbed text over the PII-seeded corpus."""
-    return pii_scrub(_seed_pii(_docs(spark, sf_dir).select("doc_id", "text")))
+    """Redaction counts + scrubbed text over the PII-seeded corpus,
+    joined (r4.4) with the unicode-canonicalization columns of
+    ``curation.normalize_text`` over the same corpus additionally seeded
+    with decomposed/NBSP/control sequences — NFC composition, control
+    strip, and whitespace collapse are hash-checked against DuckDB's
+    ``nfc_normalize`` plus the same Java∩RE2 regex chain."""
+    seeded = _seed_unicode(_seed_pii(_docs(spark, sf_dir).select("doc_id", "text")))
+    return pii_scrub(seeded).join(normalize_text(seeded), "doc_id")
 
 
 _SQL_PII_SEED = """
@@ -86,8 +119,33 @@ pii AS (
 )
 """
 
+def _sql_str(s: str) -> str:
+    """Interpolate a Python string into a DuckDB literal verbatim —
+    the seed/wrap constants reach both engines with identical
+    codepoints because both sides read the same Python object."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_SQL_UNICODE_SEED = "seeded AS (\n  SELECT doc_id, text" + "".join(
+    f"\n         || CASE WHEN doc_id % {m} = 0 THEN {_sql_str(s)} ELSE '' END"
+    for m, s in sorted(UNICODE_SEEDS.items())
+) + "\n         AS text\n  FROM pii\n)"
+
+
+def _sql_normalize(col: str) -> str:
+    """The DuckDB mirror of curation.normalize_text, generated from the
+    operator's own regex constants so the engines cannot drift."""
+    t = f"nfc_normalize({col})"
+    t = f"regexp_replace({t}, '{CONTROL_RE}', '', 'g')"
+    t = f"regexp_replace({t}, '{HSPACE_RE}', ' ', 'g')"
+    return f"regexp_replace({t}, '^ +| +$', '', 'g')"
+
+
+_SQL_NORM = _sql_normalize("text")
+
 SQL_TEXT_PII_SCRUB = f"""
-WITH {_SQL_PII_SEED.strip()}
+WITH {_SQL_PII_SEED.strip()},
+{_SQL_UNICODE_SEED}
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_email,
        CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS BIGINT) AS n_ip,
@@ -96,8 +154,12 @@ SELECT doc_id,
          regexp_replace(
            regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
            '{IPV4_RE}', '<IP>', 'g'),
-         '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
-FROM pii
+         '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       {_SQL_NORM} AS norm_text,
+       CAST(length(text) AS BIGINT) AS n_chars_raw,
+       CAST(length({_SQL_NORM}) AS BIGINT) AS n_chars_norm,
+       CASE WHEN {_SQL_NORM} != text THEN 1 ELSE 0 END AS changed
+FROM seeded
 """
 
 # ---------------------------------------------------------------------------
@@ -360,12 +422,34 @@ FROM rep_out r JOIN gq g USING (doc_id)
 
 BOILER_MAX_DOCS = 5
 
+# deterministic HTML chrome wrapped around each multiline log document —
+# script/style/comment subtrees must vanish, each log line rides its own
+# <p>, and the footer (identical across docs) must come back OUT via the
+# cross-doc boilerplate-line dedup downstream. Shared verbatim with the
+# SQL twin through _sql_str.
+HTML_WRAP_PRE = (
+    '<html><head><style type="text/css">p { margin: 0; }</style>'
+    '<script>var n = "'
+)
+HTML_WRAP_MID = '"; if (1 < 2) { render(); }</script></head><body><!-- rendered --><h1>Log '
+HTML_WRAP_P = "</h1><p>"
+HTML_WRAP_SEP = "</p><p>"
+HTML_WRAP_POST = (
+    '</p><div id="f">&amp;copy; 2024 &lt;Example Corp&gt;&nbsp;footer</div>'
+    "</body></html>"
+)
+
 
 def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RefinedWeb-style repeated-line removal over the rendered multiline
-    log corpus: the '  at module ...' continuation lines appear in every
-    error document and must be dropped corpus-wide; each document's
-    unique log lines survive in order."""
+    """HTML main-content extraction composed with RefinedWeb-style
+    repeated-line removal (r4.4): each multiline log document is rendered
+    into deterministic HTML chrome (script/style/comment subtrees,
+    per-line <p> elements, an entity-encoded footer shared by every
+    page), ``curation.extract_html_text`` recovers the text lines, and
+    the cross-doc line dedup then drops what the chrome left behind (the
+    shared footer) plus the '  at module ...' continuation lines that
+    appear in every error document; each document's unique log lines
+    survive in order. The extraction density columns ride along."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     line = _line_expr()
@@ -382,7 +466,40 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", F.transform("ls", lambda s: s["t"])).alias("text"),
         )
     )
-    return drop_boilerplate_lines(docs, max_docs=BOILER_MAX_DOCS)
+    wrapped = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(HTML_WRAP_PRE),
+            F.col("doc_id"),
+            F.lit(HTML_WRAP_MID),
+            F.col("doc_id"),
+            F.lit(HTML_WRAP_P),
+            F.replace(F.col("text"), F.lit("\n"), F.lit(HTML_WRAP_SEP)),
+            F.lit(HTML_WRAP_POST),
+        ).alias("html"),
+    )
+    ex = extract_html_text(wrapped)
+    cleaned = drop_boilerplate_lines(ex.select("doc_id", "text"), max_docs=BOILER_MAX_DOCS)
+    return cleaned.join(
+        ex.select("doc_id", "n_chars_html", "n_chars_text", "text_density"), "doc_id"
+    )
+
+
+def _sql_html_extract(col: str) -> str:
+    """The DuckDB mirror of curation.extract_html_text, generated from
+    the operator's own pattern constants so the engines cannot drift."""
+    t = col
+    for pat in HTML_DROP_RES:
+        t = f"regexp_replace({t}, '{pat}', '', 'g')"
+    t = f"regexp_replace({t}, '{HTML_BLOCK_RE}', chr(10), 'g')"
+    t = f"regexp_replace({t}, '{HTML_TAG_RE}', '', 'g')"
+    for ent, rep in HTML_ENTITIES:
+        t = f"replace({t}, {_sql_str(ent)}, {_sql_str(rep)})"
+    t = f"regexp_replace({t}, '[\\t\\r]', ' ', 'g')"
+    t = f"regexp_replace({t}, ' *\\n *', chr(10), 'g')"
+    t = f"regexp_replace({t}, '  +', ' ', 'g')"
+    t = f"regexp_replace({t}, '\\n\\n\\n+', chr(10) || chr(10), 'g')"
+    return f"regexp_replace({t}, '^[\\n ]+|[\\n ]+$', '', 'g')"
 
 
 SQL_CLEAN_BOILERPLATE = f"""
@@ -399,19 +516,44 @@ docs AS (
          string_agg(ltext, chr(10) ORDER BY event_id) AS text
   FROM ml GROUP BY user_id
 ),
+wrapped AS (
+  SELECT doc_id,
+         {_sql_str(HTML_WRAP_PRE)} || doc_id || {_sql_str(HTML_WRAP_MID)} || doc_id
+         || {_sql_str(HTML_WRAP_P)}
+         || replace(text, chr(10), {_sql_str(HTML_WRAP_SEP)})
+         || {_sql_str(HTML_WRAP_POST)} AS html
+  FROM docs
+),
+ex AS (
+  SELECT doc_id,
+         {_sql_html_extract('html')} AS text,
+         CAST(length(html) AS BIGINT) AS n_chars_html
+  FROM wrapped
+),
+exm AS (
+  SELECT doc_id, text, n_chars_html,
+         CAST(length(text) AS BIGINT) AS n_chars_text,
+         round(CASE WHEN n_chars_html > 0
+                    THEN length(text) / CAST(n_chars_html AS DOUBLE)
+                    ELSE 0.0 END, 4) AS text_density
+  FROM ex
+),
 lines AS (
   SELECT doc_id, i - 1 AS idx, ls[i] AS line
   FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
                unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
-        FROM docs)
+        FROM exm)
 ),
 stats AS (SELECT line, count(DISTINCT doc_id) AS line_docs FROM lines GROUP BY line)
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_lines,
        CAST(sum(CASE WHEN line_docs > {BOILER_MAX_DOCS} THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
        COALESCE(string_agg(CASE WHEN line_docs <= {BOILER_MAX_DOCS} THEN line END,
-                           chr(10) ORDER BY idx), '') AS clean_text
-FROM lines JOIN stats USING (line)
+                           chr(10) ORDER BY idx), '') AS clean_text,
+       max(e.n_chars_html) AS n_chars_html,
+       max(e.n_chars_text) AS n_chars_text,
+       max(e.text_density) AS text_density
+FROM lines JOIN stats USING (line) JOIN exm e USING (doc_id)
 GROUP BY doc_id
 """
 

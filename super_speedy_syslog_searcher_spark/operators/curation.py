@@ -816,3 +816,149 @@ def gopher_quality_stats(
     return out.withColumn(
         "gopher_pass", F.when(F.coalesce(keep, F.lit(False)), 1).otherwise(0)
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML main-content extraction
+# ---------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 (inline (?is) flags and lazy quantifiers are common to
+# both engines; no lookaround, no backreferences) — the DuckDB twin is
+# BUILT from these constants, so the two engines can never drift.
+HTML_DROP_RES = (
+    "(?is)<script\\b[^>]*>.*?</script>",
+    "(?is)<style\\b[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+)
+# closing a block-level element (or <br>) ends a text line
+HTML_BLOCK_RE = (
+    "(?i)</(?:p|div|li|tr|h[1-6]|section|article|blockquote|pre|table|ul|ol)>"
+    "|(?i)<br[ /]*>"
+)
+HTML_TAG_RE = "<[^>]*>"
+# decoded in order — '&amp;' LAST, so '&amp;lt;' yields the literal
+# '&lt;' (one decode pass, not a fixpoint), matching html.unescape on
+# non-pathological input
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_html_text(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
+    """Main-content text extraction from raw HTML (the trafilatura /
+    resiliparse stage of a web-crawl pipeline, reduced to its
+    deterministic regex core): drop script/style/comment subtrees,
+    convert block-element closes to line breaks, strip remaining tags,
+    decode the common entities, and canonicalize whitespace.
+
+    Pure Column regexp algebra end to end — map-only, whole-stage
+    codegen, zero shuffles, so it runs at crawl scale as a narrow stage
+    over the raw HTML column. Every pattern lives in the module-head
+    Java∩RE2 constants that the DuckDB twin is generated from.
+
+    Returns ``(id, text, n_chars_html, n_chars_text, text_density)``
+    where ``text_density`` is the extracted/raw character ratio — the
+    classic boilerplate-page signal (chrome-heavy pages score low).
+    """
+    h = F.col(html_col)
+    t = h
+    for pat in HTML_DROP_RES:
+        t = F.regexp_replace(t, pat, "")
+    t = F.regexp_replace(t, HTML_BLOCK_RE, "\n")
+    t = F.regexp_replace(t, HTML_TAG_RE, "")
+    for ent, rep in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    # whitespace canon: CR/tab -> space, spaces hugging a newline dropped,
+    # space runs collapsed, 3+ newlines -> paragraph break, ends trimmed
+    t = F.regexp_replace(t, "[\\t\\r]", " ")
+    t = F.regexp_replace(t, " *\\n *", "\n")
+    t = F.regexp_replace(t, "  +", " ")
+    t = F.regexp_replace(t, "\\n\\n\\n+", "\n\n")
+    t = F.regexp_replace(t, "^[\\n ]+|[\\n ]+$", "")
+    n_html = F.length(h).cast("long")
+    n_text = F.length(t).cast("long")
+    return df.select(
+        F.col(id_col),
+        t.alias("text"),
+        n_html.alias("n_chars_html"),
+        n_text.alias("n_chars_text"),
+        F.round(F.when(n_html > 0, n_text / n_html).otherwise(F.lit(0.0)), 4).alias(
+            "text_density"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + mojibake repair
+# ---------------------------------------------------------------------------
+
+# C0 controls except tab/newline, DEL, and the C1 block — stripped.
+# \xNN / \x{NNNN} escapes are the Java∩RE2 common form.
+CONTROL_RE = "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]"
+# NBSP joins the horizontal-whitespace collapse class
+HSPACE_RE = "[ \\x{00A0}]+"
+# UTF-8 bytes mis-decoded as Latin-1 leave Â/Ã/â followed by a
+# continuation-range character — the cheap vectorized hint mask
+# (Python-re dialect: used only inside the pandas UDF)
+MOJIBAKE_HINT_RE = "[\u00c2\u00c3\u00e2][\u0080-\u00bf\u00c0-\u00ff]"
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fix_mojibake: bool = False,
+) -> DataFrame:
+    """Unicode canonicalization for web text (the ftfy/C4 cleanup
+    stage): NFC composition, control-character strip (tab and newline
+    survive), NBSP→space, horizontal-whitespace collapse, edge trim.
+
+    NFC runs in ONE Arrow-batched pandas UDF (pandas' vectorized
+    ``Series.str.normalize``); everything else is pure Column regexes in
+    the Java∩RE2 subset built from the module-head constants, so the
+    DuckDB twin (``nfc_normalize`` + the same regexes) reproduces every
+    value bit-for-bit. Map-only — zero shuffles at any corpus size.
+
+    ``fix_mojibake=True`` additionally repairs the classic
+    UTF-8-read-as-Latin-1 double encoding (``Ã©`` → ``é``)
+    BEFORE NFC: only rows matching the hint pattern attempt the
+    latin-1→utf-8 round trip (invalid round trips keep the original),
+    so the per-row Python cost is bounded by the mojibake rate, not the
+    corpus. The repair is not SQL-expressible and stays out of the
+    driver row (python-twin pytest evidence instead).
+
+    Returns ``(id, norm_text, n_chars_raw, n_chars_norm, changed)``.
+    """
+    raw = F.col(text_col)
+
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        if fix_mojibake:
+            mask = s.str.contains(MOJIBAKE_HINT_RE, regex=True, na=False)
+            if mask.any():
+
+                def _repair(v: str) -> str:
+                    try:
+                        return v.encode("latin-1").decode("utf-8")
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        return v
+
+                s = s.where(~mask, s[mask].map(_repair))
+        return s.str.normalize("NFC")
+
+    t = _nfc(raw)
+    t = F.regexp_replace(t, CONTROL_RE, "")
+    t = F.regexp_replace(t, HSPACE_RE, " ")
+    t = F.regexp_replace(t, "^ +| +$", "")
+    return df.select(
+        F.col(id_col),
+        t.alias("norm_text"),
+        F.length(raw).cast("long").alias("n_chars_raw"),
+        F.length(t).cast("long").alias("n_chars_norm"),
+        F.when(t != raw, 1).otherwise(0).alias("changed"),
+    )

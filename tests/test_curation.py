@@ -794,3 +794,125 @@ class TestGopherQualityStats:
             gopher_quality_stats(df)._jdf.queryExecution().executedPlan().toString()
         )
         assert "Exchange" not in plan and "Python" not in plan
+
+
+class TestExtractHtmlText:
+    def _run(self, spark, html):
+        from super_speedy_syslog_searcher_spark.operators.curation import extract_html_text
+
+        df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+        return extract_html_text(df).collect()[0]
+
+    def test_full_page(self, spark):
+        r = self._run(
+            spark,
+            "<html><head><style>p{x:1}</style><script>if(1<2){a();}</script></head>"
+            "<body><!-- chrome --><h1>Title</h1><p>alpha beta</p><p>gamma</p>"
+            "<div>&amp;copy; &lt;Corp&gt;&nbsp;end</div></body></html>",
+        )
+        assert r["text"] == "Title\nalpha beta\ngamma\n&copy; <Corp> end"
+        assert r["n_chars_text"] == len(r["text"])
+        assert 0 < r["text_density"] < 1
+
+    def test_script_dropped_before_tag_strip(self, spark):
+        # the '<' inside the script body must not survive as a bogus tag
+        r = self._run(spark, "<script>var x = 1 < 2;</script><p>keep</p>")
+        assert r["text"] == "keep"
+
+    def test_case_insensitive_and_br(self, spark):
+        # adjacent breaks (</P> then <BR/>) leave one empty line — only
+        # runs of 3+ newlines collapse to a paragraph gap
+        r = self._run(spark, '<P CLASS="x">one</P><BR/>two<br />three')
+        assert r["text"] == "one\n\ntwo\nthree"
+
+    def test_entity_order_amp_last(self, spark):
+        # '&amp;lt;' is the ESCAPED '&lt;' — one decode pass must yield
+        # the literal string '&lt;', never '<'
+        r = self._run(spark, "<p>&amp;lt; and &lt;</p>")
+        assert r["text"] == "&lt; and <"
+
+    def test_whitespace_canon(self, spark):
+        r = self._run(spark, "<p>a  \t b</p><p></p><p></p><p>c</p>")
+        assert r["text"] == "a b\n\nc"
+
+    def test_no_html_passthrough(self, spark):
+        r = self._run(spark, "plain text only")
+        assert r["text"] == "plain text only"
+        assert r["text_density"] == 1.0
+
+    def test_empty(self, spark):
+        r = self._run(spark, "")
+        assert r["text"] == "" and r["text_density"] == 0.0
+
+
+class TestNormalizeText:
+    def _run(self, spark, text, **kw):
+        from super_speedy_syslog_searcher_spark.operators.curation import normalize_text
+
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        return normalize_text(df, **kw).collect()[0]
+
+    def test_nfc_composes(self, spark):
+        import unicodedata
+
+        raw = "café Ångström"
+        r = self._run(spark, raw)
+        assert r["norm_text"] == unicodedata.normalize("NFC", raw)
+        assert r["changed"] == 1
+        assert r["n_chars_norm"] < r["n_chars_raw"]
+
+    def test_control_strip_keeps_tab_newline(self, spark):
+        r = self._run(spark, "abc\td\nef")
+        # BEL and the C1 char are stripped; tab joins the space collapse?
+        # no — tab is KEPT by CONTROL_RE and not in HSPACE_RE's class
+        assert r["norm_text"] == "abc\td\nef"
+
+    def test_nbsp_and_space_collapse(self, spark):
+        r = self._run(spark, "  x y  z  ")
+        assert r["norm_text"] == "x y z"
+        assert r["changed"] == 1
+
+    def test_unchanged_flag(self, spark):
+        r = self._run(spark, "already clean")
+        assert r["norm_text"] == "already clean" and r["changed"] == 0
+
+    def test_mojibake_repair(self, spark):
+        # 'café' (caf\xe9) mis-decoded as latin-1 shows as 'caf\xc3\xa9'
+        broken = "cafÃ© ok"
+        r = self._run(spark, broken, fix_mojibake=True)
+        assert r["norm_text"] == "café ok"
+        # without the flag the mojibake survives (post-NFC)
+        r2 = self._run(spark, broken, fix_mojibake=False)
+        assert "Ã" in r2["norm_text"]
+
+    def test_mojibake_invalid_roundtrip_kept(self, spark):
+        # the hint matches but the latin-1 bytes are NOT valid utf-8
+        # (\xc3 followed by a non-continuation byte) -> text unchanged
+        s = "xÃÃy ok"
+        r = self._run(spark, s, fix_mojibake=True)
+        assert r["norm_text"] == "xÃÃy ok"
+
+    def test_python_twin(self, spark):
+        import re
+        import unicodedata
+
+        from super_speedy_syslog_searcher_spark.operators.curation import normalize_text
+
+        texts = [
+            "café latte",
+            "Ångström unit",
+            "mix    gaps\tandctl",
+            "plain ascii",
+            "",
+        ]
+
+        def ref(s):
+            t = unicodedata.normalize("NFC", s)
+            t = re.sub("[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "", t)
+            t = re.sub("[  ]+", " ", t)
+            return re.sub("^ +| +$", "", t)
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        got = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
+        for i, s in enumerate(texts):
+            assert got[i] == ref(s), (i, got[i], ref(s))
