@@ -1278,3 +1278,250 @@ def replicate_for_mixture(
             F.concat(F.col(id_col), F.lit("#e"), F.col("epoch").cast("string")),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer — training + encoding
+# ---------------------------------------------------------------------------
+
+UNIGRAM_UNK_PENALTY = 10.0
+
+
+def _viterbi_segment(text: str, logp: dict, max_piece_len: int, unk_logp: float) -> list:
+    """Best segmentation of ``text`` under piece log-probs — the shared
+    kernel of the training E-step, the final encode, and the sequential
+    python reference in tests (sharing it means cross-engine equality
+    exercises the DISTRIBUTED parts — seed counting, expected-count
+    aggregation, pruning — not float trivia). Ties break to the LONGEST
+    piece: ``j`` scans ascending (longest candidate first) with strict
+    ``>``. A character absent from the vocabulary falls back to a
+    single-char piece at ``unk_logp``, so every string is segmentable
+    and ``''.join(pieces) == text`` always holds."""
+    n = len(text)
+    if n == 0:
+        return []
+    neg = float("-inf")
+    dp = [0.0] + [neg] * n
+    back = [0] * (n + 1)
+    get = logp.get
+    for i in range(1, n + 1):
+        best = neg
+        bj = i - 1
+        for j in range(max(0, i - max_piece_len), i):
+            lp = get(text[j:i])
+            if lp is None:
+                if i - j != 1:
+                    continue
+                lp = unk_logp
+            sc = dp[j] + lp
+            if sc > best:
+                best = sc
+                bj = j
+        dp[i] = best
+        back[i] = bj
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(text[j:i])
+        i = j
+    out.reverse()
+    return out
+
+
+def _seed_piece_counts(docs: DataFrame, text_col: str, max_piece_len: int) -> DataFrame:
+    """``(piece, cnt)`` over every substring of length 1..max_piece_len —
+    ONE tagged explode + groupBy with map-side partial aggregation (the
+    ``repetition_stats`` shape); SentencePiece's suffix-array seed
+    reduced to its distributed equivalent. The exchange carries at most
+    one row per (task, distinct piece), never one per occurrence."""
+    per_len = [
+        F.expr(
+            f"IF(length({text_col}) >= {l},"
+            f" transform(sequence(1, length({text_col}) - {l} + 1),"
+            f" i -> substring({text_col}, i, {l})), array())"
+        )
+        for l in range(1, max_piece_len + 1)
+    ]
+    grams = docs.select(F.explode(F.flatten(F.array(*per_len))).alias("piece"))
+    return grams.groupBy("piece").agg(F.count("*").cast("long").alias("cnt"))
+
+
+def _segment_df(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    logp: dict,
+    max_piece_len: int,
+    unk_logp: float,
+) -> DataFrame:
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _seg(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: _viterbi_segment("" if t is None else t, logp, max_piece_len, unk_logp)
+        )
+
+    return docs.select(F.col(id_col), _seg(F.col(text_col)).alias("pieces"))
+
+
+def train_unigram(
+    docs: DataFrame,
+    vocab_size: int = 400,
+    max_piece_len: int = 8,
+    seed_size: int = 2000,
+    n_rounds: int = 3,
+    prune_frac: float = 0.2,
+    min_freq: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[list[tuple[str, int, float]], DataFrame]:
+    """Distributed unigram-LM tokenizer training (Kudo 2018, the
+    SentencePiece unigram model) in its HARD-EM / frequency-pruning
+    variant: seed a large candidate vocabulary from raw substring
+    frequencies, then alternate (E) Viterbi-segment the corpus under the
+    current piece probabilities and (M) re-estimate each piece's
+    probability from its segmentation count, pruning the lowest-count
+    multi-character pieces each round until ``vocab_size``. Every
+    single character seen at seed time stays in the vocabulary for
+    coverage (the SentencePiece invariant), so segmentation is total.
+
+    Hard EM (Viterbi counts) instead of soft EM (lattice posteriors) is
+    the deliberate determinism choice: round state is an INTEGER count
+    per piece, so the aggregate is exact under any partitioning and the
+    whole training run is a pure function of the corpus — the same
+    cross-engine discipline as ``train_bpe``'s tie-broken merge table.
+    Pruning is by count (tie -> lexicographic), not SentencePiece's
+    held-out loss; documented divergence, same vocabulary shape.
+
+    Scale shape (100 TB): the seed is one explode + partial-agg groupBy
+    (substring vocabulary, bounded by ``seed_size`` after the top-k);
+    each round is ONE map-only Arrow E-step (the piece table rides the
+    closure — bounded by seed_size, like the DSIR/classifier broadcast
+    tables) plus ONE explode + partial-agg count whose key space is the
+    vocabulary, not the corpus. Driver state is the (piece, count)
+    table — never corpus-scale. The corpus itself is never mutated and
+    never shuffles (contrast train_bpe, which rewrites tokens each
+    round). The per-doc Viterbi walk is O(len x max_piece_len) dict
+    probes inside the Arrow batch — the inherent E-step cost that
+    SentencePiece pays single-node, here spread across executors.
+
+    Returns ``(vocab, segmented)``: ``vocab`` is
+    ``[(piece, count, logp), ...]`` sorted by (count desc, piece asc);
+    ``segmented`` is ``(id_col, pieces array<string>)`` under the final
+    vocabulary. Reference analogue: the DTPD pattern lock-in two-pass
+    (syslinereader.rs:1528) — sample statistics choose a model, the
+    model re-reads the corpus; here iterated.
+    """
+    import math
+
+    seed = _seed_piece_counts(docs.select(text_col), text_col, max_piece_len)
+    singles = seed.filter(F.length("piece") == 1)
+    multis = (
+        seed.filter((F.length("piece") > 1) & (F.col("cnt") >= min_freq))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(seed_size)
+    )
+    counts = {r["piece"]: int(r["cnt"]) for r in singles.unionByName(multis).collect()}
+
+    def _logp_tables(cnts: dict) -> tuple[dict, float]:
+        total = sum(cnts.values())
+        return (
+            {p: math.log(c / total) for p, c in cnts.items()},
+            math.log(1.0 / total) - UNIGRAM_UNK_PENALTY,
+        )
+
+    def _prune(cnts: dict, target: int) -> dict:
+        if len(cnts) <= target:
+            return cnts
+        kept = {p: c for p, c in cnts.items() if len(p) == 1}
+        keep_m = max(target - len(kept), 0)
+        multis_sorted = sorted(
+            ((p, c) for p, c in cnts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        kept.update(dict(multis_sorted[:keep_m]))
+        return kept
+
+    for _ in range(max(n_rounds, 1)):
+        logp, unk_logp = _logp_tables(counts)
+        pieces_df = _segment_df(docs, text_col, id_col, logp, max_piece_len, unk_logp)
+        used = (
+            pieces_df.select(F.explode("pieces").alias("piece"))
+            .groupBy("piece")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .collect()
+        )
+        used_counts = {r["piece"]: int(r["cnt"]) for r in used}
+        # M-step: singles keep a floor count of 1 (coverage); a
+        # multi-char piece the Viterbi never used is dead — drop it
+        new_counts = {}
+        for p in counts:
+            c = used_counts.get(p, 0)
+            if len(p) == 1:
+                new_counts[p] = max(c, 1)
+            elif c > 0:
+                new_counts[p] = c
+        counts = _prune(
+            new_counts, max(vocab_size, int(len(new_counts) * (1.0 - prune_frac)))
+        )
+    counts = _prune(counts, vocab_size)
+    logp, unk_logp = _logp_tables(counts)
+    segmented = _segment_df(docs, text_col, id_col, logp, max_piece_len, unk_logp)
+    vocab = sorted(
+        ((p, c, logp[p]) for p, c in counts.items()), key=lambda t: (-t[1], t[0])
+    )
+    return vocab, segmented
+
+
+def apply_unigram(
+    docs: DataFrame,
+    vocab,
+    max_piece_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode a corpus with a trained unigram vocabulary — the inference
+    half of ``train_unigram``. ``vocab`` is the training output
+    (``(piece, count, logp)`` triples) or a ``{piece: logp}`` dict.
+
+    ONE map-only Arrow stage (``mapInPandas``): the piece table rides in
+    the closure (bounded by the trained vocabulary size), the corpus
+    never shuffles, and characters outside the vocabulary emit as
+    single-char pieces at the UNK score and are counted per document.
+
+    Returns ``(id_col, pieces array<string>, n_pieces, n_unk)``.
+    """
+    import math
+
+    if isinstance(vocab, dict):
+        logp = dict(vocab)
+        unk_logp = (min(logp.values()) if logp else 0.0) - UNIGRAM_UNK_PENALTY
+    else:
+        logp = {p: lp for p, _c, lp in vocab}
+        total = sum(c for _p, c, _lp in vocab)
+        unk_logp = math.log(1.0 / total) - UNIGRAM_UNK_PENALTY if total else -UNIGRAM_UNK_PENALTY
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, pieces array<string>, n_pieces int, n_unk int"
+    known = set(logp)
+
+    def _gen(batches):
+        for pdf in batches:
+            out_pieces, n_pieces, n_unk = [], [], []
+            for t in pdf[text_col]:
+                ps = _viterbi_segment("" if t is None else t, logp, max_piece_len, unk_logp)
+                out_pieces.append(ps)
+                n_pieces.append(len(ps))
+                n_unk.append(sum(1 for p in ps if p not in known))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "pieces": out_pieces,
+                    "n_pieces": n_pieces,
+                    "n_unk": n_unk,
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(_gen, schema=schema)

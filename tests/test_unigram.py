@@ -1,0 +1,173 @@
+"""Unigram-LM (SentencePiece-style) tokenizer training/encoding tests:
+exact equality against a sequential python reference (the hard-EM /
+frequency-pruning algorithm run straight-line over the collected
+corpus), partitioning-layout invariance, the lossless-segmentation
+invariant, and the map-only plan shape of the encode stage.
+
+The reference shares ``_viterbi_segment`` with the operator by design
+(tokens.py docstring): per-doc lattice float math is identical on both
+sides, so equality here verifies the DISTRIBUTED machinery — seed
+substring counting, the per-round piece-count aggregation (integers,
+exact under any layout), and the deterministic top-k/prune tie-breaks.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+
+from super_speedy_syslog_searcher_spark.operators.tokens import (
+    UNIGRAM_UNK_PENALTY,
+    _viterbi_segment,
+    apply_unigram,
+    train_unigram,
+)
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the bat and the rat sat",
+    "a cat and a bat",
+    "rats eat oats and cats nap",
+    "the the the mat mat",
+    "on and on and on",
+    "",
+    "sat",
+]
+
+PARAMS = dict(vocab_size=40, max_piece_len=5, seed_size=60, n_rounds=2, prune_frac=0.3, min_freq=2)
+
+
+def _ref_train(texts, vocab_size, max_piece_len, seed_size, n_rounds, prune_frac, min_freq):
+    cnt = Counter()
+    for t in texts:
+        for ln in range(1, max_piece_len + 1):
+            for i in range(len(t) - ln + 1):
+                cnt[t[i : i + ln]] += 1
+    counts = {p: c for p, c in cnt.items() if len(p) == 1}
+    multis = sorted(
+        ((p, c) for p, c in cnt.items() if len(p) > 1 and c >= min_freq),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_size]
+    counts.update(dict(multis))
+
+    def logp_tables(cnts):
+        total = sum(cnts.values())
+        return (
+            {p: math.log(c / total) for p, c in cnts.items()},
+            math.log(1.0 / total) - UNIGRAM_UNK_PENALTY,
+        )
+
+    def prune(cnts, target):
+        if len(cnts) <= target:
+            return cnts
+        kept = {p: c for p, c in cnts.items() if len(p) == 1}
+        km = max(target - len(kept), 0)
+        ms = sorted(
+            ((p, c) for p, c in cnts.items() if len(p) > 1), key=lambda pc: (-pc[1], pc[0])
+        )
+        kept.update(dict(ms[:km]))
+        return kept
+
+    for _ in range(max(n_rounds, 1)):
+        lp, unk = logp_tables(counts)
+        used = Counter()
+        for t in texts:
+            for p in _viterbi_segment(t, lp, max_piece_len, unk):
+                used[p] += 1
+        nc = {}
+        for p in counts:
+            c = used.get(p, 0)
+            if len(p) == 1:
+                nc[p] = max(c, 1)
+            elif c > 0:
+                nc[p] = c
+        counts = prune(nc, max(vocab_size, int(len(nc) * (1.0 - prune_frac))))
+    counts = prune(counts, vocab_size)
+    lp, unk = logp_tables(counts)
+    segs = [_viterbi_segment(t, lp, max_piece_len, unk) for t in texts]
+    vocab = sorted(((p, c, lp[p]) for p, c in counts.items()), key=lambda t: (-t[1], t[0]))
+    return vocab, segs
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        list(enumerate(TEXTS)), "doc_id long, text string"
+    ).repartition(7)
+
+
+class TestTrainUnigram:
+    def test_exact_twin(self, spark, docs):
+        vocab, segmented = train_unigram(docs, **PARAMS)
+        ref_vocab, ref_segs = _ref_train(TEXTS, **PARAMS)
+        assert vocab == ref_vocab  # (piece, count, logp) triples, exact
+        got = {r["doc_id"]: list(r["pieces"]) for r in segmented.collect()}
+        for i, t in enumerate(TEXTS):
+            assert got[i] == ref_segs[i], (i, got[i], ref_segs[i])
+
+    def test_layout_invariance(self, spark, docs):
+        v1, _ = train_unigram(docs.repartition(1), **PARAMS)
+        v7, _ = train_unigram(docs.repartition(7), **PARAMS)
+        assert v1 == v7
+
+    def test_lossless_segmentation(self, spark, docs):
+        _, segmented = train_unigram(docs, **PARAMS)
+        got = {r["doc_id"]: "".join(r["pieces"]) for r in segmented.collect()}
+        for i, t in enumerate(TEXTS):
+            assert got[i] == t
+
+    def test_single_char_coverage(self, spark, docs):
+        vocab, _ = train_unigram(docs, **PARAMS)
+        pieces = {p for p, _c, _lp in vocab}
+        chars = set("".join(TEXTS))
+        assert chars <= pieces  # every seen char survives pruning
+
+    def test_vocab_size_bound(self, spark, docs):
+        vocab, _ = train_unigram(docs, **PARAMS)
+        n_singles = len(set("".join(TEXTS)))
+        assert len(vocab) <= max(PARAMS["vocab_size"], n_singles)
+
+    def test_multichar_pieces_learned(self, spark, docs):
+        vocab, _ = train_unigram(docs, **PARAMS)
+        assert any(len(p) > 1 for p, _c, _lp in vocab)
+        # the corpus's dominant word must be a piece (with its space)
+        assert any("the" in p for p, _c, _lp in vocab)
+
+
+class TestApplyUnigram:
+    def test_roundtrip_and_unk(self, spark, docs):
+        vocab, _ = train_unigram(docs, **PARAMS)
+        new = spark.createDataFrame(
+            [(100, "the cat sat"), (101, "zebra! quiz")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in apply_unigram(new, vocab, max_piece_len=5).collect()}
+        assert "".join(rows[100]["pieces"]) == "the cat sat"
+        assert rows[100]["n_unk"] == 0
+        # z, b, !, q, ? are absent from the training corpus
+        assert rows[101]["n_unk"] > 0
+        assert "".join(rows[101]["pieces"]) == "zebra! quiz"
+        assert rows[101]["n_pieces"] == len(rows[101]["pieces"])
+
+    def test_train_inference_invariant(self, spark, docs):
+        # encoding the training corpus with the trained vocab reproduces
+        # the training run's own final segmentation
+        vocab, segmented = train_unigram(docs, **PARAMS)
+        enc = apply_unigram(docs, vocab, max_piece_len=PARAMS["max_piece_len"])
+        a = {r["doc_id"]: list(r["pieces"]) for r in segmented.collect()}
+        b = {r["doc_id"]: list(r["pieces"]) for r in enc.collect()}
+        assert a == b
+
+    def test_encode_plan_map_only(self, spark, docs):
+        vocab, _ = train_unigram(docs, **PARAMS)
+        flat = spark.createDataFrame(list(enumerate(TEXTS)), "doc_id long, text string")
+        plan = (
+            apply_unigram(flat, vocab)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_empty_and_dict_vocab(self, spark):
+        df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+        rows = apply_unigram(df, {"a": -1.0}).collect()
+        assert rows[0]["pieces"] == [] and rows[0]["n_unk"] == 0
