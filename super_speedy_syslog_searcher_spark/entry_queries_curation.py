@@ -678,11 +678,21 @@ LEFT JOIN hits h USING (doc_id)
 DSIR_BUCKETS = 8192
 
 
+NOVELTY_N = 8
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Importance weights for tilting the corpus toward the English
-    subset (target = lang 'en')."""
+    subset (target = lang 'en'), joined (r4.4) with the per-doc n-gram
+    novelty columns of ``curation.ngram_novelty`` — both are per-doc
+    data-selection metrics over the word stream, hash-checked in one
+    row."""
+    from .operators.curation import ngram_novelty
+
     d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
-    return dsir_weights(d, F.col("lang") == "en", n_buckets=DSIR_BUCKETS)
+    return dsir_weights(d, F.col("lang") == "en", n_buckets=DSIR_BUCKETS).join(
+        ngram_novelty(d, n=NOVELTY_N), "doc_id"
+    )
 
 
 SQL_DSIR_WEIGHTS = f"""
@@ -699,10 +709,35 @@ ratio AS (
   SELECT b, ln((c_t + 1) / CAST(n_t + {DSIR_BUCKETS} AS DOUBLE))
             - ln((c_s + 1) / CAST(n_s + {DSIR_BUCKETS} AS DOUBLE)) AS lr
   FROM bcnt, tot
+),
+dsir AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, round(avg(lr), 4) AS dsir_weight
+  FROM toks JOIN ratio USING (b)
+  GROUP BY doc_id
+),
+nwords AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+  FROM documents
+),
+ngrams AS (
+  SELECT DISTINCT doc_id, {_sql_gram(NOVELTY_N)} AS gram
+  FROM nwords, unnest(generate_series(1, greatest(len(ws) - {NOVELTY_N - 1}, 0))) AS t(x)
+  WHERE len(ws) >= {NOVELTY_N}
+),
+ndf AS (SELECT gram, CAST(count(*) AS BIGINT) AS gram_docs FROM ngrams GROUP BY gram),
+nov AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN gram_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM ngrams JOIN ndf USING (gram)
+  GROUP BY doc_id
 )
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, round(avg(lr), 4) AS dsir_weight
-FROM toks JOIN ratio USING (b)
-GROUP BY doc_id
+SELECT d.doc_id, d.n_words, d.dsir_weight,
+       COALESCE(v.n_grams, 0) AS n_grams,
+       COALESCE(v.n_novel, 0) AS n_novel,
+       round(CASE WHEN COALESCE(v.n_grams, 0) > 0
+                  THEN v.n_novel / CAST(v.n_grams AS DOUBLE) END, 4) AS novelty_frac
+FROM dsir d LEFT JOIN nov v USING (doc_id)
 """
 
 

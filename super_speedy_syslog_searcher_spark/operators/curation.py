@@ -962,3 +962,66 @@ def normalize_text(
         F.length(t).cast("long").alias("n_chars_norm"),
         F.when(t != raw, 1).otherwise(0).alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (corpus-overlap / memorization profile)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty (the WIMBD / memorization-scan
+    statistic, Elazar et al. 2023): the fraction of a document's
+    DISTINCT word n-grams that occur in no other document. Low novelty
+    marks template/boilerplate/near-copy documents that survive exact
+    dedup; it is the complement of ``decontaminate``'s overlap counting
+    with the corpus itself as the benchmark.
+
+    Scale shape (100 TB): distinct (doc, gram) pairs → gram
+    doc-frequency with map-side partial aggregation (a boilerplate gram
+    in 10^7 docs reaches the exchange as one row per task) → enrichment
+    join back co-partitioned on gram (1:1 fan-out to each gram's doc
+    rows — no quadratic bucket, the same shape as
+    ``winnow_overlap_pairs``'s cap join) → one per-doc aggregate.
+    Ratios are NULL for docs with no n-grams (shorter than ``n``
+    words), mirroring the gopher-stats NULL convention.
+
+    Returns ``(id, n_grams, n_novel, novelty_frac)``.
+    """
+    words = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
+    grams_arr = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = df.select(F.col(id_col), F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    dfreq = pairs.groupBy("gram").agg(F.count("*").cast("long").alias("gram_docs"))
+    per_doc = (
+        pairs.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("gram_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    nn = F.coalesce(F.col("n_novel"), F.lit(0)).cast("long")
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            ng.alias("n_grams"),
+            nn.alias("n_novel"),
+            F.round(F.when(ng > 0, nn / ng), 4).alias("novelty_frac"),
+        )
+    )

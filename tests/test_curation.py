@@ -916,3 +916,64 @@ class TestNormalizeText:
         got = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
         for i, s in enumerate(texts):
             assert got[i] == ref(s), (i, got[i], ref(s))
+
+
+class TestNgramNovelty:
+    def _run(self, spark, texts, n=3):
+        from super_speedy_syslog_searcher_spark.operators.curation import ngram_novelty
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        return {r["doc_id"]: r for r in ngram_novelty(df, n=n).collect()}
+
+    def test_python_reference(self, spark):
+        texts = [
+            "a b c d e f",
+            "a b c d e f",          # exact copy of 0 -> zero novelty
+            "x y z w v u t",        # unique -> full novelty
+            "a b c q r s",          # shares the 'a b c' gram context? (n=3)
+            "",
+            "one two",              # shorter than n -> no grams
+        ]
+        got = self._run(spark, texts, n=3)
+
+        def grams(t, n=3):
+            ws = [w for w in t.split(" ") if w]
+            return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+        from collections import Counter
+
+        df_cnt = Counter()
+        per_doc = [grams(t) for t in texts]
+        for gs in per_doc:
+            df_cnt.update(gs)
+        for i, gs in enumerate(per_doc):
+            novel = sum(1 for g in gs if df_cnt[g] == 1)
+            assert got[i]["n_grams"] == len(gs)
+            assert got[i]["n_novel"] == novel
+            if gs:
+                assert got[i]["novelty_frac"] == round(novel / len(gs), 4)
+            else:
+                assert got[i]["novelty_frac"] is None
+
+    def test_copies_have_zero_novelty(self, spark):
+        got = self._run(spark, ["p q r s t", "p q r s t"], n=3)
+        assert got[0]["n_novel"] == 0 and got[1]["n_novel"] == 0
+        assert got[0]["novelty_frac"] == 0.0
+
+    def test_unique_doc_full_novelty(self, spark):
+        got = self._run(spark, ["entirely fresh words here now"], n=3)
+        assert got[0]["novelty_frac"] == 1.0
+
+    def test_within_doc_repeat_counts_once(self, spark):
+        # the same gram twice INSIDE one doc is still novel corpus-wide
+        got = self._run(spark, ["a b c a b c"], n=3)
+        # positions yield "a b c" twice plus "b c a", "c a b" -> 3 distinct
+        assert got[0]["n_grams"] == 3
+        assert got[0]["novelty_frac"] == 1.0
+
+    def test_no_cartesian_plan(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import ngram_novelty
+
+        df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+        plan = ngram_novelty(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Cartesian" not in plan and "Python" not in plan
