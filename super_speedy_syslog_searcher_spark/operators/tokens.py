@@ -1525,3 +1525,60 @@ def apply_unigram(
             )
 
     return docs.select(id_col, text_col).mapInPandas(_gen, schema=schema)
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    segmented: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pieces_col: str = "pieces",
+) -> DataFrame:
+    """Tokenizer evaluation over a segmented corpus — the standard
+    fertility/compression report used to compare trained tokenizers
+    (``apply_unigram`` / ``apply_bpe`` output) across languages or
+    domains: per group, pieces-per-word (fertility — lower is better,
+    1.0 = every word is one piece), characters-per-piece (compression),
+    and the UNK piece rate when the segmentation carries ``n_unk``.
+
+    One broadcast-or-shuffle join on the doc id plus ONE partial-agg
+    groupBy on the (bounded) group key — the corpus contributes a
+    handful of integer sums per task to the exchange. All ratios divide
+    exact integer sums, rounded to 4 places (the gopher-stats
+    convention), so a python twin reproduces every value.
+
+    Returns ``(group_col, n_docs, n_pieces, n_words, n_chars,
+    fertility, chars_per_piece, unk_rate)``.
+    """
+    seg_cols = [id_col, pieces_col] + (["n_unk"] if "n_unk" in segmented.columns else [])
+    joined = docs.select(
+        id_col,
+        F.col(group_col),
+        F.size(F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0))
+        .cast("long")
+        .alias("_nw"),
+        F.length(text_col).cast("long").alias("_nc"),
+    ).join(segmented.select(*seg_cols), id_col)
+    n_unk = F.col("n_unk") if "n_unk" in segmented.columns else F.lit(0)
+    agg = joined.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(pieces_col)).cast("long").alias("n_pieces"),
+        F.sum("_nw").cast("long").alias("n_words"),
+        F.sum("_nc").cast("long").alias("n_chars"),
+        F.sum(n_unk).cast("long").alias("_unk"),
+    )
+
+    def ratio(num, den):
+        return F.round(F.when(den > 0, num / den), 4)
+
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_pieces",
+        "n_words",
+        "n_chars",
+        ratio(F.col("n_pieces"), F.col("n_words")).alias("fertility"),
+        ratio(F.col("n_chars"), F.col("n_pieces")).alias("chars_per_piece"),
+        ratio(F.col("_unk"), F.col("n_pieces")).alias("unk_rate"),
+    )

@@ -171,3 +171,45 @@ class TestApplyUnigram:
         df = spark.createDataFrame([(1, "")], "doc_id long, text string")
         rows = apply_unigram(df, {"a": -1.0}).collect()
         assert rows[0]["pieces"] == [] and rows[0]["n_unk"] == 0
+
+
+class TestTokenizerFertility:
+    def test_exact_values_and_grouping(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            apply_unigram,
+            tokenizer_fertility,
+            train_unigram,
+        )
+
+        rows = [
+            (0, "en", "the cat sat"),
+            (1, "en", "the mat sat"),
+            (2, "de", "zz yy"),
+        ]
+        d = spark.createDataFrame(rows, "doc_id long, source string, text string")
+        vocab, _ = train_unigram(
+            d, vocab_size=30, max_piece_len=4, seed_size=40, n_rounds=1, min_freq=2
+        )
+        seg = apply_unigram(d, vocab, max_piece_len=4)
+        got = {r["source"]: r for r in tokenizer_fertility(d, seg).collect()}
+        seg_rows = {r["doc_id"]: r for r in seg.collect()}
+        for src, ids in (("en", [0, 1]), ("de", [2])):
+            n_pieces = sum(seg_rows[i]["n_pieces"] for i in ids)
+            n_words = sum(len([w for w in rows[i][2].split() if w]) for i in ids)
+            n_chars = sum(len(rows[i][2]) for i in ids)
+            n_unk = sum(seg_rows[i]["n_unk"] for i in ids)
+            r = got[src]
+            assert r["n_docs"] == len(ids)
+            assert r["n_pieces"] == n_pieces
+            assert r["n_words"] == n_words and r["n_chars"] == n_chars
+            assert r["fertility"] == round(n_pieces / n_words, 4)
+            assert r["chars_per_piece"] == round(n_chars / n_pieces, 4)
+            assert r["unk_rate"] == round(n_unk / n_pieces, 4)
+
+    def test_missing_unk_column_defaults_zero(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import tokenizer_fertility
+
+        d = spark.createDataFrame([(0, "s", "a b")], "doc_id long, source string, text string")
+        seg = spark.createDataFrame([(0, ["a", " b"])], "doc_id long, pieces array<string>")
+        r = tokenizer_fertility(d, seg).collect()[0]
+        assert r["unk_rate"] == 0.0 and r["fertility"] == 1.0
