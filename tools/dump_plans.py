@@ -168,6 +168,31 @@ def main() -> None:
             "per-doc mean.",
         ),
         (
+            "HTML main-content extraction (map-only regex chain)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.curation",
+                fromlist=["extract_html_text"],
+            ).extract_html_text(
+                documents.select("doc_id", F.col("text").alias("html"))
+            ),
+            "The whole trafilatura-stage chain (subtree drops, block-close "
+            "to newline, tag strip, entity decode, whitespace canon) is one "
+            "codegen'd Project over the scan — zero exchanges, zero Python; "
+            "at crawl scale the stage runs at scan speed.",
+        ),
+        (
+            "n-gram novelty (gram df via partial agg + co-partitioned join-back)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.curation",
+                fromlist=["ngram_novelty"],
+            ).ngram_novelty(documents),
+            "Distinct (doc, gram) pairs are Column algebra; the gram "
+            "doc-frequency aggregate is two-phase (a boilerplate gram in "
+            "10^7 docs reaches the exchange once per task), and the "
+            "enrichment join back reuses the gram hash partitioning before "
+            "the per-doc aggregate — no quadratic bucket, no cross join.",
+        ),
+        (
             "Incremental LSH dedup (crawl delta vs persisted band index)",
             lsh_pairs_against_index(documents, lsh_band_index(documents.limit(50)))[0],
             "The delta is banded ONCE (single ArrowEvalPython, "
