@@ -169,9 +169,25 @@ FROM seeded
 SAMPLE_RATES = {"en": 35, "de": 60, "es": 50, "fr": 25, "zh": 45}
 
 
+EXACT_K = 20
+
+
 def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based deterministic sampling joined (r4.4) with the
+    exactly-k companion: each kept row additionally carries its
+    ``curation.exact_k_sample`` rank when it sits in its language's
+    md5-ordered top-{EXACT_K} (NULL otherwise) — both keep-sets are
+    layout/engine-independent and the twin re-derives the rank with a
+    plain window."""
+    from .operators.curation import exact_k_sample
+
     d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
-    return stratified_sample(d, SAMPLE_RATES).select("doc_id", "lang", "source", "bucket", "rate")
+    ek = exact_k_sample(d, EXACT_K).select("doc_id", "sample_rank")
+    return (
+        stratified_sample(d, SAMPLE_RATES)
+        .select("doc_id", "lang", "source", "bucket", "rate")
+        .join(ek, "doc_id", "left")
+    )
 
 
 _RATE_CASE = "CASE lang " + " ".join(
@@ -179,12 +195,23 @@ _RATE_CASE = "CASE lang " + " ".join(
 ) + " ELSE 0 END"
 
 SQL_DOCS_SAMPLE_STRATIFIED = f"""
-SELECT doc_id, lang, source, bucket, rate FROM (
-  SELECT doc_id, lang, source,
-         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
-         {_RATE_CASE} AS rate
-  FROM documents
-) WHERE bucket < rate
+WITH ek AS (
+  SELECT doc_id, CAST(rnk AS BIGINT) AS sample_rank FROM (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+    FROM documents
+  ) WHERE rnk <= {EXACT_K}
+),
+kept AS (
+  SELECT doc_id, lang, source, bucket, rate FROM (
+    SELECT doc_id, lang, source,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket,
+           {_RATE_CASE} AS rate
+    FROM documents
+  ) WHERE bucket < rate
+)
+SELECT k.*, ek.sample_rank FROM kept k LEFT JOIN ek USING (doc_id)
 """
 
 # ---------------------------------------------------------------------------

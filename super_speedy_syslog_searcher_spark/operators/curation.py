@@ -1025,3 +1025,38 @@ def ngram_novelty(
             F.round(F.when(ng > 0, nn / ng), 4).alias("novelty_frac"),
         )
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY-k deterministic sample per stratum — the companion to
+    :func:`stratified_sample` (rate-based, exact only in expectation)
+    for the "give me exactly 10k eval docs per language" ask: rank each
+    stratum's rows by ``md5(id)`` (a uniform, layout- and engine-
+    independent pseudo-order; ties impossible on distinct ids, but the
+    id itself tie-breaks anyway) and keep ``rank <= k``. Re-runs,
+    resumes, and the DuckDB twin select the identical set; adding new
+    docs to a stratum only swaps members whose hash falls inside the
+    new top-k — a growing corpus perturbs the sample minimally
+    (bounded-churn property of hash-ordered selection).
+
+    Scale shape: the per-stratum rank is a window over (stratum), but
+    Spark's WindowGroupLimit inserts a PARTIAL top-k below the exchange
+    (rank-function filter pushdown), so each task forwards at most k
+    rows per stratum it has seen — a hot stratum never funnels its full
+    10^12 rows through one task's sort buffer; the final per-stratum
+    task handles O(k x tasks) rows. For k large enough to break that
+    bound, fall back to a two-pass rate estimate + exact trim.
+
+    Returns the input rows (subset) plus ``sample_rank``.
+    """
+    key = F.md5(F.encode(F.col(id_col).cast("string"), "UTF-8"))
+    w = Window.partitionBy(stratum_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )

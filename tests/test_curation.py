@@ -977,3 +977,62 @@ class TestNgramNovelty:
         df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
         plan = ngram_novelty(df)._jdf.queryExecution().executedPlan().toString()
         assert "Cartesian" not in plan and "Python" not in plan
+
+
+class TestExactKSample:
+    def _df(self, spark, n=400):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        )
+
+    def test_exactly_k_per_stratum(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import exact_k_sample
+
+        rows = exact_k_sample(self._df(spark), 30).collect()
+        per = {}
+        for r in rows:
+            per[r["lang"]] = per.get(r["lang"], 0) + 1
+            assert 1 <= r["sample_rank"] <= 30
+        assert per == {"en": 30, "de": 30}
+
+    def test_layout_invariance(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import exact_k_sample
+
+        d = self._df(spark)
+        a = sorted(r["doc_id"] for r in exact_k_sample(d.repartition(1), 15).collect())
+        b = sorted(r["doc_id"] for r in exact_k_sample(d.repartition(13), 15).collect())
+        assert a == b
+
+    def test_bounded_churn_when_corpus_grows(self, spark):
+        # adding docs only swaps members whose hash enters the top-k:
+        # the old and new samples differ by at most the insert count
+        from super_speedy_syslog_searcher_spark.operators.curation import exact_k_sample
+
+        small = self._df(spark, 300)
+        big = self._df(spark, 400)  # 100 new docs (50 per stratum)
+        a = {r["doc_id"] for r in exact_k_sample(small, 20).collect()}
+        b = {r["doc_id"] for r in exact_k_sample(big, 20).collect()}
+        assert len(a) == len(b) == 40
+        # kept set can only shrink by displaced members, never reshuffle
+        assert len(a - b) <= 100
+
+    def test_k_larger_than_stratum(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import exact_k_sample
+
+        d = spark.createDataFrame([(1, "xx"), (2, "xx")], "doc_id long, lang string")
+        assert exact_k_sample(d, 10).count() == 2
+
+    def test_partial_topk_in_plan(self, spark):
+        # Spark must plan the partial WindowGroupLimit below the exchange
+        # — the guard against a hot stratum funneling raw rows into one
+        # task's sort
+        from super_speedy_syslog_searcher_spark.operators.curation import exact_k_sample
+
+        plan = (
+            exact_k_sample(self._df(spark), 5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "WindowGroupLimit" in plan
