@@ -1036,3 +1036,85 @@ class TestExactKSample:
             .toString()
         )
         assert "WindowGroupLimit" in plan
+
+
+class TestHtmlNormalizePropertyTwin:
+    """Randomized cross-engine twins for the regex-chain operators: the
+    same generated strings must come out of Spark's Java-regex chain and
+    DuckDB's RE2 chain byte-identical — the guard against dialect drift
+    that fixed cases miss (module-head Java-cap-RE2 discipline)."""
+
+    FRAGMENTS = [
+        "a", "bb", " ", "  ", "<", ">", "&", ";", "/", "!", '"', "'", "=",
+        "\n", "\t", "<p>", "</p>", "<BR/>", "<div class='x'>", "</div>",
+        "<script>", "</script>", "<style>", "</style>", "<!--", "-->",
+        "&amp;", "&lt;", "&gt;", "&nbsp;", "&#39;", "plain words here",
+        "1 < 2", "x > y",
+    ]
+
+    def _twin_check(self, spark, texts, spark_fn, sql_expr_fn, out_col):
+        import duckdb
+
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, t string")
+        got = {r["doc_id"]: r[out_col] for r in spark_fn(df).collect()}
+        con = duckdb.connect()
+        con.execute("CREATE TABLE x (doc_id BIGINT, t VARCHAR)")
+        con.executemany("INSERT INTO x VALUES (?, ?)", list(enumerate(texts)))
+        want = dict(con.execute(f"SELECT doc_id, {sql_expr_fn('t')} FROM x").fetchall())
+        con.close()
+        for i in range(len(texts)):
+            assert got[i] == want[i], (i, repr(texts[i]), repr(got[i]), repr(want[i]))
+
+    def test_extract_html_twin_random(self, spark):
+        import random
+
+        from super_speedy_syslog_searcher_spark.entry_queries_curation import (
+            _sql_html_extract,
+        )
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            extract_html_text,
+        )
+
+        rng = random.Random(20260819)
+        texts = [
+            "".join(rng.choice(self.FRAGMENTS) for _ in range(rng.randint(0, 40)))
+            for _ in range(200)
+        ]
+        self._twin_check(
+            spark,
+            texts,
+            lambda d: extract_html_text(d, html_col="t"),
+            _sql_html_extract,
+            "text",
+        )
+
+    def test_normalize_twin_random(self, spark):
+        import random
+
+        from super_speedy_syslog_searcher_spark.entry_queries_curation import (
+            _sql_normalize,
+        )
+        from super_speedy_syslog_searcher_spark.operators.curation import normalize_text
+
+        frags = self.FRAGMENTS + [
+            "\u00e9",  # precomposed e-acute
+            "e\u0301",  # decomposed e-acute (NFC must compose)
+            "A\u030a",  # decomposed ring
+            "\u00a0",  # NBSP
+            "\u0007",  # C0 control
+            "\u009f",  # C1 control
+            "caf\u00e9",
+            "ö", "ß", "İ",
+        ]
+        rng = random.Random(20260819)
+        texts = [
+            "".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
+            for _ in range(200)
+        ]
+        self._twin_check(
+            spark,
+            texts,
+            lambda d: normalize_text(d, text_col="t"),
+            _sql_normalize,
+            "norm_text",
+        )
