@@ -152,6 +152,19 @@ def run_bench(spark, sf_dir: str) -> dict:
 
         stupid_backoff_logprob(docs).count()
 
+    # q10: unigram-LM tokenizer training (r4.4) — the iterative hard-EM
+    # loop over the documents table: substring seed + 2 Viterbi E-steps
+    # + final encode = 4 corpus passes; measures the map-only Arrow
+    # E-step and the vocabulary-keyed aggregates end to end
+    def q_unigram():
+        from super_speedy_syslog_searcher_spark.operators.tokens import train_unigram
+
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        _vocab, seg = train_unigram(
+            d, vocab_size=512, max_piece_len=6, seed_size=4000, n_rounds=2
+        )
+        seg.count()
+
     # e2e runs first and pays whole-write-path JIT on its first rep;
     # 3 runs so the reported min is steady-state even in a window with
     # one throttling spike
@@ -166,6 +179,9 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("ann_cosine_topk", q_ann)
     timed("tokens_pack", q_pack)
     timed("tokens_stupid_backoff", q_sb)
+    # single rep: the trainer is 4 corpus passes by construction and its
+    # integer-count determinism makes reps redundant for correctness
+    timed("tokens_unigram_train", q_unigram, runs=1)
 
     e2e = timings["e2e_parse_enrich_route_agg"]
     return {
