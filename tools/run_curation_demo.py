@@ -5,6 +5,9 @@ over the synthetic ``documents`` table.
 Usage: spark-submit tools/run_curation_demo.py [--sf-dir DIR] [--out DIR]
 
 Stages (each prints a funnel row: docs in → docs out):
+  0. crawl on-ramp       each doc rendered into HTML chrome (stand-in
+                         for raw crawl pages) → extract_html_text →
+                         normalize_text; the cleaned text continues
   1. quality gate        quality_stats keep=1 ∧ Gopher repetition keep=1
                          ∧ Gopher quality rules pass (corpus-tuned
                          thresholds: min_words=20, min_stop_hits=1)
@@ -39,8 +42,11 @@ from pyspark.sql import functions as F
 from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
 from super_speedy_syslog_searcher_spark.operators.curation import (
     decontaminate,
+    extract_html_text,
     gopher_quality_stats,
     leakage_safe_splits,
+    ngram_novelty,
+    normalize_text,
     repetition_stats,
 )
 from super_speedy_syslog_searcher_spark.operators.dedup import (
@@ -74,6 +80,25 @@ def main() -> None:
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     funnel = [("input", docs.count())]
 
+    # 0. crawl on-ramp: render each doc into deterministic HTML chrome
+    #    (the stand-in for raw crawl pages), recover the main content,
+    #    and canonicalize unicode/whitespace; the cleaned text is what
+    #    the rest of the pipeline consumes — map-only, count unchanged
+    html = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><style>p{margin:0}</style><script>render(1 < 2);</script>'),
+            F.lit("</head><body><!-- crawl --><p>"),
+            F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    cleaned = normalize_text(extract_html_text(html).select("doc_id", "text"))
+    docs = docs.drop("text").join(
+        cleaned.select("doc_id", F.col("norm_text").alias("text")), "doc_id"
+    )
+    funnel.append(("html-extract+norm", docs.count()))
+
     # 1. quality gate: map-only column pipelines, one semi-join each
     q_keep = quality_stats(docs).filter(F.col("keep") == 1).select("doc_id")
     g_keep = repetition_stats(docs).filter(F.col("keep") == 1).select("doc_id")
@@ -100,6 +125,13 @@ def main() -> None:
     dedup_report(
         docs.withColumn("n_tok", F.length("text")), clusters, source_col="lang"
     ).orderBy("source").show(truncate=False)
+    print("== n-gram novelty by language (low = template/near-copy heavy) ==")
+    ngram_novelty(docs).join(docs.select("doc_id", "lang"), "doc_id").groupBy(
+        "lang"
+    ).agg(
+        F.round(F.avg("novelty_frac"), 4).alias("avg_novelty"),
+        F.sum(F.when(F.col("novelty_frac") < 0.05, 1).otherwise(0)).alias("near_copies"),
+    ).orderBy("lang").show(truncate=False)
     docs = docs.join(losers, "doc_id", "left_anti")
     funnel.append(("dedup", docs.count()))
 
