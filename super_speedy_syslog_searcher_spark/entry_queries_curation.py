@@ -27,6 +27,7 @@ from .operators.curation import (
     HTML_DROP_RES,
     HTML_ENTITIES,
     HTML_TAG_RE,
+    HTML_WS_CANON,
     IPV4_RE,
     PHONE_RE,
     URL_DOMAIN_RE,
@@ -35,6 +36,7 @@ from .operators.curation import (
     dsir_weights,
     extract_html_text,
     length_quantiles,
+    NORM_TRIM_RE,
     normalize_text,
     pii_scrub,
     repetition_stats,
@@ -132,13 +134,21 @@ _SQL_UNICODE_SEED = "seeded AS (\n  SELECT doc_id, text" + "".join(
 ) + "\n         AS text\n  FROM pii\n)"
 
 
+def _sql_repl(rep: str) -> str:
+    """Render a replacement string as a DuckDB expression — newlines
+    become chr(10) so no escape-dialect question arises."""
+    if not rep:
+        return "''"
+    return " || ".join("chr(10)" if ch == "\n" else _sql_str(ch) for ch in rep)
+
+
 def _sql_normalize(col: str) -> str:
     """The DuckDB mirror of curation.normalize_text, generated from the
     operator's own regex constants so the engines cannot drift."""
     t = f"nfc_normalize({col})"
     t = f"regexp_replace({t}, '{CONTROL_RE}', '', 'g')"
     t = f"regexp_replace({t}, '{HSPACE_RE}', ' ', 'g')"
-    return f"regexp_replace({t}, '^ +| +$', '', 'g')"
+    return f"regexp_replace({t}, '{NORM_TRIM_RE}', '', 'g')"
 
 
 _SQL_NORM = _sql_normalize("text")
@@ -493,6 +503,18 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", F.transform("ls", lambda s: s["t"])).alias("text"),
         )
     )
+    # escape &/</> before injection (a raw '<' in a log line would make
+    # the tag-strip regex swallow the <p> separators — review r4.4);
+    # entity decode on extraction restores the original characters
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     wrapped = docs.select(
         "doc_id",
         F.concat(
@@ -501,11 +523,13 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(HTML_WRAP_MID),
             F.col("doc_id"),
             F.lit(HTML_WRAP_P),
-            F.replace(F.col("text"), F.lit("\n"), F.lit(HTML_WRAP_SEP)),
+            F.replace(esc, F.lit("\n"), F.lit(HTML_WRAP_SEP)),
             F.lit(HTML_WRAP_POST),
         ).alias("html"),
     )
-    ex = extract_html_text(wrapped)
+    # the 16-step regex chain feeds both the line dedup and the density
+    # columns — materialize it once (the r4.3 components-row idiom)
+    ex = extract_html_text(wrapped).localCheckpoint(eager=True)
     cleaned = drop_boilerplate_lines(ex.select("doc_id", "text"), max_docs=BOILER_MAX_DOCS)
     return cleaned.join(
         ex.select("doc_id", "n_chars_html", "n_chars_text", "text_density"), "doc_id"
@@ -514,7 +538,8 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_html_extract(col: str) -> str:
     """The DuckDB mirror of curation.extract_html_text, generated from
-    the operator's own pattern constants so the engines cannot drift."""
+    the operator's own pattern constants (drop/block/tag/entity tables
+    AND the whitespace-canon chain) so the engines cannot drift."""
     t = col
     for pat in HTML_DROP_RES:
         t = f"regexp_replace({t}, '{pat}', '', 'g')"
@@ -522,11 +547,9 @@ def _sql_html_extract(col: str) -> str:
     t = f"regexp_replace({t}, '{HTML_TAG_RE}', '', 'g')"
     for ent, rep in HTML_ENTITIES:
         t = f"replace({t}, {_sql_str(ent)}, {_sql_str(rep)})"
-    t = f"regexp_replace({t}, '[\\t\\r]', ' ', 'g')"
-    t = f"regexp_replace({t}, ' *\\n *', chr(10), 'g')"
-    t = f"regexp_replace({t}, '  +', ' ', 'g')"
-    t = f"regexp_replace({t}, '\\n\\n\\n+', chr(10) || chr(10), 'g')"
-    return f"regexp_replace({t}, '^[\\n ]+|[\\n ]+$', '', 'g')"
+    for pat, rep in HTML_WS_CANON:
+        t = f"regexp_replace({t}, '{pat}', {_sql_repl(rep)}, 'g')"
+    return t
 
 
 SQL_CLEAN_BOILERPLATE = f"""
@@ -547,7 +570,9 @@ wrapped AS (
   SELECT doc_id,
          {_sql_str(HTML_WRAP_PRE)} || doc_id || {_sql_str(HTML_WRAP_MID)} || doc_id
          || {_sql_str(HTML_WRAP_P)}
-         || replace(text, chr(10), {_sql_str(HTML_WRAP_SEP)})
+         || replace(
+              replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+              chr(10), {_sql_str(HTML_WRAP_SEP)})
          || {_sql_str(HTML_WRAP_POST)} AS html
   FROM docs
 ),

@@ -847,6 +847,19 @@ HTML_ENTITIES = (
     ("&nbsp;", " "),
     ("&amp;", "&"),
 )
+# whitespace canon steps (pattern, replacement), applied in order and
+# iterated verbatim by the DuckDB twin builder. End anchors are \z (end
+# of TEXT — identical in Java regex and RE2), NEVER $: Java's $ also
+# matches before a final line terminator while RE2's matches only at
+# end of input, which silently breaks the bit-for-bit twin contract on
+# text ending in space+newline (review r4.4).
+HTML_WS_CANON = (
+    ("[\\t\\r]", " "),
+    (" *\\n *", "\n"),
+    ("  +", " "),
+    ("\\n\\n\\n+", "\n\n"),
+    ("^[\\n ]+|[\\n ]+\\z", ""),
+)
 
 
 def extract_html_text(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
@@ -875,11 +888,8 @@ def extract_html_text(df: DataFrame, id_col: str = "doc_id", html_col: str = "ht
         t = F.replace(t, F.lit(ent), F.lit(rep))
     # whitespace canon: CR/tab -> space, spaces hugging a newline dropped,
     # space runs collapsed, 3+ newlines -> paragraph break, ends trimmed
-    t = F.regexp_replace(t, "[\\t\\r]", " ")
-    t = F.regexp_replace(t, " *\\n *", "\n")
-    t = F.regexp_replace(t, "  +", " ")
-    t = F.regexp_replace(t, "\\n\\n\\n+", "\n\n")
-    t = F.regexp_replace(t, "^[\\n ]+|[\\n ]+$", "")
+    for pat, rep in HTML_WS_CANON:
+        t = F.regexp_replace(t, pat, rep)
     n_html = F.length(h).cast("long")
     n_text = F.length(t).cast("long")
     return df.select(
@@ -902,6 +912,8 @@ def extract_html_text(df: DataFrame, id_col: str = "doc_id", html_col: str = "ht
 CONTROL_RE = "[\\x00-\\x08\\x0B-\\x1F\\x7F-\\x9F]"
 # NBSP joins the horizontal-whitespace collapse class
 HSPACE_RE = "[ \\x{00A0}]+"
+# edge trim — \z, not $, for the Java/RE2 parity reason at HTML_WS_CANON
+NORM_TRIM_RE = "^ +| +\\z"
 # UTF-8 bytes mis-decoded as Latin-1 leave Â/Ã/â followed by a
 # continuation-range character — the cheap vectorized hint mask
 # (Python-re dialect: used only inside the pandas UDF)
@@ -954,7 +966,7 @@ def normalize_text(
     t = _nfc(raw)
     t = F.regexp_replace(t, CONTROL_RE, "")
     t = F.regexp_replace(t, HSPACE_RE, " ")
-    t = F.regexp_replace(t, "^ +| +$", "")
+    t = F.regexp_replace(t, NORM_TRIM_RE, "")
     return df.select(
         F.col(id_col),
         t.alias("norm_text"),
@@ -974,6 +986,7 @@ def ngram_novelty(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document n-gram novelty (the WIMBD / memorization-scan
     statistic, Elazar et al. 2023): the fraction of a document's
@@ -991,6 +1004,14 @@ def ngram_novelty(
     Ratios are NULL for docs with no n-grams (shorter than ``n``
     words), mirroring the gopher-stats NULL convention.
 
+    The gram stream feeds BOTH the df aggregate and the join-back; by
+    default it is recomputed (two scans of cheap codegen split/hash)
+    rather than materialized — at 10^12 rows the distinct (doc, gram)
+    stream is ~n× the corpus bytes, so persisting it costs more than
+    the second scan. ``materialize=True`` flips to an eager
+    ``localCheckpoint`` (the incremental-LSH idiom) for mid-size
+    corpora where executor storage beats the recompute.
+
     Returns ``(id, n_grams, n_novel, novelty_frac)``.
     """
     words = F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0)
@@ -1002,6 +1023,8 @@ def ngram_novelty(
         ),
     ).otherwise(F.array().cast("array<string>"))
     pairs = df.select(F.col(id_col), F.explode(F.array_distinct(grams_arr)).alias("gram"))
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
     dfreq = pairs.groupBy("gram").agg(F.count("*").cast("long").alias("gram_docs"))
     per_doc = (
         pairs.join(dfreq, "gram")

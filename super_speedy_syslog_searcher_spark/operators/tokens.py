@@ -1424,6 +1424,11 @@ def train_unigram(
         .limit(seed_size)
     )
     counts = {r["piece"]: int(r["cnt"]) for r in singles.unionByName(multis).collect()}
+    if not counts:
+        raise ValueError(
+            "train_unigram: corpus has no text to seed from "
+            "(every document is empty or NULL)"
+        )
 
     def _logp_tables(cnts: dict) -> tuple[dict, float]:
         total = sum(cnts.values())

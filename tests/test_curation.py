@@ -903,6 +903,8 @@ class TestNormalizeText:
             "Ångström unit",
             "mix    gaps\tandctl",
             "plain ascii",
+            "trailing space \n",
+            "  lead and trail  ",
             "",
         ]
 
@@ -910,7 +912,8 @@ class TestNormalizeText:
             t = unicodedata.normalize("NFC", s)
             t = re.sub("[\\x00-\\x08\\x0b-\\x1f\\x7f-\\x9f]", "", t)
             t = re.sub("[  ]+", " ", t)
-            return re.sub("^ +| +$", "", t)
+            # \\Z = python's end-of-text anchor, the re twin of Java/RE2 \\z
+            return re.sub("^ +| +\\Z", "", t)
 
         df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
         got = {r["doc_id"]: r["norm_text"] for r in normalize_text(df).collect()}
@@ -1014,8 +1017,12 @@ class TestExactKSample:
         a = {r["doc_id"] for r in exact_k_sample(small, 20).collect()}
         b = {r["doc_id"] for r in exact_k_sample(big, 20).collect()}
         assert len(a) == len(b) == 40
-        # kept set can only shrink by displaced members, never reshuffle
-        assert len(a - b) <= 100
+        # each new doc whose hash enters the top-k displaces EXACTLY one
+        # old member; every other kept row comes from the old sample —
+        # the selection never reshuffles beyond the entrants
+        new_entrants = {d for d in b if d >= 300}
+        assert b - new_entrants <= a
+        assert len(a - b) == len(new_entrants)
 
     def test_k_larger_than_stratum(self, spark):
         from super_speedy_syslog_searcher_spark.operators.curation import exact_k_sample
@@ -1079,7 +1086,7 @@ class TestHtmlNormalizePropertyTwin:
         texts = [
             "".join(rng.choice(self.FRAGMENTS) for _ in range(rng.randint(0, 40)))
             for _ in range(200)
-        ]
+        ] + ["a \n", " x \n\n", "y \t\n"]  # Java-$-vs-RE2 anchor regressions
         self._twin_check(
             spark,
             texts,
@@ -1110,7 +1117,7 @@ class TestHtmlNormalizePropertyTwin:
         texts = [
             "".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
             for _ in range(200)
-        ]
+        ] + ["a \n", " x \n\n", "y \t \n"]  # Java-$-vs-RE2 anchor regressions
         self._twin_check(
             spark,
             texts,

@@ -84,12 +84,21 @@ def main() -> None:
     #    (the stand-in for raw crawl pages), recover the main content,
     #    and canonicalize unicode/whitespace; the cleaned text is what
     #    the rest of the pipeline consumes — map-only, count unchanged
+    esc = F.replace(
+        F.replace(
+            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+            F.lit("<"),
+            F.lit("&lt;"),
+        ),
+        F.lit(">"),
+        F.lit("&gt;"),
+    )
     html = docs.select(
         "doc_id",
         F.concat(
             F.lit('<html><head><style>p{margin:0}</style><script>render(1 < 2);</script>'),
             F.lit("</head><body><!-- crawl --><p>"),
-            F.replace(F.col("text"), F.lit("\n"), F.lit("</p><p>")),
+            F.replace(esc, F.lit("\n"), F.lit("</p><p>")),
             F.lit("</p></body></html>"),
         ).alias("html"),
     )
