@@ -1357,10 +1357,16 @@ def _segment_df(
 ) -> DataFrame:
     from pyspark.sql import types as T
 
+    # lookup tables built ONCE on the driver, shipped in the closure;
+    # the UDF runs the numpy batch kernel (bit-identical to the
+    # sequential reference — no per-row Python walk in the E-step)
+    vocab_by_len = _prep_unigram_vocab(logp, max_piece_len)
+
     @F.pandas_udf(T.ArrayType(T.StringType()))
     def _seg(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda t: _viterbi_segment("" if t is None else t, logp, max_piece_len, unk_logp)
+        texts = ["" if t is None else t for t in s]
+        return pd.Series(
+            _viterbi_segment_batch(texts, vocab_by_len, max_piece_len, unk_logp)
         )
 
     return docs.select(F.col(id_col), _seg(F.col(text_col)).alias("pieces"))
@@ -1403,9 +1409,13 @@ def train_unigram(
     vocabulary, not the corpus. Driver state is the (piece, count)
     table — never corpus-scale. The corpus itself is never mutated and
     never shuffles (contrast train_bpe, which rewrites tokens each
-    round). The per-doc Viterbi walk is O(len x max_piece_len) dict
-    probes inside the Arrow batch — the inherent E-step cost that
-    SentencePiece pays single-node, here spread across executors.
+    round). The E-step itself is NUMPY-VECTORIZED across the Arrow
+    batch (``_viterbi_segment_batch``: exact searchsorted piece lookup
+    over rank-compressed uint64 window keys, then a DP whose python
+    loop runs over POSITIONS only, each step an in-place vector op
+    across all docs) — bit-identical to the sequential reference
+    kernel, which the tests assert; no per-row Python walk remains in
+    the hot path (input_hint discipline).
 
     Returns ``(vocab, segmented)``: ``vocab`` is
     ``[(piece, count, logp), ...]`` sorted by (count desc, piece asc);
@@ -1511,21 +1521,22 @@ def apply_unigram(
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = f"{id_col} {id_type}, pieces array<string>, n_pieces int, n_unk int"
     known = set(logp)
+    vocab_by_len = _prep_unigram_vocab(logp, max_piece_len)
 
     def _gen(batches):
         for pdf in batches:
-            out_pieces, n_pieces, n_unk = [], [], []
-            for t in pdf[text_col]:
-                ps = _viterbi_segment("" if t is None else t, logp, max_piece_len, unk_logp)
-                out_pieces.append(ps)
-                n_pieces.append(len(ps))
-                n_unk.append(sum(1 for p in ps if p not in known))
+            texts = ["" if t is None else t for t in pdf[text_col]]
+            out_pieces = _viterbi_segment_batch(
+                texts, vocab_by_len, max_piece_len, unk_logp
+            )
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     "pieces": out_pieces,
-                    "n_pieces": n_pieces,
-                    "n_unk": n_unk,
+                    "n_pieces": [len(ps) for ps in out_pieces],
+                    "n_unk": [
+                        sum(1 for p in ps if p not in known) for ps in out_pieces
+                    ],
                 }
             )
 
@@ -1587,3 +1598,189 @@ def tokenizer_fertility(
         ratio(F.col("n_chars"), F.col("n_pieces")).alias("chars_per_piece"),
         ratio(F.col("_unk"), F.col("n_pieces")).alias("unk_rate"),
     )
+
+
+def _prep_unigram_vocab(logp: dict, max_piece_len: int):
+    """Precompute per-length sorted lookup tables for the batch Viterbi:
+    for each piece length l, a lexicographically sorted array of the
+    vocab's codepoint rows (viewed as fixed-width void records so
+    ``searchsorted`` compares whole pieces in C) plus the matching
+    log-prob vector. Built ONCE on the driver and shipped in the UDF
+    closure — bounded by the vocabulary, never corpus-scale."""
+    by_len: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for l in range(1, max_piece_len + 1):
+        pieces = [p for p in logp if len(p) == l]
+        if not pieces:
+            continue
+        mat = np.empty((len(pieces), l), dtype=np.uint32)
+        for r, p in enumerate(pieces):
+            mat[r] = np.frombuffer(p.encode("utf-32-le"), dtype=np.uint32)
+        scores = np.array([logp[p] for p in pieces], dtype=np.float64)
+        void = np.ascontiguousarray(mat).view(f"V{4 * l}").ravel()
+        order = np.argsort(void)
+        by_len[l] = (void[order], scores[order])
+    return by_len
+
+
+def _viterbi_segment_batch(
+    texts: list,
+    vocab_by_len: dict,
+    max_piece_len: int,
+    unk_logp: float,
+    chunk_cells: int = 1_000_000,
+) -> list:
+    """Vectorized batch form of :func:`_viterbi_segment` — bit-identical
+    output (same float64 adds and strict-``>`` longest-piece tie-break,
+    asserted by a randomized equivalence test), with the per-character
+    work done by numpy instead of a per-row Python walk:
+
+    * candidate scoring: for each piece length l, every window of the
+      chunk's flattened codepoint array is matched against the sorted
+      vocab table with ONE ``searchsorted`` + equality verify (exact —
+      no hashing, no collision risk); misses at l=1 take ``unk_logp``,
+      so segmentation stays total.
+    * the DP recurrence runs as a Python loop over POSITIONS ONLY
+      (``maxlen`` iterations), each step a vectorized max across the
+      whole chunk of documents.
+
+    Docs are processed in length-sorted chunks capped at ``chunk_cells``
+    padded cells so the (docs x maxlen) score matrices stay small;
+    outputs are restored to input order.
+    """
+    n = len(texts)
+    out: list = [None] * n
+    lens = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
+    order = np.argsort(lens, kind="stable")
+    pos = 0
+    while pos < n:
+        # grow the chunk while the padded cell budget holds
+        end = pos + 1
+        while end < n:
+            maxlen = int(lens[order[end]])  # sorted: last doc is longest
+            if (end + 1 - pos) * max(maxlen, 1) > chunk_cells:
+                break
+            end += 1
+        idxs = order[pos:end]
+        _viterbi_chunk(texts, idxs, lens, vocab_by_len, max_piece_len, unk_logp, out)
+        pos = end
+    return out
+
+
+def _viterbi_chunk(texts, idxs, lens, vocab_by_len, L, unk_logp, out) -> None:
+    neg = -np.inf
+    chunk_lens = lens[idxs]
+    maxlen = int(chunk_lens.max()) if len(idxs) else 0
+    if maxlen == 0:
+        for i in idxs:
+            out[i] = []
+        return
+    nd = len(idxs)
+    total = int(chunk_lens.sum())
+    flat = np.empty(total, dtype=np.uint32)
+    offsets = np.zeros(nd, dtype=np.int64)
+    o = 0
+    for k, i in enumerate(idxs):
+        t = texts[i]
+        ln = int(chunk_lens[k])
+        offsets[k] = o
+        if ln:
+            flat[o : o + ln] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        o += ln
+    ends = offsets + chunk_lens
+    doc_of = np.repeat(np.arange(nd), chunk_lens)
+    ar = np.arange(total, dtype=np.int64)
+    local = ar - offsets[doc_of]
+
+    # rank-compress the chunk's codepoints so window keys pack into
+    # uint64 (exact positional encoding, base = |alphabet| — injective,
+    # no hashing/collisions); vocab pieces re-key against the SAME rank
+    # table, pieces using codepoints absent from the chunk cannot match
+    # and are dropped for this chunk. Native-int searchsorted is ~10x
+    # the void-record compare path.
+    uniq = np.unique(flat)
+    B = np.uint64(max(len(uniq), 1))
+    use_packed = len(uniq) > 0 and B ** np.uint64(L) < np.uint64(1) << np.uint64(62)
+    ranks = np.searchsorted(uniq, flat).astype(np.uint64) if use_packed else None
+
+    def keys_for_l(l: int):
+        """(window_keys_for_chunk, vocab_keys_sorted, vocab_scores_sorted)."""
+        tbl = vocab_by_len.get(l)
+        if use_packed:
+            kk = ranks[: total - l + 1].copy()
+            for step in range(1, l):
+                kk *= B
+                kk += ranks[step : total - l + 1 + step]
+            if tbl is None:
+                return kk, None, None
+            keys_v, scores_v = tbl
+            mat = keys_v.view(np.uint32).reshape(len(keys_v), l)
+            pr = np.searchsorted(uniq, mat)
+            prc = np.minimum(pr, max(len(uniq) - 1, 0))
+            ok = (uniq[prc] == mat).all(axis=1)
+            pk = np.zeros(len(keys_v), dtype=np.uint64)
+            prc_u = prc.astype(np.uint64)
+            for c in range(l):
+                pk *= B
+                pk += prc_u[:, c]
+            pk, sc = pk[ok], scores_v[ok]
+            order = np.argsort(pk, kind="stable")
+            return kk, pk[order], sc[order]
+        win = np.lib.stride_tricks.sliding_window_view(flat, l)
+        winv = np.ascontiguousarray(win).view(f"V{4 * l}").ravel()
+        if tbl is None:
+            return winv, None, None
+        return winv, tbl[0], tbl[1]
+
+    # S[l]: (maxlen, nd) — row i is CONTIGUOUS so the dp loop streams it
+    S = {}
+    for l in range(1, L + 1):
+        sc_flat = np.full(total, neg)
+        if total >= l:
+            nwin = total - l + 1
+            valid = (ar[:nwin] + l) <= ends[doc_of[:nwin]]
+            wkeys, vkeys, vscores = keys_for_l(l)
+            if vkeys is not None and len(vkeys):
+                ix = np.searchsorted(vkeys, wkeys)
+                ixc = np.minimum(ix, len(vkeys) - 1)
+                hit = (vkeys[ixc] == wkeys) & valid
+                sc_flat[:nwin][hit] = vscores[ixc[hit]]
+            if l == 1:
+                miss = valid & (sc_flat[:nwin] == neg)
+                sc_flat[:nwin][miss] = unk_logp
+        S_l = np.full((maxlen, nd), neg)
+        S_l[local, doc_of] = sc_flat
+        S[l] = S_l
+
+    # dp over positions: python loop over maxlen only; every step is a
+    # handful of allocation-free in-place ops on contiguous nd-rows
+    dp = np.full((maxlen + 1, nd), neg)
+    dp[0] = 0.0
+    back_l = np.ones((maxlen + 1, nd), dtype=np.int32)
+    tmp = np.empty(nd)
+    mask = np.empty(nd, dtype=bool)
+    for i in range(1, maxlen + 1):
+        best = dp[i]
+        bl = back_l[i]
+        # l ASCENDS with >= so equal scores end on the larger l —
+        # the same longest-piece tie-break as the sequential kernel
+        for l in range(1, min(i, L) + 1):
+            np.add(dp[i - l], S[l][i - l], out=tmp)
+            np.greater_equal(tmp, best, out=mask)
+            np.copyto(best, tmp, where=mask)
+            np.copyto(bl, l, where=mask)
+
+    for k, i in enumerate(idxs):
+        ln = int(chunk_lens[k])
+        if ln == 0:
+            out[i] = []
+            continue
+        t = texts[i]
+        bl_list = back_l[: ln + 1, k].tolist()  # plain ints beat numpy scalars
+        pieces = []
+        p = ln
+        while p > 0:
+            l = bl_list[p]
+            pieces.append(t[p - l : p])
+            p -= l
+        pieces.reverse()
+        out[i] = pieces

@@ -213,3 +213,50 @@ class TestTokenizerFertility:
         seg = spark.createDataFrame([(0, ["a", " b"])], "doc_id long, pieces array<string>")
         r = tokenizer_fertility(d, seg).collect()[0]
         assert r["unk_rate"] == 0.0 and r["fertility"] == 1.0
+
+
+class TestBatchViterbiKernel:
+    def test_batch_equals_sequential_randomized(self):
+        # no Spark needed: the numpy batch kernel must be bit-identical
+        # to the sequential reference on random inputs — unicode mixed
+        # in so both the packed-uint64 and rank-compression paths run
+        import math
+        import random
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            _prep_unigram_vocab,
+            _viterbi_segment,
+            _viterbi_segment_batch,
+        )
+
+        rng = random.Random(99)
+        alphabet = "ab cdeé中"
+        pieces = ["a", "b", "c", "d", "e", " ", "é", "中",
+                  "ab", "cd", "e ", "é中", "ab c", "deé",
+                  "abcde", "zq"]
+        vocab = {p: math.log((len(p) + rng.random()) / 50.0) for p in pieces}
+        unk = math.log(1 / 777.0) - 10.0
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 80)))
+            for _ in range(300)
+        ] + ["", "zzzz", "ab" * 40, "中" * 7]
+        prep = _prep_unigram_vocab(vocab, 5)
+        got = _viterbi_segment_batch(texts, prep, 5, unk, chunk_cells=1500)
+        for t, g in zip(texts, got):
+            assert g == _viterbi_segment(t, vocab, 5, unk), repr(t)
+
+    def test_tiny_chunk_budget_matches(self):
+        # chunking must not change results (chunk boundaries per doc)
+        import math
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            _prep_unigram_vocab,
+            _viterbi_segment_batch,
+        )
+
+        vocab = {"a": math.log(0.4), "b": math.log(0.3), "ab": math.log(0.3)}
+        prep = _prep_unigram_vocab(vocab, 2)
+        texts = ["abab", "b", "", "aaa", "ba"]
+        a = _viterbi_segment_batch(texts, prep, 2, -9.0, chunk_cells=1)
+        b = _viterbi_segment_batch(texts, prep, 2, -9.0, chunk_cells=10**6)
+        assert a == b
