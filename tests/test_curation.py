@@ -1125,3 +1125,14 @@ class TestHtmlNormalizePropertyTwin:
             _sql_normalize,
             "norm_text",
         )
+
+
+class TestNgramNoveltyMaterialize:
+    def test_materialized_path_equal(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import ngram_novelty
+
+        texts = ["a b c d e", "a b c d e", "p q r s t u"]
+        df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+        a = sorted(map(tuple, ngram_novelty(df, n=3).collect()))
+        b = sorted(map(tuple, ngram_novelty(df, n=3, materialize=True).collect()))
+        assert a == b
