@@ -1382,6 +1382,7 @@ def train_unigram(
     min_freq: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seed_sample_ppm: int = 1_000_000,
 ) -> tuple[list[tuple[str, int, float]], DataFrame]:
     """Distributed unigram-LM tokenizer training (Kudo 2018, the
     SentencePiece unigram model) in its HARD-EM / frequency-pruning
@@ -1417,6 +1418,14 @@ def train_unigram(
     kernel, which the tests assert; no per-row Python walk remains in
     the hot path (input_hint discipline).
 
+    ``seed_sample_ppm`` caps the SEED pass to a deterministic md5
+    doc-sample (parts-per-million; the EM rounds always see the full
+    corpus). At web scale the raw substring key space of the seed
+    aggregate is itself corpus-sized — SentencePiece likewise seeds its
+    suffix-array candidates from a bounded sentence sample — and the
+    hash sample keeps the whole run layout/resume/engine-deterministic,
+    unlike ``df.sample``.
+
     Returns ``(vocab, segmented)``: ``vocab`` is
     ``[(piece, count, logp), ...]`` sorted by (count desc, piece asc);
     ``segmented`` is ``(id_col, pieces array<string>)`` under the final
@@ -1426,7 +1435,19 @@ def train_unigram(
     """
     import math
 
-    seed = _seed_piece_counts(docs.select(text_col), text_col, max_piece_len)
+    seed_docs = docs
+    if seed_sample_ppm < 1_000_000:
+        h = F.conv(
+            F.substring(
+                F.md5(F.encode(F.concat(F.lit("useed:"), F.col(id_col).cast("string")), "UTF-8")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        seed_docs = docs.filter(h % 1_000_000 < seed_sample_ppm)
+    seed = _seed_piece_counts(seed_docs.select(text_col), text_col, max_piece_len)
     singles = seed.filter(F.length("piece") == 1)
     multis = (
         seed.filter((F.length("piece") > 1) & (F.col("cnt") >= min_freq))

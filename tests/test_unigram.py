@@ -260,3 +260,22 @@ class TestBatchViterbiKernel:
         a = _viterbi_segment_batch(texts, prep, 2, -9.0, chunk_cells=1)
         b = _viterbi_segment_batch(texts, prep, 2, -9.0, chunk_cells=10**6)
         assert a == b
+
+
+class TestSeedSampling:
+    def test_sampled_seed_deterministic_and_total(self, spark, docs):
+        from super_speedy_syslog_searcher_spark.operators.tokens import train_unigram
+
+        kw = dict(PARAMS)
+        v1, seg1 = train_unigram(docs, seed_sample_ppm=500_000, **kw)
+        v2, seg2 = train_unigram(docs.repartition(3), seed_sample_ppm=500_000, **kw)
+        assert v1 == v2  # md5 doc-sample is layout-independent
+        # segmentation stays total even for chars outside the seed
+        # sample (unk single-char fallback)
+        got = {r["doc_id"]: "".join(r["pieces"]) for r in seg1.collect()}
+        for i, t in enumerate(TEXTS):
+            assert got[i] == t
+        # the sample genuinely dropped docs: the sampled seed vocab
+        # differs from the full-corpus seed's
+        full_v, _ = train_unigram(docs, **kw)
+        assert {p for p, _, _ in v1} != {p for p, _, _ in full_v}
