@@ -271,3 +271,134 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _gen, schema="media_id string, frame_no int, frame_ts_ms long, frame binary"
     )
+
+
+_BUILDERS = {"png": build_png, "gif": build_gif, "bmp": build_bmp, "jpeg": build_jpeg}
+
+
+def resize_stub(
+    media: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Image resize stage — the Spark-side plumbing is real (narrow
+    ``mapInPandas`` over the byte-bounded layout, binary in/binary out,
+    contained per-row failures), the PIXEL kernel is a clearly-marked
+    deterministic stub because no image library ships in this container:
+    the source header is parsed with the real codecs
+    (:func:`parse_image_header`) and the output payload is rebuilt at
+    the target dimensions by the matching ``build_*`` writer. Swap the
+    stub body for PIL/libvips on a real cluster; schema, batching, and
+    error semantics stay identical.
+
+    Returns ``(media_id, ok, kind, src_width, src_height, width,
+    height, scale_x, scale_y, payload)`` — failures keep the row with
+    ``ok=false`` and a NULL payload (the containment contract of
+    ``extract_media_meta``).
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ok", "kind", "src_width", "src_height",
+                "width", "height", "scale_x", "scale_y", "payload",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                meta = parse_image_header(p)
+                rows["media_id"].append(mid)
+                if meta is None:
+                    rows["ok"].append(False)
+                    rows["kind"].append(None)
+                    rows["src_width"].append(None)
+                    rows["src_height"].append(None)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["scale_x"].append(None)
+                    rows["scale_y"].append(None)
+                    rows["payload"].append(None)
+                    continue
+                w, h, kind = meta
+                rows["ok"].append(True)
+                rows["kind"].append(kind)
+                rows["src_width"].append(w)
+                rows["src_height"].append(h)
+                rows["width"].append(target_w)
+                rows["height"].append(target_h)
+                rows["scale_x"].append(round(target_w / w, 6) if w else None)
+                rows["scale_y"].append(round(target_h / h, 6) if h else None)
+                # STUB KERNEL: deterministic header-only rebuild
+                rows["payload"].append(_BUILDERS[kind](target_w, target_h))
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "ok": rows["ok"],
+                    "kind": rows["kind"],
+                    "src_width": pd.array(rows["src_width"], dtype="Int32"),
+                    "src_height": pd.array(rows["src_height"], dtype="Int32"),
+                    "width": pd.array(rows["width"], dtype="Int32"),
+                    "height": pd.array(rows["height"], dtype="Int32"),
+                    "scale_x": pd.array(rows["scale_x"], dtype="Float64"),
+                    "scale_y": pd.array(rows["scale_y"], dtype="Float64"),
+                    "payload": rows["payload"],
+                }
+            )
+
+    schema = (
+        "media_id string, ok boolean, kind string, src_width int, src_height int, "
+        "width int, height int, scale_x double, scale_y double, payload binary"
+    )
+    return media.select("media_id", payload_col).mapInPandas(_gen, schema=schema)
+
+
+def embed_features_stub(
+    media: DataFrame,
+    dim: int = 64,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Media → feature-vector stage (the CLIP/audio-embedding slot of a
+    multimodal pipeline). Plumbing real, kernel a deterministic stub:
+    the "embedding" is the payload's L2-normalized byte-bigram histogram
+    folded into ``dim`` buckets — identical payloads get identical
+    vectors and near-identical payloads get high cosine, so the output
+    COMPOSES with the real similarity operators
+    (``similarity.cosine_dup_pairs`` / ``cosine_topk`` /
+    ``kmeans_assign``) exactly like a learned embedding would; swap the
+    histogram for a model forward pass on a real cluster.
+
+    Map-only (one Arrow stage, numpy per batch — no per-row Python
+    beyond the payload walk that any decoder pays); returns
+    ``(media_id, vec_id, vec array<float>)`` with ``vec_id`` a dense
+    per-batch-independent md5-derived long so the ANN operators' id
+    contracts hold.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, vids, vecs = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                a = np.frombuffer(p, dtype=np.uint8)
+                hist = np.zeros(dim, dtype=np.float64)
+                if a.size >= 2:
+                    bigrams = a[:-1].astype(np.int64) * 256 + a[1:]
+                    np.add.at(hist, bigrams % dim, 1.0)
+                elif a.size == 1:
+                    hist[int(a[0]) % dim] = 1.0
+                n = float(np.sqrt((hist * hist).sum()))
+                if n > 0:
+                    hist /= n
+                ids.append(mid)
+                vids.append(
+                    int.from_bytes(hashlib.md5(str(mid).encode()).digest()[:8], "big")
+                    >> 1
+                )
+                vecs.append(hist.astype(np.float32))
+            yield pd.DataFrame({"media_id": ids, "vec_id": vids, "vec": vecs})
+
+    return media.select("media_id", payload_col).mapInPandas(
+        _gen, schema="media_id string, vec_id long, vec array<float>"
+    )
