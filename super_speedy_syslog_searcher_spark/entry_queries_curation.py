@@ -35,6 +35,7 @@ from .operators.curation import (
     drop_boilerplate_lines,
     dsir_weights,
     extract_html_text,
+    html_escape_min,
     length_quantiles,
     NORM_TRIM_RE,
     normalize_text,
@@ -503,18 +504,9 @@ def q_clean_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("\n", F.transform("ls", lambda s: s["t"])).alias("text"),
         )
     )
-    # escape &/</> before injection (a raw '<' in a log line would make
-    # the tag-strip regex swallow the <p> separators — review r4.4);
-    # entity decode on extraction restores the original characters
-    esc = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"),
-            F.lit("&lt;"),
-        ),
-        F.lit(">"),
-        F.lit("&gt;"),
-    )
+    # escape &/</> before injection (review r4.4) — entity decode on
+    # extraction restores the original characters
+    esc = html_escape_min(F.col("text"))
     wrapped = docs.select(
         "doc_id",
         F.concat(

@@ -862,6 +862,17 @@ HTML_WS_CANON = (
 )
 
 
+def html_escape_min(col: Column) -> Column:
+    """Minimal &/</> escape — the exact inverse of the HTML_ENTITIES
+    decode that :func:`extract_html_text` applies (ampersand FIRST so
+    later passes cannot double-escape). Use this whenever document text
+    is injected into HTML chrome; a raw ``<`` would otherwise make the
+    tag-strip regex swallow everything to the next ``>``."""
+    out = F.replace(col, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
 def extract_html_text(df: DataFrame, id_col: str = "doc_id", html_col: str = "html") -> DataFrame:
     """Main-content text extraction from raw HTML (the trafilatura /
     resiliparse stage of a web-crawl pipeline, reduced to its

@@ -382,12 +382,13 @@ def embed_features_stub(
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 p = bytes(payload) if payload is not None else b""
                 a = np.frombuffer(p, dtype=np.uint8)
-                hist = np.zeros(dim, dtype=np.float64)
                 if a.size >= 2:
                     bigrams = a[:-1].astype(np.int64) * 256 + a[1:]
-                    np.add.at(hist, bigrams % dim, 1.0)
-                elif a.size == 1:
-                    hist[int(a[0]) % dim] = 1.0
+                    hist = np.bincount(bigrams % dim, minlength=dim).astype(np.float64)
+                else:
+                    hist = np.zeros(dim, dtype=np.float64)
+                    if a.size == 1:
+                        hist[int(a[0]) % dim] = 1.0
                 n = float(np.sqrt((hist * hist).sum()))
                 if n > 0:
                     hist /= n

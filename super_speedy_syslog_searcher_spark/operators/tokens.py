@@ -1456,10 +1456,12 @@ def train_unigram(
     )
     counts = {r["piece"]: int(r["cnt"]) for r in singles.unionByName(multis).collect()}
     if not counts:
-        raise ValueError(
-            "train_unigram: corpus has no text to seed from "
-            "(every document is empty or NULL)"
+        hint = (
+            f" (seed_sample_ppm={seed_sample_ppm} selected no docs — raise it)"
+            if seed_sample_ppm < 1_000_000
+            else " (every document is empty or NULL)"
         )
+        raise ValueError("train_unigram: corpus has no text to seed from" + hint)
 
     def _logp_tables(cnts: dict) -> tuple[dict, float]:
         total = sum(cnts.values())
@@ -1719,8 +1721,11 @@ def _viterbi_chunk(texts, idxs, lens, vocab_by_len, L, unk_logp, out) -> None:
     # and are dropped for this chunk. Native-int searchsorted is ~10x
     # the void-record compare path.
     uniq = np.unique(flat)
+    # guard in PYTHON ints: numpy uint64 power wraps mod 2^64, which
+    # could falsely enable packing past the injectivity bound (review
+    # r4.4 #2 — e.g. 1650**6 wraps below 2^62)
+    use_packed = 0 < len(uniq) and len(uniq) ** L < (1 << 62)
     B = np.uint64(max(len(uniq), 1))
-    use_packed = len(uniq) > 0 and B ** np.uint64(L) < np.uint64(1) << np.uint64(62)
     ranks = np.searchsorted(uniq, flat).astype(np.uint64) if use_packed else None
 
     def keys_for_l(l: int):

@@ -279,3 +279,49 @@ class TestSeedSampling:
         # differs from the full-corpus seed's
         full_v, _ = train_unigram(docs, **kw)
         assert {p for p, _, _ in v1} != {p for p, _, _ in full_v}
+
+
+class TestPackedGuardOverflow:
+    def test_large_alphabet_falls_back_exactly(self):
+        # review r4.4 #2: numpy uint64 power wraps (1650**6 mod 2**64 <
+        # 2**62), which would falsely enable the packed-key path past
+        # the injectivity bound. With >=1650 distinct codepoints at
+        # L=6 the guard must fall back to the void path and still match
+        # the sequential kernel exactly.
+        import math
+        import random
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            _prep_unigram_vocab,
+            _viterbi_segment,
+            _viterbi_segment_batch,
+        )
+
+        assert int(np_uint64_pow(1650, 6)) < (1 << 62)  # the wrap itself
+        rng = random.Random(3)
+        alphabet = [chr(0x4E00 + i) for i in range(1700)]
+        vocab = {c: math.log(1 / 2000.0) for c in alphabet[:100]}
+        vocab["".join(alphabet[:2])] = math.log(0.3)
+        texts = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 50)))
+            for _ in range(60)
+        ]
+        prep = _prep_unigram_vocab(vocab, 6)
+        got = _viterbi_segment_batch(texts, prep, 6, -15.0)
+        for t, g in zip(texts, got):
+            assert g == _viterbi_segment(t, vocab, 6, -15.0)
+
+    def test_seed_sample_error_names_the_knob(self, spark):
+        import pytest as _pytest
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import train_unigram
+
+        d = spark.createDataFrame([(1, "some text")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="seed_sample_ppm"):
+            train_unigram(d, seed_sample_ppm=0, vocab_size=10)
+
+
+def np_uint64_pow(b: int, e: int) -> int:
+    import numpy as np
+
+    return int(np.uint64(b) ** np.uint64(e))

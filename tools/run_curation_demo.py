@@ -44,6 +44,7 @@ from super_speedy_syslog_searcher_spark.operators.curation import (
     decontaminate,
     extract_html_text,
     gopher_quality_stats,
+    html_escape_min,
     leakage_safe_splits,
     ngram_novelty,
     normalize_text,
@@ -84,15 +85,7 @@ def main() -> None:
     #    (the stand-in for raw crawl pages), recover the main content,
     #    and canonicalize unicode/whitespace; the cleaned text is what
     #    the rest of the pipeline consumes — map-only, count unchanged
-    esc = F.replace(
-        F.replace(
-            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
-            F.lit("<"),
-            F.lit("&lt;"),
-        ),
-        F.lit(">"),
-        F.lit("&gt;"),
-    )
+    esc = html_escape_min(F.col("text"))
     html = docs.select(
         "doc_id",
         F.concat(
