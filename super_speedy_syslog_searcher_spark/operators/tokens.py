@@ -1810,3 +1810,39 @@ def _viterbi_chunk(texts, idxs, lens, vocab_by_len, L, unk_logp, out) -> None:
             p -= l
         pieces.reverse()
         out[i] = pieces
+
+
+def corpus_profile(
+    docs: DataFrame,
+    rsd: float = 0.02,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """One-pass per-group corpus telemetry with SKETCHED cardinalities:
+    doc/token totals plus HyperLogLog++ distinct-token and
+    distinct-document estimates (``approx_count_distinct``). At 10^12
+    rows an exact ``countDistinct`` keys a shuffle on every token
+    occurrence; the HLL sketch is a fixed-size, mergeable accumulator
+    that rides the ordinary partial-aggregation path — one narrow pass,
+    one |groups|-row result. ``rsd`` dials sketch size vs the standard
+    error (HLL++ is exact below its sparse-mode threshold, so small
+    test corpora come back exact — asserted in tests).
+
+    Returns ``(group_col, n_docs, n_tok_total, approx_distinct_tokens,
+    approx_distinct_docs, mean_doc_len)``.
+    """
+    tok = F.explode(tokens_col).alias("_t")
+    per_tok = docs.select(F.col(group_col), F.col("doc_id"), tok).groupBy(group_col).agg(
+        F.approx_count_distinct("_t", rsd).alias("approx_distinct_tokens"),
+        F.approx_count_distinct("doc_id", rsd).alias("approx_distinct_docs"),
+        F.count("*").cast("long").alias("n_tok_total"),
+    )
+    per_doc = docs.groupBy(group_col).agg(F.count("*").cast("long").alias("n_docs"))
+    return per_doc.join(per_tok, group_col).select(
+        group_col,
+        "n_docs",
+        "n_tok_total",
+        "approx_distinct_tokens",
+        "approx_distinct_docs",
+        F.round(F.col("n_tok_total") / F.col("n_docs"), 4).alias("mean_doc_len"),
+    )

@@ -1267,3 +1267,51 @@ class TestReplicateForMixture:
             .toString()
         )
         assert "Exchange hashpartitioning" not in plan
+
+
+class TestCorpusProfile:
+    def test_small_scale_exact_and_error_bound(self, spark):
+        from pyspark.sql import functions as F
+
+        from super_speedy_syslog_searcher_spark.operators.tokens import corpus_profile
+
+        rows = []
+        for d in range(40):
+            src = "a" if d % 2 == 0 else "b"
+            rows.append((f"d{d:03d}", src, [int(x) for x in range((d * 13) % 50, (d * 13) % 50 + 30)]))
+        df = spark.createDataFrame(rows, "doc_id string, source string, tokens array<int>")
+        got = {r["source"]: r for r in corpus_profile(df, rsd=0.02).collect()}
+        exact = {
+            r["source"]: r
+            for r in df.select("source", "doc_id", F.explode("tokens").alias("t"))
+            .groupBy("source")
+            .agg(
+                F.countDistinct("t").alias("dt"),
+                F.countDistinct("doc_id").alias("dd"),
+                F.count("*").alias("nt"),
+            )
+            .collect()
+        }
+        for s in ("a", "b"):
+            g, e = got[s], exact[s]
+            assert g["n_docs"] == 20 and g["n_tok_total"] == e["nt"]
+            # HLL++ stays exact below its sparse threshold at this scale
+            assert abs(g["approx_distinct_tokens"] - e["dt"]) <= max(2, 0.1 * e["dt"])
+            assert abs(g["approx_distinct_docs"] - e["dd"]) <= max(2, 0.1 * e["dd"])
+            assert g["mean_doc_len"] == round(e["nt"] / 20, 4)
+
+    def test_sketch_path_partial_agg(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.tokens import corpus_profile
+
+        df = spark.range(500).selectExpr(
+            "cast(id as string) as doc_id",
+            "case when id % 2 = 0 then 'x' else 'y' end as source",
+            "transform(sequence(1, 20), i -> cast(id * 20 + i as int)) as tokens",
+        )
+        plan = corpus_profile(df)._jdf.queryExecution().executedPlan().toString()
+        # the sketch must ride the two-phase (partial/final) agg path
+        assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+        r = {x["source"]: x for x in corpus_profile(df, rsd=0.05).collect()}
+        # 250 docs x 20 unique tokens each = 5000 distinct per source
+        for s in ("x", "y"):
+            assert abs(r[s]["approx_distinct_tokens"] - 5000) <= 0.15 * 5000
