@@ -1094,3 +1094,50 @@ def exact_k_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def filter_blocked_domains(
+    df: DataFrame,
+    blocked: list[str] | DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop documents containing a URL whose host is (a subdomain of) a
+    blocked domain — the robots/safety-blocklist stage of a crawl
+    pipeline. Matching is suffix-at-label-boundary (``cdn.example.com``
+    is blocked by ``example.com``; ``notexample.com`` is not).
+
+    Scale shape: each document URL's host explodes into its label
+    suffixes (``a.b.example.com`` → 4 rows, bounded by label depth, in
+    pure Column algebra) and EQUI-joins the broadcast blocklist — a
+    hash join, not a nested-loop suffix scan, so the per-URL cost is
+    O(labels) regardless of blocklist size. The corpus side never
+    shuffles; docs with no URLs never reach the join; the final drop is
+    a left-anti join on the distinct hit ids.
+    """
+    spark = df.sparkSession
+    if not isinstance(blocked, DataFrame):
+        blocked = spark.createDataFrame([(b,) for b in blocked], "blocked_domain string")
+    labels = F.split(F.lower(F.col("_dom")), "\\.")
+    sufs = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels) - i), "."),
+    )
+    doc_sufs = (
+        df.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '{URL_DOMAIN_RE}', 1)")
+            ).alias("_dom"),
+        )
+        .select(id_col, F.explode(sufs).alias("_suf"))
+    )
+    hits = (
+        doc_sufs.join(
+            F.broadcast(blocked.select(F.lower("blocked_domain").alias("_suf"))),
+            "_suf",
+        )
+        .select(id_col)
+        .distinct()
+    )
+    return df.join(hits, id_col, "left_anti")

@@ -1136,3 +1136,53 @@ class TestNgramNoveltyMaterialize:
         a = sorted(map(tuple, ngram_novelty(df, n=3).collect()))
         b = sorted(map(tuple, ngram_novelty(df, n=3, materialize=True).collect()))
         assert a == b
+
+
+class TestFilterBlockedDomains:
+    def test_suffix_boundary_semantics(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            filter_blocked_domains,
+        )
+
+        rows = [
+            (1, "see https://cdn.example.com/a"),       # subdomain -> blocked
+            (2, "see https://example.com/b"),           # exact -> blocked
+            (3, "see https://notexample.com/c"),        # suffix w/o boundary -> kept
+            (4, "no urls at all"),                      # kept
+            (5, "https://ok.org/x and http://Bad.NET/y"),  # case-insensitive block
+            (6, "https://ok.org/z"),                    # kept
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = sorted(
+            r["doc_id"]
+            for r in filter_blocked_domains(df, ["example.com", "bad.net"]).collect()
+        )
+        assert kept == [3, 4, 6]
+
+    def test_broadcast_hash_join_plan(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            filter_blocked_domains,
+        )
+
+        df = spark.createDataFrame([(1, "https://a.b.c/x")], "doc_id long, text string")
+        plan = (
+            filter_blocked_domains(df, ["c"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # equi-join on exploded label suffixes -> broadcast HASH join,
+        # never a nested-loop suffix scan
+        assert "BroadcastHashJoin" in plan and "NestedLoop" not in plan
+
+    def test_dataframe_blocklist_and_empty(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            filter_blocked_domains,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "https://x.dev/a"), (2, "plain")], "doc_id long, text string"
+        )
+        bl = spark.createDataFrame([("x.dev",)], "blocked_domain string")
+        assert sorted(r["doc_id"] for r in filter_blocked_domains(df, bl).collect()) == [2]
+        assert filter_blocked_domains(df, []).count() == 2
