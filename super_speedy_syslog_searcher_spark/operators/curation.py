@@ -1076,7 +1076,9 @@ def exact_k_sample(
     resumes, and the DuckDB twin select the identical set; adding new
     docs to a stratum only swaps members whose hash falls inside the
     new top-k — a growing corpus perturbs the sample minimally
-    (bounded-churn property of hash-ordered selection).
+    (bounded-churn property of hash-ordered selection). With
+    ``stratum_col="domain"`` this is also the C4-style per-domain doc
+    cap ("at most k pages per site").
 
     Scale shape: the per-stratum rank is a window over (stratum), but
     Spark's WindowGroupLimit inserts a PARTIAL top-k below the exchange
