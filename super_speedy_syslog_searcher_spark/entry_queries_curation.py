@@ -253,8 +253,26 @@ def _seed_urls(d: DataFrame) -> DataFrame:
     )
 
 
+# seeded blocklist for the suffix-at-label-boundary flag — 'example.org'
+# blocks every site<N>.example.org subdomain; the exact-host entry
+# exercises the equality leg; both engines derive suffixes identically.
+URL_BLOCKLIST = ("example.org", "cdn.example.com")
+
+
 def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return url_domain_stats(_seed_urls(_docs(spark, sf_dir).select("doc_id", "text")))
+    """Per-domain URL stats plus (r4.4) the blocklist flag of
+    ``curation.filter_blocked_domains``' suffix-at-label-boundary
+    matching semantics, hash-checked per domain."""
+    stats = url_domain_stats(_seed_urls(_docs(spark, sf_dir).select("doc_id", "text")))
+    labels = F.split(F.lower(F.col("domain")), "\\.")
+    sufs = F.transform(
+        F.sequence(F.lit(0), F.size(labels) - 1),
+        lambda i: F.array_join(F.slice(labels, i + 1, F.size(labels) - i), "."),
+    )
+    blocked = F.when(
+        F.exists(sufs, lambda s: s.isin(*URL_BLOCKLIST)), 1
+    ).otherwise(0)
+    return stats.select("domain", "n_urls", "n_docs", blocked.alias("blocked"))
 
 
 _SQL_URL_SEED = """
@@ -273,6 +291,8 @@ urled AS (
 )
 """
 
+_SQL_BLOCKLIST = ", ".join(f"'{b}'" for b in URL_BLOCKLIST)
+
 SQL_URL_DOMAIN_STATS = f"""
 WITH {_SQL_URL_SEED.strip()},
 hits AS (
@@ -281,7 +301,14 @@ hits AS (
 )
 SELECT domain,
        CAST(count(*) AS BIGINT) AS n_urls,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CASE WHEN len(list_intersect(
+              list_transform(
+                generate_series(1, len(string_split(lower(domain), '.'))),
+                i -> array_to_string(list_slice(string_split(lower(domain), '.'),
+                                                i, len(string_split(lower(domain), '.'))), '.')),
+              [{_SQL_BLOCKLIST}])) > 0
+            THEN 1 ELSE 0 END AS blocked
 FROM hits GROUP BY domain
 """
 
