@@ -1519,6 +1519,7 @@ def apply_unigram(
     max_piece_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_ids: bool = False,
 ) -> DataFrame:
     """Encode a corpus with a trained unigram vocabulary — the inference
     half of ``train_unigram``. ``vocab`` is the training output
@@ -1529,7 +1530,15 @@ def apply_unigram(
     never shuffles, and characters outside the vocabulary emit as
     single-char pieces at the UNK score and are counted per document.
 
-    Returns ``(id_col, pieces array<string>, n_pieces, n_unk)``.
+    ``emit_ids=True`` adds ``tokens array<int>`` — each piece's id is
+    its position in the (count desc, piece asc)-sorted training vocab
+    (the training output's own order, so ids are a pure function of the
+    corpus); UNK pieces map to ``len(vocab)``. The output then plugs
+    straight into the token-domain operators (``pack_sequences``,
+    ``assemble_sequences``, ``vocab_stats``, ...).
+
+    Returns ``(id_col, pieces array<string>[, tokens array<int>],
+    n_pieces, n_unk)``.
     """
     import math
 
@@ -1542,9 +1551,20 @@ def apply_unigram(
         unk_logp = math.log(1.0 / total) - UNIGRAM_UNK_PENALTY if total else -UNIGRAM_UNK_PENALTY
 
     id_type = docs.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, pieces array<string>, n_pieces int, n_unk int"
+    id_field = ", tokens array<int>" if emit_ids else ""
+    schema = (
+        f"{id_col} {id_type}, pieces array<string>{id_field}, n_pieces int, n_unk int"
+    )
     known = set(logp)
     vocab_by_len = _prep_unigram_vocab(logp, max_piece_len)
+    piece_ids = (
+        {p: i for i, (p, _c, _lp) in enumerate(vocab)}
+        if emit_ids and not isinstance(vocab, dict)
+        else {p: i for i, p in enumerate(sorted(logp))}
+        if emit_ids
+        else None
+    )
+    unk_id = len(logp)
 
     def _gen(batches):
         for pdf in batches:
@@ -1552,16 +1572,22 @@ def apply_unigram(
             out_pieces = _viterbi_segment_batch(
                 texts, vocab_by_len, max_piece_len, unk_logp
             )
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "pieces": out_pieces,
-                    "n_pieces": [len(ps) for ps in out_pieces],
-                    "n_unk": [
-                        sum(1 for p in ps if p not in known) for ps in out_pieces
-                    ],
-                }
-            )
+            cols = {
+                id_col: pdf[id_col].values,
+                "pieces": out_pieces,
+                "n_pieces": [len(ps) for ps in out_pieces],
+                "n_unk": [
+                    sum(1 for p in ps if p not in known) for ps in out_pieces
+                ],
+            }
+            if emit_ids:
+                cols["tokens"] = [
+                    np.array(
+                        [piece_ids.get(p, unk_id) for p in ps], dtype=np.int32
+                    )
+                    for ps in out_pieces
+                ]
+            yield pd.DataFrame(cols)
 
     return docs.select(id_col, text_col).mapInPandas(_gen, schema=schema)
 

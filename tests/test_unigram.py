@@ -325,3 +325,45 @@ def np_uint64_pow(b: int, e: int) -> int:
     import numpy as np
 
     return int(np.uint64(b) ** np.uint64(e))
+
+
+class TestApplyUnigramIds:
+    def test_ids_roundtrip_and_unk_id(self, spark, docs):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            apply_unigram,
+            train_unigram,
+        )
+
+        vocab, _ = train_unigram(docs, **PARAMS)
+        id_of = {p: i for i, (p, _c, _lp) in enumerate(vocab)}
+        new = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "zq!")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in apply_unigram(new, vocab, max_piece_len=5, emit_ids=True).collect()
+        }
+        r1 = rows[1]
+        assert list(r1["tokens"]) == [id_of[p] for p in r1["pieces"]]
+        assert len(r1["tokens"]) == r1["n_pieces"]
+        # unknown chars -> the reserved id len(vocab)
+        r2 = rows[2]
+        assert any(t == len(vocab) for t in r2["tokens"])
+        assert r2["n_unk"] == sum(1 for t in r2["tokens"] if t == len(vocab))
+
+    def test_ids_feed_token_operators(self, spark, docs):
+        from super_speedy_syslog_searcher_spark.operators.tokens import (
+            apply_unigram,
+            train_unigram,
+            vocab_stats,
+        )
+        from pyspark.sql import functions as F
+
+        vocab, _ = train_unigram(docs, **PARAMS)
+        enc = apply_unigram(docs, vocab, max_piece_len=5, emit_ids=True).select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "tokens",
+            F.col("n_pieces").alias("n_tok"),
+        )
+        vs = vocab_stats(enc)
+        assert vs.count() > 0  # composes with the token-domain surface

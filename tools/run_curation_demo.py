@@ -20,6 +20,8 @@ Stages (each prints a funnel row: docs in → docs out):
                          per-language tail third (CCNet slice selection)
   4. mixture sample      sample_to_mixture to per-source token targets
                          (exact integer thresholds)
+  4b. tokenizer          train_unigram on the kept corpus → encode →
+                         per-language fertility report (telemetry)
   5. shuffle             global_shuffle — deterministic training order
   6. pack                tokenize (codepoints) → assemble_sequences
 
@@ -182,6 +184,27 @@ def main() -> None:
     stats = mixture_sample_stats(tok, MIX_PPM)
     sampled = sample_to_mixture(tok, MIX_PPM)
     funnel.append(("mixture-sampled", sampled.count()))
+
+    # 4b. tokenizer: train a unigram-LM vocabulary IN-ENGINE on the kept
+    #     corpus, encode it, and report fertility per language — the
+    #     train → encode → evaluate loop of real data prep (printed
+    #     telemetry; the packing below stays on the codepoint tokens so
+    #     the funnel is unchanged)
+    from super_speedy_syslog_searcher_spark.operators.tokens import (
+        apply_unigram,
+        tokenizer_fertility,
+        train_unigram,
+    )
+
+    kept_docs = docs.join(sampled.select(F.col("doc_id").cast("long").alias("doc_id")), "doc_id", "left_semi")
+    uni_vocab, _ = train_unigram(
+        kept_docs, vocab_size=512, max_piece_len=6, seed_size=3000, n_rounds=2
+    )
+    seg = apply_unigram(kept_docs, uni_vocab, max_piece_len=6)
+    print(f"== unigram tokenizer (trained in-engine, |vocab|={len(uni_vocab)}) ==")
+    tokenizer_fertility(kept_docs, seg, group_col="lang").orderBy("lang").show(
+        truncate=False
+    )
 
     # 5. deterministic training-order shuffle
     shuffled = global_shuffle(sampled, seed="epoch0")
