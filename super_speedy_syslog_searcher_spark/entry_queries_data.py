@@ -482,16 +482,56 @@ SELECT doc_id, fp, count(*) OVER (PARTITION BY doc_id) AS n_fp FROM fps
 
 
 
+# BM25 demo query set for the driver row: a bounded keyword-query table
+# (the grep-shaped use of the reference searcher, lifted to ranked
+# retrieval). One query carries a term absent from the corpus vocabulary
+# so the partial-match path is under the gate. Shared verbatim by the
+# Spark side and the generated SQL twin.
+BM25_DEMO_QUERIES = [
+    ("q1", "spark window agg"),
+    ("q2", "customer join filter"),
+    ("q3", "slow merge"),
+    ("q4", "zzqmissing vector"),
+]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc top-5 tf-idf terms (smoothed idf, deterministic
-    tie-break); scores rounded to 4 decimals so ln() matches across
-    engines."""
-    from .operators.textstats import tfidf_top_terms
+    tie-break) UNIONED with BM25 keyword retrieval over a bounded demo
+    query set (r4.5 absorption — registry stays at the 50-row cap);
+    kernels tagged by ``kind``, scores rounded to 4 decimals so ln()
+    matches across engines."""
+    from .operators.textstats import bm25_topk, tfidf_top_terms
 
-    return tfidf_top_terms(_docs(spark, sf_dir), k=5)
+    docs = _docs(spark, sf_dir)
+    tfidf = tfidf_top_terms(docs, k=5).select(
+        F.lit("tfidf").alias("kind"),
+        F.col("doc_id").cast("string").alias("id"),
+        "rank",
+        F.col("term").alias("item"),
+        "tf",
+        "doc_freq",
+        F.lit(None).cast("bigint").alias("n_terms"),
+        "score",
+    )
+    qdf = spark.createDataFrame(BM25_DEMO_QUERIES, "query_id string, query string")
+    bm = bm25_topk(docs, qdf, k=5, k1=_BM25_K1, b=_BM25_B).select(
+        F.lit("bm25").alias("kind"),
+        F.col("query_id").alias("id"),
+        "rank",
+        F.col("doc_id").cast("string").alias("item"),
+        F.lit(None).cast("bigint").alias("tf"),
+        F.lit(None).cast("bigint").alias("doc_freq"),
+        "n_terms",
+        "score",
+    )
+    return tfidf.unionByName(bm)
 
 
-SQL_TEXT_TFIDF = """
+_BM25_VALUES = ", ".join(f"('{qid}', '{q}')" for qid, q in BM25_DEMO_QUERIES)
+
+SQL_TEXT_TFIDF = f"""
 WITH w AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
 ),
@@ -503,11 +543,51 @@ scored AS (
   SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
          round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS score
   FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+q(query_id, query) AS (VALUES {_BM25_VALUES}),
+qt AS (
+  SELECT DISTINCT query_id, t.term
+  FROM q, unnest(string_split(query, ' ')) AS t(term)
+  WHERE length(t.term) > 0
+),
+base AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+  FROM documents
+),
+stats AS (SELECT count(*) AS n, avg(len(ws)) AS avgdl FROM base),
+dterms AS (SELECT doc_id, len(ws) AS dl, t.term FROM base, unnest(ws) AS t(term)),
+btf AS (
+  SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+  FROM dterms WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY 1, 2
+),
+bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY 1),
+bscored AS (
+  SELECT qt.query_id, btf.doc_id,
+         round(sum(
+           ln(1.0 + (s.n - bdf.df + 0.5) / (bdf.df + 0.5))
+           * btf.tf * ({_BM25_K1} + 1.0)
+           / (btf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * btf.dl / s.avgdl))
+         ), 4) AS score,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM btf JOIN bdf USING (term) JOIN qt USING (term) CROSS JOIN stats s
+  GROUP BY 1, 2
+),
+branked AS (
+  SELECT query_id, doc_id, n_terms, score,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+  FROM bscored
 )
-SELECT doc_id, rank, term, tf, df AS doc_freq, score FROM (
+SELECT 'tfidf' AS kind, CAST(doc_id AS VARCHAR) AS id, rank, term AS item,
+       tf, df AS doc_freq, CAST(NULL AS BIGINT) AS n_terms, score
+FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
   FROM scored
 ) WHERE rank <= 5
+UNION ALL
+SELECT 'bm25' AS kind, query_id AS id, rank, CAST(doc_id AS VARCHAR) AS item,
+       CAST(NULL AS BIGINT) AS tf, CAST(NULL AS BIGINT) AS doc_freq, n_terms, score
+FROM branked WHERE rank <= 5
 """
 
 

@@ -189,3 +189,104 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", F.col("df").alias("doc_freq"), "score")
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_col: str = "query",
+) -> DataFrame:
+    """Okapi BM25 keyword retrieval: top-k documents per query
+    (Robertson & Zaragoza 2009, the Lucene idf form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))`` which is always positive).
+    This is the grep-shaped capability of the reference searcher lifted
+    to ranked retrieval: the reference slices logs by time and the user
+    greps the slice; here a bounded keyword-query set ranks the corpus.
+
+    ``queries`` is a bounded table ``(query_id, query)``; terms are the
+    same whitespace segmentation as :func:`tfidf_top_terms` (exact-match
+    terms, no case folding — documented, SQL-mirrorable). Duplicate
+    terms inside one query count once. Scores are rounded to 4 decimals
+    (cross-engine ln/÷) and ties break on ascending document id.
+
+    Scale shape (100 TB corpus, bounded query set): the distinct
+    query-term set BROADCASTS and prunes the corpus term stream BEFORE
+    any shuffle — the only full-corpus work is the map-side split +
+    per-doc ``dl`` projection inside one scan. The ``(doc, term)`` tf
+    aggregate and the per-(query, doc) scoring aggregate shuffle only
+    the pruned stream; ``df``/idf is |query terms| rows and broadcasts
+    back. N and avgdl are one scalar aggregate (two numbers to the
+    driver, never rows). The final top-k window partitions per query —
+    bounded partitions, WindowGroupLimit prunes map-side.
+
+    Returns ``(query_id, rank, doc_id, n_terms, score)`` where
+    ``n_terms`` is how many distinct query terms the document matched.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.filter(F.split(F.col(text_col), " "), lambda x: F.length(x) > 0).alias("ws"),
+    )
+    srow = base.agg(F.count("*").alias("n"), F.avg(F.size("ws")).alias("avgdl")).collect()[0]
+    n_docs = int(srow["n"] or 0)
+    if n_docs == 0 or not srow["avgdl"]:
+        # empty corpus (or all-empty docs): nothing can match
+        return (
+            queries.select(F.col(query_id_col))
+            .limit(0)
+            .select(
+                query_id_col,
+                F.lit(0).alias("rank"),
+                F.lit(None).cast("bigint").alias("doc_id"),
+                F.lit(0).cast("bigint").alias("n_terms"),
+                F.lit(0.0).alias("score"),
+            )
+        )
+    avgdl = float(srow["avgdl"])
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col), F.explode(F.split(F.col(query_col), " ")).alias("term")
+        )
+        .filter(F.length("term") > 0)
+        .distinct()
+    )
+    terms = base.select(F.col(id_col), F.size("ws").alias("dl"), F.explode("ws").alias("term"))
+    pruned = terms.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = pruned.groupBy(id_col, "term").agg(
+        F.count("*").alias("tf"), F.max("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = F.col("idf") * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.lit(avgdl)))
+    )
+    scored = tf.join(F.broadcast(dfreq.withColumn("idf", idf)), "term").join(
+        F.broadcast(qterms), "term"
+    )
+    agg = scored.groupBy(query_id_col, id_col).agg(
+        F.round(F.sum(contrib), 4).alias("score"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            "rank",
+            F.col(id_col).alias("doc_id"),
+            "n_terms",
+            "score",
+        )
+    )
