@@ -129,11 +129,66 @@ FROM docs2 GROUP BY text
 """
 
 
+# C4 span-dedup corpus: the documents table re-chunked into 6-word
+# LINES (the sentence analogue for log corpora) with a shared 3-line
+# block spliced in front of docs ≡3 (mod 7) and behind docs ≡5 (mod 11)
+# — docs hitting both get a within-doc duplicate. Identical string
+# algebra on both engines.
+_C4_BLOCK_LINES = ["c4dup alpha block", "c4dup beta block", "c4dup gamma block"]
+_C4_BLOCK = "\n".join(_C4_BLOCK_LINES)
+
+
+def _docs_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+    ws = F.filter(F.split("text", " "), lambda x: F.length(x) > 0)
+    nl = F.floor((F.size(ws) + F.lit(5)) / 6).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.array_join(F.slice(ws, i * 6 + 1, 6), " "),
+    )
+    base = F.when(F.size(ws) > 0, F.array_join(lines, "\n")).otherwise(F.lit(""))
+    with_pre = F.when(
+        F.col("doc_id") % 7 == 3, F.concat(F.lit(_C4_BLOCK + "\n"), base)
+    ).otherwise(base)
+    with_post = F.when(
+        F.col("doc_id") % 11 == 5, F.concat(with_pre, F.lit("\n" + _C4_BLOCK))
+    ).otherwise(with_pre)
+    return d.select("doc_id", with_post.alias("text"))
+
+
 def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr-style duplicated spans (Lee et al. 2021) at the word
-    10-gram grain over the splice-seeded corpus: one row per maximal
-    duplicated span, ``(doc_id, span_start, span_end, dup_words)``."""
-    return duplicate_substring_spans(_docs3(spark, sf_dir), k=10)
+    10-gram grain over the splice-seeded corpus — one row per maximal
+    duplicated span — UNIONED with C4-style keep-first span dedup
+    (Raffel et al. 2020) at the line-triple grain over the
+    block-spliced corpus (r4.5 absorption; kernels tagged by ``kind``,
+    clean text verified by md5)."""
+    from .operators.curation import span_dedup_keep_first
+
+    substr = duplicate_substring_spans(_docs3(spark, sf_dir), k=10).select(
+        F.lit("substr").alias("kind"),
+        "doc_id",
+        "span_start",
+        "span_end",
+        "dup_words",
+        F.lit(None).cast("bigint").alias("n_units"),
+        F.lit(None).cast("bigint").alias("n_dup_spans"),
+        F.lit(None).cast("bigint").alias("n_removed_units"),
+        F.lit(None).cast("string").alias("clean_md5"),
+    )
+    c4 = span_dedup_keep_first(_docs_c4(spark, sf_dir), span=3).select(
+        F.lit("c4").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("bigint").alias("span_start"),
+        F.lit(None).cast("bigint").alias("span_end"),
+        F.lit(None).cast("bigint").alias("dup_words"),
+        "n_units",
+        "n_dup_spans",
+        "n_removed_units",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+    return substr.unionByName(c4)
 
 
 _SUBSTR_K = 10
@@ -157,13 +212,72 @@ isl AS (
 isl2 AS (
   SELECT doc_id, pos, sum(newi) OVER (PARTITION BY doc_id ORDER BY pos) AS island
   FROM isl
-)
-SELECT doc_id,
+),
+docsc4 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 7 = 3 THEN {{_C4B}} || chr(10) ELSE '' END
+    || base
+    || CASE WHEN doc_id % 11 = 5 THEN chr(10) || {{_C4B}} ELSE '' END AS text
+  FROM (
+    SELECT doc_id,
+      CASE WHEN len(ws) > 0 THEN
+        array_to_string(
+          list_transform(generate_series(0, (len(ws) + 5) // 6 - 1),
+                         i -> array_to_string(ws[i*6+1:i*6+6], ' ')),
+          chr(10))
+      ELSE '' END AS base
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> length(x) > 0) AS ws
+          FROM documents)
+  )
+),
+u AS (SELECT doc_id, string_split(text, chr(10)) AS us FROM docsc4),
+sp AS (
+  SELECT doc_id, i AS pos,
+    CAST('0x' || substr(md5(array_to_string(us[i+1:i+3], chr(10))), 1, 15) AS BIGINT) AS h
+  FROM u, unnest(generate_series(0, len(us) - 3)) AS t(i)
+  WHERE len(us) >= 3
+),
+kc AS (
+  SELECT doc_id, pos,
+    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+    count(*) OVER (PARTITION BY h) AS cnt
+  FROM sp
+),
+dupst AS (SELECT doc_id, pos FROM kc WHERE cnt > 1 AND rn > 1),
+remu AS (SELECT DISTINCT doc_id, pos + g.k AS j
+         FROM dupst, unnest(generate_series(0, 2)) AS g(k)),
+remcnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed FROM remu GROUP BY 1),
+ndupc4 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM dupst GROUP BY 1),
+ux AS (SELECT doc_id, x - 1 AS j, us[x] AS unit
+       FROM u, unnest(generate_series(1, len(us))) AS t(x)),
+kept AS (
+  SELECT ux.doc_id, ux.j, ux.unit
+  FROM ux LEFT JOIN remu ON ux.doc_id = remu.doc_id AND ux.j = remu.j
+  WHERE remu.j IS NULL
+),
+cln AS (SELECT doc_id, string_agg(unit, chr(10) ORDER BY j) AS clean_text
+        FROM kept GROUP BY 1)
+SELECT 'substr' AS kind, doc_id,
   CAST(min(pos) AS BIGINT) AS span_start,
   CAST(max(pos) + {_SUBSTR_K} - 1 AS BIGINT) AS span_end,
-  CAST(max(pos) - min(pos) + {_SUBSTR_K} AS BIGINT) AS dup_words
+  CAST(max(pos) - min(pos) + {_SUBSTR_K} AS BIGINT) AS dup_words,
+  CAST(NULL AS BIGINT) AS n_units,
+  CAST(NULL AS BIGINT) AS n_dup_spans,
+  CAST(NULL AS BIGINT) AS n_removed_units,
+  CAST(NULL AS VARCHAR) AS clean_md5
 FROM isl2 GROUP BY doc_id, island
-"""
+UNION ALL
+SELECT 'c4' AS kind, u.doc_id,
+  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+  CAST(len(u.us) AS BIGINT),
+  CAST(coalesce(nd.n_dup, 0) AS BIGINT),
+  CAST(coalesce(rc.n_removed, 0) AS BIGINT),
+  md5(coalesce(cl.clean_text, ''))
+FROM u
+LEFT JOIN ndupc4 nd USING (doc_id)
+LEFT JOIN remcnt rc USING (doc_id)
+LEFT JOIN cln cl USING (doc_id)
+""".replace("{_C4B}", " || chr(10) || ".join(f"'{l}'" for l in _C4_BLOCK_LINES))
 
 
 _SQL_JACCARD_BODY = f"""

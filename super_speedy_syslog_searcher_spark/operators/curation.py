@@ -1143,3 +1143,111 @@ def filter_blocked_domains(
         .distinct()
     )
     return df.join(hits, id_col, "left_anti")
+
+
+def span_dedup_keep_first(
+    df: DataFrame,
+    span: int = 3,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style repeated-span deduplication with keep-first removal
+    (Raffel et al. 2020 §2.2: "we removed all but one of any
+    three-sentence span occurring more than once in the data set").
+
+    The span unit is a ``sep``-delimited segment — the LINE for log
+    corpora (the natural sentence analogue; for prose, pre-insert
+    sentence markers with a regexp_replace and pass them as ``sep``).
+    Every window of ``span`` consecutive units is hashed (md5-60-bit,
+    the SQL-mirrorable trick of operators/dedup.py); for each hash seen
+    more than once corpus-wide, the single occurrence with the smallest
+    ``(doc_id, position)`` is the keeper and every other occurrence is
+    removed: the removal mask is the UNION of the non-keeper
+    occurrences' unit ranges, so a kept span overlapping a removed one
+    can still lose units (exactly the documented C4 behaviour of
+    overlapping spans; the rule is deterministic and order-free).
+
+    Returns ``(doc_id, n_units, n_dup_spans, n_removed_units,
+    clean_text)``; documents shorter than ``span`` units pass through
+    untouched.
+
+    Scale shape (100 TB): the span-hash stream is one explode (n_units
+    rows per doc); the keeper election is a groupBy on the hash whose
+    aggregates (``min(struct(doc_id, pos))`` + ``count``) are both
+    partial-aggregable, so a corpus-wide boilerplate span collapses to
+    one row per map task before the exchange — never a window over the
+    hot hash. The join back to occurrences reuses the hash partitioning
+    (hot hashes split by AQE skew join). The per-doc rebuild aggregates
+    only duplicate START positions (bounded by the doc's own unit
+    count) and rebuilds the text with array algebra — no Python.
+    """
+    # ``sep`` must be a plain literal (no regex metacharacters): it is
+    # used both as the split pattern and the rebuild joiner.
+    units_col = F.split(F.col(text_col), sep)
+    base = df.select(F.col(id_col), F.col(text_col), units_col.alias("_us"))
+
+    # every window of `span` consecutive units → (doc, pos, h)
+    h_of = lambda arr: F.conv(F.substring(F.md5(F.array_join(arr, sep)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    # guard: sequence(0, n-span) would DESCEND for n < span — short docs
+    # contribute no spans at all
+    starts = F.when(
+        F.size("_us") >= span, F.sequence(F.lit(0), F.size("_us") - span)
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    spans = base.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"), h_of(F.slice("_us", i + 1, span)).alias("h")
+                ),
+            )
+        ).alias("_sp"),
+    ).select(id_col, F.col("_sp.pos").alias("pos"), F.col("_sp.h").alias("h"))
+
+    keepers = spans.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_keep"),
+        F.count("*").alias("_cnt"),
+    )
+    dup_starts = (
+        spans.join(keepers, "h")
+        .filter(
+            (F.col("_cnt") > 1)
+            & ~(
+                (F.col(id_col) == F.col(f"_keep.{id_col}"))
+                & (F.col("pos") == F.col("_keep.pos"))
+            )
+        )
+        .select(id_col, "pos")
+    )
+    # duplicate start positions → removed unit indexes (union of ranges)
+    removed = (
+        dup_starts.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + span - 1)).alias("_j"),
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_j")).alias("_rem"))
+    )
+    n_dup = dup_starts.groupBy(id_col).agg(F.count("*").cast("bigint").alias("n_dup_spans"))
+
+    out = (
+        base.join(removed, id_col, "left")
+        .join(n_dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("_us").cast("bigint").alias("n_units"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            F.coalesce(F.size("_rem"), F.lit(0)).cast("bigint").alias("n_removed_units"),
+            F.when(F.col("_rem").isNull(), F.col(text_col)).otherwise(
+                F.array_join(
+                    F.filter("_us", lambda u, j: ~F.array_contains("_rem", j)), sep
+                )
+            ).alias("clean_text"),
+        )
+    )
+    return out
