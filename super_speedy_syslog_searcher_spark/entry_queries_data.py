@@ -119,13 +119,40 @@ embs2 AS (
 # dedup
 # ---------------------------------------------------------------------------
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dedup_groups(_docs2(spark, sf_dir))
+    """Exact dedup groups over the seeded corpus UNIONED with
+    delta-vs-base new-doc extraction (r4.5 absorption; kernels tagged
+    by ``kind``): the docs2 extension rows replay as a crawl increment
+    against the base documents — exact copies drop, tail-mutated docs
+    survive. Bloom mode runs under the gate (correctness is
+    bloom-independent; the saturated-bloom path is pytest-covered)."""
+    from .operators.dedup import delta_dedup_new_docs
+
+    d2 = _docs2(spark, sf_dir)
+    groups = exact_dedup_groups(d2).select(
+        F.lit("groups").alias("kind"), "keeper", "n_copies", "fp"
+    )
+    new = delta_dedup_new_docs(
+        d2.filter(F.col("doc_id") >= 100000),
+        d2.filter(F.col("doc_id") < 100000),
+        mode="bloom",
+    ).select(
+        F.lit("delta_new").alias("kind"),
+        F.col("doc_id").alias("keeper"),
+        F.lit(None).cast("bigint").alias("n_copies"),
+        "fp",
+    )
+    return groups.unionByName(new)
 
 
 SQL_DEDUP_EXACT = f"""
 WITH {SQL_DOCS2}
-SELECT min(doc_id) AS keeper, count(*) AS n_copies, md5(text) AS fp
+SELECT 'groups' AS kind, min(doc_id) AS keeper, count(*) AS n_copies, md5(text) AS fp
 FROM docs2 GROUP BY text
+UNION ALL
+SELECT 'delta_new' AS kind, doc_id AS keeper, CAST(NULL AS BIGINT) AS n_copies,
+       md5(text) AS fp
+FROM docs2 WHERE doc_id >= 100000
+  AND text NOT IN (SELECT text FROM docs2 WHERE doc_id < 100000)
 """
 
 

@@ -700,3 +700,111 @@ def dedup_report(
             F.when(F.col("_w_total") > 0, F.col("_w_drop") / F.col("_w_total")), 4
         ).alias("dropped_weight_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# delta-vs-base exact dedup (append-only corpus increments)
+# ---------------------------------------------------------------------------
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m = -n·ln(fpp)/ln²2 bits (rounded up to a
+    64-bit word), k = (m/n)·ln2 probes."""
+    import math
+
+    n = max(n, 1)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, ((m + 63) // 64) * 64)
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+def delta_dedup_new_docs(
+    delta: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "bloom",
+    fpp: float = 0.01,
+    bloom_bits: int | None = None,
+) -> DataFrame:
+    """Extract the NEW documents of a corpus increment: delta rows whose
+    exact content (md5 fingerprint) does not already exist in the base
+    corpus. The shape every append-only crawl pipeline needs daily —
+    and the naive ``delta.join(base, anti)`` shuffles the 100-TB base
+    on the fingerprint, which is exactly what this operator avoids.
+
+    Scale shape: the DELTA is bounded (one crawl increment); the BASE
+    is the full corpus. The base stream is pruned MAP-SIDE before any
+    exchange, in one of two ways:
+
+    * ``mode="set"`` — broadcast the distinct delta fingerprints and
+      hash-join; only base rows whose fingerprint occurs in the delta
+      survive (no false positives, broadcast is the full fp set).
+    * ``mode="bloom"`` — a Bloom filter over the delta fingerprints
+      (``fpp`` target, Spark's own ``xxhash64(fp, i)`` as the probe
+      family so driver build and executor probe share one definition)
+      is broadcast as a single array<bigint> row; base rows test k
+      ``getbit`` probes in whole-stage codegen. ~fpp of the base leaks
+      through to the exchange; false negatives are impossible, so the
+      final exact semi/anti join keeps correctness bloom-independent.
+      The broadcast is m/8 bytes regardless of delta cardinality
+      (1.2 MB at 1M docs / 1% fpp) — an order of magnitude under the
+      fp-set broadcast. Build cost: the driver collects only the
+      DISTINCT BIT POSITIONS (≤ k·|delta| longs, Spark-computed); at
+      extreme delta sizes the bitmap could be OR-reduced from
+      per-partition partials instead (same semantics).
+
+    Only surviving base fingerprints reach the final broadcast
+    left-anti join against the delta: exactly the true matches in
+    ``mode="set"``; plus the ~fpp·|base| false-positive leak in
+    ``mode="bloom"`` (harmless for correctness — a leaked fp matches no
+    delta row — but it rides the broadcast, so pick fpp ≈
+    |delta| / |base| rather than a flat rate when the base is huge; at
+    that point the bloom's m stays proportional to |delta| and the
+    leak stays delta-sized). Choose ``"set"`` when the delta fp set
+    itself broadcasts comfortably; ``"bloom"`` buys a ~10× smaller
+    broadcast when it does not. Returns the surviving delta rows plus
+    their ``fp``.
+    """
+    spark = delta.sparkSession
+    d = delta.withColumn("fp", F.md5(F.col(text_col)))
+    b = base.select(F.md5(F.col(text_col)).alias("fp"))
+
+    if mode == "bloom":
+        n = d.select("fp").distinct().count()
+        if n == 0:
+            return d
+        m, k = _bloom_params(n, fpp)
+        if bloom_bits is not None:  # test dial: force a tiny/FP-heavy bloom
+            m = max(64, ((bloom_bits + 63) // 64) * 64)
+        probes = lambda col: [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)
+        ]
+        pos = (
+            d.select(F.explode(F.array(*probes(F.col("fp")))).alias("pos"))
+            .distinct()
+            .toPandas()["pos"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        words = np.zeros(m // 64, dtype=np.uint64)
+        np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
+        bloom_df = spark.createDataFrame(
+            [(words.view(np.int64).tolist(),)], "_bw array<bigint>"
+        )
+        hit = F.lit(True)
+        for p in probes(F.col("fp")):
+            wi = (p / 64).cast("int") + 1
+            bi = F.pmod(p, F.lit(64)).cast("int")
+            hit = hit & (F.call_function("getbit", F.element_at("_bw", wi), bi) == 1)
+        b = b.crossJoin(F.broadcast(bloom_df)).filter(hit).drop("_bw")
+    elif mode == "set":
+        b = b.join(F.broadcast(d.select("fp").distinct()), "fp")
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # mode="set": seen ≤ |delta fp set| exactly. mode="bloom": seen =
+    # true matches + the ~fpp·|base| false-positive leak (real base fps
+    # not in the delta — they match no delta row, so the anti join stays
+    # exact); size fpp so the leak stays broadcastable (see docstring).
+    seen = b.select("fp").distinct()
+    return d.join(F.broadcast(seen), "fp", "left_anti")
