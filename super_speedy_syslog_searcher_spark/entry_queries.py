@@ -338,24 +338,80 @@ FROM per GROUP BY ROLLUP (source)
 
 
 def q_pipe_pattern_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-DTPD hit counts (north_star 'parse hit/miss rates per pattern')."""
+    """Per-DTPD hit counts (north_star 'parse hit/miss rates per
+    pattern') UNIONED with Drain-style template mining over the same
+    parsed messages (r4.5 absorption; rows tagged by ``kind``) — the
+    message-SHAPE histogram one level above the datetime-FORMAT
+    histogram."""
+    from .operators.templates import mine_templates
+
     _utc(spark)
     docs = rendered_docs(spark, sf_dir)
     parsed = parse_docs(docs)
-    return (
+    dtpd = (
         parsed.groupBy("source", "pattern_id")
         .agg(F.count("*").alias("n"))
-        .select("source", F.col("pattern_id").cast("int").alias("pattern_id"), "n")
+        .select(
+            F.lit("dtpd").alias("kind"),
+            "source",
+            F.col("pattern_id").cast("int").alias("pattern_id"),
+            F.lit(None).cast("string").alias("template"),
+            F.col("n").cast("bigint").alias("n"),
+            F.lit(None).cast("bigint").alias("n_params"),
+            F.lit(None).cast("double").alias("share"),
+        )
     )
+    tmpl = mine_templates(parsed, group_cols=("source",), text_col="text").select(
+        F.lit("template").alias("kind"),
+        "source",
+        F.lit(None).cast("int").alias("pattern_id"),
+        "template",
+        "n",
+        "n_params",
+        "share",
+    )
+    return dtpd.unionByName(tmpl)
 
 
 _PAT_CASE = " ".join(f"WHEN {fam} THEN {pid}" for fam, pid in FAMILY_PATTERN_ID.items())
 
-SQL_PIPE_PATTERN_HITS = f"""
-SELECT 'ev' || (user_id % 8) AS source,
+
+def _sql_template_expr(col: str) -> str:
+    """DuckDB mirror of operators/templates.template_col, generated from
+    the operator's own mask constants so the engines cannot drift."""
+    from .operators.templates import TEMPLATE_MASKS
+
+    t = col
+    for pat, rep in TEMPLATE_MASKS:
+        t = f"regexp_replace({t}, '{pat}', '{rep}', 'g')"
+    return t
+
+
+# {LINE} / {TMPL} resolve below, after _SQL_LINE_EXPR is defined
+_SQL_PIPE_PATTERN_HITS_TEMPLATE = f"""
+WITH lines AS (
+  SELECT 'ev' || (user_id % 8) AS source, user_id, ({{LINE}}) AS line
+  FROM events
+),
+tmpl AS (
+  SELECT source, {{TMPL}} AS template, CAST(count(*) AS BIGINT) AS n
+  FROM lines GROUP BY 1, 2
+),
+tot AS (SELECT source, sum(n) AS tot FROM tmpl GROUP BY 1)
+SELECT 'dtpd' AS kind, 'ev' || (user_id % 8) AS source,
        CAST(CASE user_id % 8 {_PAT_CASE} END AS INT) AS pattern_id,
-       count(*) AS n
-FROM events GROUP BY 1, 2
+       CAST(NULL AS VARCHAR) AS template,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(NULL AS BIGINT) AS n_params,
+       CAST(NULL AS DOUBLE) AS share
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'template' AS kind, tmpl.source, CAST(NULL AS INT) AS pattern_id,
+       tmpl.template, tmpl.n,
+       CAST(len(regexp_extract_all(tmpl.template, '<(IP|HEX|NUM)>', 0)) AS BIGINT)
+         AS n_params,
+       round(tmpl.n * 1.0 / tot.tot, 4) AS share
+FROM tmpl JOIN tot USING (source)
 """
 
 
@@ -450,6 +506,11 @@ CASE user_id % 8
   ELSE strftime(ts, '%a, ') || CAST(day(ts) AS VARCHAR) || strftime(ts, ' %b %Y %H:%M:%S') || ' +0000 ' || event_type
 END || ' eid=' || event_id
 """
+
+SQL_PIPE_PATTERN_HITS = _SQL_PIPE_PATTERN_HITS_TEMPLATE.replace(
+    "{LINE}", _SQL_LINE_EXPR
+).replace("{TMPL}", _sql_template_expr("line"))
+
 
 
 # twin of the consolidated q_pipe_parse_recover (timestamp roundtrip +
