@@ -314,15 +314,47 @@ FROM m GROUP BY sink_key
 
 
 def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """--summary counters per source + grand total (rollup row source=NULL)
-    over the multiline corpus."""
+    """--summary counters per source + grand total (rollup row
+    source=NULL) over the multiline corpus, UNIONED with per-source
+    hourly volume burst detection over the same messages (r4.5
+    absorption; rows tagged by ``kind``) — the reference's counters
+    extended along the time axis."""
+    from .operators.summary import rate_anomalies
+
     _utc(spark)
     docs = rendered_docs_multiline(spark, sf_dir)
     parsed = parse_docs(docs).persist()
     msgs = sessionize(parsed)
-    return source_summary(parsed, msgs).select(
-        "source", "lines_processed", "lines_with_dt", "lines_dropped", "syslines"
+    nulls = [
+        F.lit(None).cast("timestamp").alias("bucket_ts"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("double").alias("mean_n"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("boolean").alias("is_burst"),
+    ]
+    summ = source_summary(parsed, msgs).select(
+        F.lit("summary").alias("kind"),
+        "source",
+        "lines_processed",
+        "lines_with_dt",
+        "lines_dropped",
+        "syslines",
+        *nulls,
     )
+    rate = rate_anomalies(msgs, bucket="hour", z_threshold=2.0).select(
+        F.lit("rate").alias("kind"),
+        "source",
+        F.lit(None).cast("bigint").alias("lines_processed"),
+        F.lit(None).cast("bigint").alias("lines_with_dt"),
+        F.lit(None).cast("bigint").alias("lines_dropped"),
+        F.lit(None).cast("bigint").alias("syslines"),
+        "bucket_ts",
+        "n",
+        "mean_n",
+        "z",
+        "is_burst",
+    )
+    return summ.unionByName(rate)
 
 
 SQL_PIPE_SUMMARY_ROLLUP = """
@@ -330,10 +362,35 @@ WITH per AS (
   SELECT 'ev' || (user_id % 8) AS source,
          CASE WHEN event_type = 'error' THEN 3 ELSE 1 END AS nl
   FROM events
-)
-SELECT source, CAST(sum(nl) AS BIGINT) AS lines_processed, count(*) AS lines_with_dt,
-       CAST(0 AS BIGINT) AS lines_dropped, count(*) AS syslines
+),
+hist AS (
+  SELECT 'ev' || (user_id % 8) AS source, date_trunc('hour', ts) AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+),
+mom AS (SELECT source, sum(n) AS s1, sum(n * n) AS s2, count(*) AS c FROM hist GROUP BY 1)
+SELECT 'summary' AS kind, source,
+       CAST(sum(nl) AS BIGINT) AS lines_processed, count(*) AS lines_with_dt,
+       CAST(0 AS BIGINT) AS lines_dropped, count(*) AS syslines,
+       CAST(NULL AS TIMESTAMP) AS bucket_ts, CAST(NULL AS BIGINT) AS n,
+       CAST(NULL AS DOUBLE) AS mean_n, CAST(NULL AS DOUBLE) AS z,
+       CAST(NULL AS BOOLEAN) AS is_burst
 FROM per GROUP BY ROLLUP (source)
+UNION ALL
+SELECT 'rate' AS kind, hist.source,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       hist.bucket_ts, hist.n,
+       round(mom.s1 / mom.c, 4) AS mean_n,
+       CASE WHEN sqrt(greatest(mom.s2 / mom.c - (mom.s1 / mom.c) * (mom.s1 / mom.c), 0.0)) > 0
+            THEN round((hist.n - mom.s1 / mom.c)
+                       / sqrt(greatest(mom.s2 / mom.c - (mom.s1 / mom.c) * (mom.s1 / mom.c), 0.0)), 4)
+       END AS z,
+       CASE WHEN sqrt(greatest(mom.s2 / mom.c - (mom.s1 / mom.c) * (mom.s1 / mom.c), 0.0)) > 0
+            THEN abs(hist.n - mom.s1 / mom.c)
+                 > 2.0 * sqrt(greatest(mom.s2 / mom.c - (mom.s1 / mom.c) * (mom.s1 / mom.c), 0.0))
+            ELSE FALSE END AS is_burst
+FROM hist JOIN mom USING (source)
 """
 
 

@@ -69,3 +69,55 @@ def pattern_hit_miss(parsed_lines: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .withColumn("kind", F.when(F.col("pattern_id") >= 0, "hit").otherwise("miss"))
     )
+
+
+def rate_anomalies(
+    msgs: DataFrame,
+    bucket: str = "hour",
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source log-volume burst/drought detection: bucket message
+    counts by time, z-score each bucket against the source's own count
+    distribution. The operational question every telemetry pipeline
+    asks of the reference's per-source summary counters over time —
+    which source suddenly got loud (attack, crash loop) or silent
+    (dead forwarder).
+
+    Scale shape (100 TB): histogram-first, the length_quantiles
+    doctrine (operators/curation.py) — raw messages collapse to
+    ``(source, bucket, n)`` with ONE partial-agg shuffle; the
+    per-source moments run over that bounded histogram and broadcast
+    back. Moments are derived from exact integer sums (Σn, Σn², cnt)
+    so the doubles are bit-identical across engines and partitionings
+    — never ``avg``/``stddev`` whose partial-merge order floats.
+
+    Returns ``(source, bucket_ts, n, mean_n, z, is_burst)``; a source
+    with zero variance yields NULL z and never flags.
+    """
+    hist = msgs.groupBy(
+        F.col(source_col).alias("source"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    moments = hist.groupBy("source").agg(
+        F.sum("n").alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).alias("_s2"),
+        F.count("*").alias("_c"),
+    )
+    mean = F.col("_s1") / F.col("_c")
+    var = F.col("_s2") / F.col("_c") - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        hist.join(F.broadcast(moments), "source")
+        .select(
+            "source",
+            "bucket_ts",
+            "n",
+            F.round(mean, 4).alias("mean_n"),
+            F.when(sd > 0, F.round((F.col("n") - mean) / sd, 4)).alias("z"),
+            F.when(sd > 0, F.abs(F.col("n") - mean) > z_threshold * sd)
+            .otherwise(F.lit(False))
+            .alias("is_burst"),
+        )
+    )
