@@ -711,8 +711,12 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization over the raw events stream (30-min
-    inactivity gap per user) — the window-function face of P2."""
+    inactivity gap per user) — the window-function face of P2 — UNIONED
+    with the per-user event-type transition matrix over the same stream
+    (r4.5 absorption; rows tagged by ``kind``)."""
     from pyspark.sql.window import Window
+
+    from .operators.sessionize import event_transitions
 
     _utc(spark)
     ev = _events(spark, sf_dir)
@@ -723,12 +727,33 @@ def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = epoch - F.lag(epoch).over(w)
     newsess = F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0)
     sess = ev.withColumn("sess_no", F.sum(newsess).over(w))
-    return (
+    sessions = (
         sess.groupBy("user_id", "sess_no")
         .agg(F.count("*").alias("n_events"))
         .groupBy("user_id")
         .agg(F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events"))
+        .select(
+            F.lit("sessions").alias("kind"),
+            "user_id",
+            "n_sessions",
+            "max_session_events",
+            F.lit(None).cast("string").alias("prev_type"),
+            F.lit(None).cast("string").alias("next_type"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("double").alias("share"),
+        )
     )
+    trans = event_transitions(ev).select(
+        F.lit("transitions").alias("kind"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("n_sessions"),
+        F.lit(None).cast("bigint").alias("max_session_events"),
+        "prev_type",
+        "next_type",
+        "n",
+        "share",
+    )
+    return sessions.unionByName(trans)
 
 
 SQL_EVENTS_SESSIONIZE_GAP = """
@@ -745,9 +770,24 @@ WITH g AS (
   FROM g
 ), c AS (
   SELECT user_id, sess_no, count(*) AS n_events FROM s GROUP BY user_id, sess_no
-)
-SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+), tr AS (
+  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  '<START>') AS prev_type,
+         event_type AS next_type
+  FROM events
+), tc AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
+), tt AS (SELECT prev_type, sum(n) AS tot FROM tc GROUP BY 1)
+SELECT 'sessions' AS kind, user_id, count(*) AS n_sessions,
+       max(n_events) AS max_session_events,
+       CAST(NULL AS VARCHAR) AS prev_type, CAST(NULL AS VARCHAR) AS next_type,
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS share
 FROM c GROUP BY user_id
+UNION ALL
+SELECT 'transitions' AS kind, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       tc.prev_type, tc.next_type, tc.n, round(tc.n / tt.tot, 4) AS share
+FROM tc JOIN tt USING (prev_type)
 """
 
 

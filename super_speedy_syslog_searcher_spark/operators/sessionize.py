@@ -172,3 +172,44 @@ def dropped_leading_lines(parsed_lines: DataFrame) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("lines_dropped"))
     )
+
+
+def event_transitions(
+    ev: "DataFrame",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("event_id",),
+) -> "DataFrame":
+    """Per-entity event-type transition matrix — the Markov "user
+    journey" counts every telemetry store derives from sessionized
+    streams: for each entity's time-ordered event stream, count
+    ``prev_type → type`` transitions (start-of-stream enters from the
+    ``<START>`` pseudo-state), plus the row-normalized transition
+    probability ``share``.
+
+    Scale shape (100 TB): the only window partitions per ENTITY
+    (bounded by one entity's own activity, never corpus-wide — same
+    bounded-partition rule as gap sessionization above); the transition
+    aggregate is at most |types|² + |types| rows after map-side partial
+    agg, and the per-prev-state totals broadcast back for the share.
+    Ties on ``ts`` break on ``order_cols`` so the matrix is
+    deterministic under any partitioning.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.coalesce(F.lag(type_col).over(w), F.lit("<START>"))
+    trans = (
+        ev.select(F.col(key_col), F.col(ts_col), *[F.col(c) for c in order_cols], F.col(type_col))
+        .withColumn("prev_type", prev)
+        .groupBy("prev_type", type_col)
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        F.col(type_col).alias("next_type"),
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 4).alias("share"),
+    )
