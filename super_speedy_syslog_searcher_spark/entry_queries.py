@@ -404,7 +404,9 @@ def q_pipe_pattern_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = rendered_docs(spark, sf_dir)
-    parsed = parse_docs(docs)
+    # both union branches consume the fused Python parse — persist it
+    # (the q_pipe_summary_rollup dual-consumer idiom)
+    parsed = parse_docs(docs).persist()
     dtpd = (
         parsed.groupBy("source", "pattern_id")
         .agg(F.count("*").alias("n"))
@@ -447,7 +449,7 @@ def _sql_template_expr(col: str) -> str:
 # {LINE} / {TMPL} resolve below, after _SQL_LINE_EXPR is defined
 _SQL_PIPE_PATTERN_HITS_TEMPLATE = f"""
 WITH lines AS (
-  SELECT 'ev' || (user_id % 8) AS source, user_id, ({{LINE}}) AS line
+  SELECT 'ev' || (user_id % 8) AS source, ({{LINE}}) AS line
   FROM events
 ),
 tmpl AS (

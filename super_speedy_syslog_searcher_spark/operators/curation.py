@@ -1243,9 +1243,18 @@ def span_dedup_keep_first(
             F.size("_us").cast("bigint").alias("n_units"),
             F.coalesce("n_dup_spans", F.lit(0)).cast("bigint").alias("n_dup_spans"),
             F.coalesce(F.size("_rem"), F.lit(0)).cast("bigint").alias("n_removed_units"),
+            # linear rebuild: kept indexes via array_except (hash-based,
+            # order-preserving) — NOT filter+array_contains, which is
+            # O(n_units × n_removed) on a heavily-duplicated doc
             F.when(F.col("_rem").isNull(), F.col(text_col)).otherwise(
                 F.array_join(
-                    F.filter("_us", lambda u, j: ~F.array_contains("_rem", j)), sep
+                    F.transform(
+                        F.array_except(
+                            F.sequence(F.lit(0), F.size("_us") - 1), F.col("_rem")
+                        ),
+                        lambda j: F.element_at("_us", j + 1),
+                    ),
+                    sep,
                 )
             ).alias("clean_text"),
         )

@@ -770,8 +770,12 @@ def delta_dedup_new_docs(
     b = base.select(F.md5(F.col(text_col)).alias("fp"))
 
     if mode == "bloom":
-        n = d.select("fp").distinct().count()
+        # one delta scan + shuffle: the distinct-fp projection feeds both
+        # the cardinality (→ m, k) and the probe positions (review r4.5)
+        fps = d.select("fp").distinct().persist()
+        n = fps.count()
         if n == 0:
+            fps.unpersist()
             return d
         m, k = _bloom_params(n, fpp)
         if bloom_bits is not None:  # test dial: force a tiny/FP-heavy bloom
@@ -780,12 +784,13 @@ def delta_dedup_new_docs(
             F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(k)
         ]
         pos = (
-            d.select(F.explode(F.array(*probes(F.col("fp")))).alias("pos"))
+            fps.select(F.explode(F.array(*probes(F.col("fp")))).alias("pos"))
             .distinct()
             .toPandas()["pos"]
             .to_numpy()
             .astype(np.int64)
         )
+        fps.unpersist()
         words = np.zeros(m // 64, dtype=np.uint64)
         np.bitwise_or.at(words, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64))
         bloom_df = spark.createDataFrame(
@@ -807,4 +812,6 @@ def delta_dedup_new_docs(
     # not in the delta — they match no delta row, so the anti join stays
     # exact); size fpp so the leak stays broadcastable (see docstring).
     seen = b.select("fp").distinct()
-    return d.join(F.broadcast(seen), "fp", "left_anti")
+    # pin the column order to the empty-delta early return's
+    # (delta columns, then fp) — the join would move the key first
+    return d.join(F.broadcast(seen), "fp", "left_anti").select(*d.columns)

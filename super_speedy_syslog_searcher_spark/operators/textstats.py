@@ -227,6 +227,12 @@ def bm25_topk(
 
     Returns ``(query_id, rank, doc_id, n_terms, score)`` where
     ``n_terms`` is how many distinct query terms the document matched.
+
+    Note: N and avgdl are collected EAGERLY at construction (the
+    :func:`tfidf_top_terms` n_docs idiom) and baked into the plan as
+    literals — re-executing the returned DataFrame after the underlying
+    table grows scores against the old corpus stats; rebuild the query
+    instead.
     """
     from pyspark.sql.window import Window
 

@@ -53,8 +53,9 @@ class TestEventTransitions:
             for r in event_transitions(df).collect()
         }
         assert got == _ref(rows)
-        assert got[("<START>", "a")] == (1, got[("<START>", "a")][1])
-        assert ("a", "b") in got  # the tie broke on event_id
+        # user 99's same-ts pair broke the tie on event_id: a precedes b,
+        # and "a" transitions to "b" with certainty
+        assert got[("a", "b")] == (1, 1.0)
 
     def test_share_rows_sum_to_one(self, spark):
         rows = _mk_rows(random.Random(11))
