@@ -77,6 +77,21 @@ def main() -> None:
     print("== summary (rollup; NULL source = grand total) ==")
     res["summary"].orderBy("source").show(30, truncate=False)
 
+    # log analytics over the merged window (r4.5): message-shape
+    # histogram + per-source volume bursts
+    from pyspark.sql import functions as F
+
+    from super_speedy_syslog_searcher_spark.operators.summary import rate_anomalies
+    from super_speedy_syslog_searcher_spark.operators.templates import mine_templates
+
+    print("== top message templates (Drain-style, per source) ==")
+    mine_templates(res["merged"], group_cols=("source",), text_col="text").orderBy(
+        F.desc("n"), "source", "template"
+    ).show(10, truncate=80)
+    print("== volume bursts (hourly z-score > 2) ==")
+    bursts = rate_anomalies(res["merged"], bucket="hour", z_threshold=2.0)
+    bursts.filter("is_burst").orderBy("source", "bucket_ts").show(10, truncate=False)
+
 
 if __name__ == "__main__":
     main()
