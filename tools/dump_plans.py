@@ -202,6 +202,84 @@ def main() -> None:
             "band-partitioned layout only matching buckets are read, and "
             "AQE broadcasts the (typically tiny) delta side.",
         ),
+        (
+            "BM25 keyword retrieval (broadcast query-term prune before any shuffle)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.textstats",
+                fromlist=["bm25_topk"],
+            ).bm25_topk(
+                documents,
+                spark.createDataFrame(
+                    EQD.BM25_DEMO_QUERIES, "query_id string, query string"
+                ),
+                k=5,
+            ),
+            "The corpus term stream meets a BroadcastHashJoin on the "
+            "distinct query-term set straight off the scan — the only "
+            "full-corpus work is the codegen'd split/explode projection. "
+            "Everything after the prune (tf aggregate, |query terms|-row "
+            "idf broadcast, per-(query, doc) scoring aggregate) runs on "
+            "the matched-rows stream, and the final top-k is a "
+            "WindowGroupLimit over bounded per-query partitions.",
+        ),
+        (
+            "C4 keep-first span dedup (partial-aggregable keeper election)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.curation",
+                fromlist=["span_dedup_keep_first"],
+            ).span_dedup_keep_first(documents, span=3, sep=" "),
+            "Span hashes are md5 Column algebra in the scan projection; "
+            "the keeper election is a groupBy on the hash whose aggregates "
+            "(min(struct(doc_id, pos)) + count) are both map-side partial — "
+            "a corpus-wide boilerplate span collapses to one row per task "
+            "before the exchange, never a window over the hot hash. The "
+            "occurrence join-back reuses the hash key; the per-doc rebuild "
+            "aggregates only duplicate start positions.",
+        ),
+        (
+            "Delta-vs-base exact dedup (Bloom prune, base never shuffles raw)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.dedup",
+                fromlist=["delta_dedup_new_docs"],
+            ).delta_dedup_new_docs(documents.limit(200), documents, mode="bloom"),
+            "The base scan meets the broadcast 1-row Bloom bitmap "
+            "(getbit probe chain in whole-stage codegen) BEFORE any "
+            "exchange — only the ~fpp leak plus true matches reach the "
+            "distinct, and the final left-anti against the delta is a "
+            "BroadcastHashJoin. The naive delta-anti-base plan would "
+            "shuffle the full base on the fingerprint.",
+        ),
+        (
+            "Drain-style template mining (map-only mask chain + one exchange)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.templates",
+                fromlist=["mine_templates"],
+            ).mine_templates(
+                documents.withColumn("source", F.lit("s")), text_col="text"
+            ),
+            "The ordered mask chain is one codegen'd regexp_replace "
+            "Project over the scan; the only wide exchange keys on "
+            "(source, template) with map-side partials absorbing hot "
+            "templates, and the per-group totals broadcast back for the "
+            "share column.",
+        ),
+        (
+            "Volume burst detection (histogram-first, integer-exact moments)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.summary",
+                fromlist=["rate_anomalies"],
+            ).rate_anomalies(
+                spark.read.parquet(f"{SF}/events.parquet").select(
+                    F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+                    "ts",
+                )
+            ),
+            "Raw rows collapse to the (source, bucket, n) histogram in ONE "
+            "partial-agg exchange; the per-source moments (Σn, Σn², cnt — "
+            "exact integers, so the derived doubles are bit-stable across "
+            "partitionings) aggregate the bounded histogram and broadcast "
+            "back.",
+        ),
     ]
     out = ["# PLANS — physical plans of the headline operators\n",
            f"Generated by `python tools/dump_plans.py` at sf0.001.\n"]
