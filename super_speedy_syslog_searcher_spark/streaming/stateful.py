@@ -338,3 +338,109 @@ def lsh_pairs_stateful(docs_stream: DataFrame, k: int = 256, bands: int = 64, n:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RATE_OUT_SCHEMA = (
+    "source string, bucket_ts timestamp, n long, mean_prior double, "
+    "z double, is_burst boolean"
+)
+# moments of CLOSED buckets + the one open bucket
+RATE_STATE_SCHEMA = "s1 long, s2 long, c long, cur_bucket long, cur_n long"
+
+
+def rate_anomalies_stateful(
+    events_stream: DataFrame,
+    bucket_ms: int = 3_600_000,
+    z_threshold: float = 2.0,
+    ts_col: str = "ts",
+    source_col: str = "source",
+    timeout_ms: int = 0,
+) -> DataFrame:
+    """ONLINE per-source volume burst detection — the streaming face of
+    ``operators.summary.rate_anomalies``. Each time bucket closes when
+    the first event of a LATER bucket arrives; the closed bucket is
+    scored against the moments of the buckets closed before it
+    (prior-only z — the batch operator scores against the whole
+    history, so the two agree only in the no-surprise limit; the pytest
+    pins this operator to a sequential online reference instead).
+
+    Contract (the ``pack_sequences_stateful`` discipline): each
+    source's events arrive in nondecreasing bucket order across
+    micro-batches — a regression raises rather than silently
+    mis-scoring. With ``timeout_ms > 0`` an idle source's final open
+    bucket is flushed by the processing-time timeout (the EOF
+    analogue); with 0 it stays open awaiting more events.
+
+    Scale: state is FIVE numbers per source (Σn, Σn², closed-bucket
+    count, open bucket id, open count) — constant per source forever;
+    the only shuffle keys on source. Moments are exact integers, so
+    restart from checkpoint reproduces identical scores.
+    """
+
+    def _score(src, bucket, n, s1, s2, c):
+        mean = s1 / c if c else None
+        z = None
+        if c >= 1:
+            var = s2 / c - mean * mean
+            sd = max(var, 0.0) ** 0.5
+            if sd > 0:
+                z = round((n - mean) / sd, 4)
+        return {
+            "source": src,
+            "bucket_ts": pd.Timestamp(bucket * bucket_ms, unit="ms"),
+            "n": n,
+            "mean_prior": round(mean, 4) if mean is not None else None,
+            "z": z,
+            "is_burst": bool(z is not None and abs(z) > z_threshold),
+        }
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (src,) = key
+        if state.hasTimedOut:
+            s1, s2, c, cur_bucket, cur_n = state.get
+            state.remove()
+            if cur_bucket is not None and cur_n:
+                yield pd.DataFrame([_score(src, cur_bucket, cur_n, s1, s2, c)])
+            return
+
+        s1, s2, c, cur_bucket, cur_n = state.get if state.exists else (0, 0, 0, None, 0)
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            buckets = pdf[ts_col].astype("int64") // (bucket_ms * 1_000_000)
+            for bucket, cnt in sorted(buckets.value_counts().items()):
+                bucket = int(bucket)
+                if cur_bucket is None:
+                    cur_bucket, cur_n = bucket, int(cnt)
+                elif bucket == cur_bucket:
+                    cur_n += int(cnt)
+                elif bucket > cur_bucket:
+                    out.append(_score(src, cur_bucket, cur_n, s1, s2, c))
+                    s1 += cur_n
+                    s2 += cur_n * cur_n
+                    c += 1
+                    cur_bucket, cur_n = bucket, int(cnt)
+                else:
+                    raise ValueError(
+                        f"source {src!r}: bucket {bucket} arrived after "
+                        f"{cur_bucket} — per-source event-time order regressed"
+                    )
+        state.update((s1, s2, c, cur_bucket, cur_n))
+        if timeout_ms > 0:
+            state.setTimeoutDuration(timeout_ms)
+        if out:
+            yield pd.DataFrame(out)
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_ms > 0
+        else GroupStateTimeout.NoTimeout
+    )
+    return events_stream.groupBy(source_col).applyInPandasWithState(
+        fn,
+        outputStructType=RATE_OUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

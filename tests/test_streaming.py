@@ -530,3 +530,89 @@ def test_stateful_lsh_pairs_closure_matches_batch(spark, tmp_path):
     # same near-dup clusters, including the cross-batch one
     assert got == want
     assert any({"101", "102", "103"} <= c for c in want)
+
+
+def test_stateful_rate_anomalies_online(spark, tmp_path):
+    """rate_anomalies_stateful: buckets close across micro-batches and a
+    checkpoint restart, each scored against PRIOR closed buckets only —
+    pinned to a sequential online reference; a bucket-order regression
+    raises."""
+    from datetime import datetime, timezone
+
+    from super_speedy_syslog_searcher_spark.streaming.stateful import (
+        rate_anomalies_stateful,
+    )
+
+    def ev(h, m, src="A"):
+        return (src, datetime(2024, 1, 1, h, m, tzinfo=timezone.utc))
+
+    # hours 0-3 vary (3,5,4,4 — nonzero prior variance) → hour 4 bursts
+    # with 20; hour 5 closes hour 4
+    counts = {0: 3, 1: 5, 2: 4}
+    batch1 = [ev(h, m) for h, c in counts.items() for m in range(c)]
+    batch2 = [ev(3, m) for m in range(4)] + [ev(4, m) for m in range(20)] + [ev(5, 0)]
+
+    def online_ref(rows):
+        rows = sorted(rows, key=lambda r: r[1])
+        s1 = s2 = c = 0
+        cur = n = None
+        out = []
+        for _, ts in rows:
+            b = int(ts.timestamp() * 1000) // 3_600_000
+            if cur is None:
+                cur, n = b, 1
+            elif b == cur:
+                n += 1
+            else:
+                mean = s1 / c if c else None
+                z = None
+                if c:
+                    sd = max(s2 / c - mean * mean, 0.0) ** 0.5
+                    if sd > 0:
+                        z = round((n - mean) / sd, 4)
+                out.append((cur, n, z, bool(z is not None and abs(z) > 2.0)))
+                s1, s2, c = s1 + n, s2 + n * n, c + 1
+                cur, n = b, 1
+        return out
+
+    in_dir, ckpt, out_dir = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+    schema = "source string, ts timestamp"
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        q = (
+            rate_anomalies_stateful(spark.readStream.schema(schema).parquet(in_dir))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once(batch1, "overwrite")
+    run_once(batch2, "append")
+    got = sorted(
+        (
+            int(r["bucket_ts"].replace(tzinfo=timezone.utc).timestamp() * 1000) // 3_600_000,
+            r["n"],
+            r["z"],
+            r["is_burst"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(online_ref(batch1 + batch2))
+    assert got == want
+    # the seeded burst hour is flagged, exactly once
+    assert sum(1 for g in got if g[3]) == 1 and [g for g in got if g[3]][0][1] == 20
+
+    # bucket-order regression raises (hour 1 after hour 5 closed hour 4)
+    import pyspark.errors
+
+    try:
+        run_once([ev(1, 0)], "append")
+        raised = False
+    except (Exception,):
+        raised = True
+    assert raised
