@@ -482,20 +482,37 @@ def q_tokens_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix‖suffix‖middle with sentinels — full token-array equality via
     the md5 of the rewritten array (the hash convention of
     ``tokens_assemble``)."""
-    from .operators.tokens import fim_transform
+    from .operators.tokens import fim_transform, ul2_span_corruption
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    out = fim_transform(
-        rendered_docs(spark, sf_dir), rate_ppm=FIM_RATE_PPM, seed="fim", mode="psm"
-    )
-    joined = F.concat_ws(",", F.transform("tokens", lambda t: t.cast("string")))
-    return out.select(
+    docs = rendered_docs(spark, sf_dir)
+    out = fim_transform(docs, rate_ppm=FIM_RATE_PPM, seed="fim", mode="psm")
+
+    def joined(col):
+        return F.concat_ws(",", F.transform(col, lambda t: t.cast("string")))
+
+    fim = out.select(
+        F.lit("fim").alias("kind"),
         "doc_id",
         "source",
-        F.md5(joined).alias("tokens_md5"),
+        F.md5(joined("tokens")).alias("tokens_md5"),
         F.col("n_tok").cast("bigint").alias("n_tok"),
-        F.col("fim_applied").cast("int").alias("fim_applied"),
+        F.col("fim_applied").cast("int").alias("applied"),
     )
+    # r4.5 absorption: UL2/T5 span corruption in the same row, full
+    # token-array equality via md5(inputs || '|' || targets)
+    u = ul2_span_corruption(docs, rate_ppm=150_000, mean_span=3)
+    ul2 = u.select(
+        F.lit("ul2").alias("kind"),
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(joined("inputs"), F.lit("|"), joined("targets"))
+        ).alias("tokens_md5"),
+        (F.size("inputs") + F.size("targets")).cast("bigint").alias("n_tok"),
+        F.col("corrupted").cast("int").alias("applied"),
+    )
+    return fim.unionByName(ul2)
 
 
 SQL_TOKENS_FIM = f"""
@@ -526,12 +543,49 @@ fim AS (
               ELSE tokens END AS out_tokens,
          CAST(bucket < {FIM_RATE_PPM} AS INT) AS fim_applied
   FROM sp
+),
+u2k AS (
+  SELECT source, doc_id, tokens, len(tokens) AS n,
+         CASE WHEN len(tokens) >= 3
+              THEN greatest(least(CAST(floor(len(tokens) * 150000 / 1000000.0 / 3) AS INT),
+                                  len(tokens) // 3), 1)
+              ELSE 0 END AS k
+  FROM tok
+),
+u2sp AS (
+  SELECT source, doc_id, tokens, k, g.i,
+         (g.i * n) // k AS s0, ((g.i + 1) * n) // k AS s1,
+         (g.i * n) // k
+           + CAST('0x' || substr(md5('ul2:' || doc_id || ':' || g.i), 1, 8) AS BIGINT)
+             % (((g.i + 1) * n) // k - (g.i * n) // k - 3 + 1) AS st
+  FROM u2k, unnest(generate_series(0, k - 1)) AS g(i)
+  WHERE k > 0
+),
+u2parts AS (
+  SELECT source, doc_id, max(k) AS k,
+         flatten(list(tokens[s0+1:st] || [-101 - i] || tokens[st+3+1:s1] ORDER BY i)) AS inp,
+         flatten(list([-101 - i] || tokens[st+1:st+3] ORDER BY i)) AS tgt
+  FROM u2sp GROUP BY 1, 2
+),
+u2f AS (
+  SELECT t.source, t.doc_id,
+         coalesce(p.inp, t.tokens) AS inputs,
+         CASE WHEN p.doc_id IS NOT NULL THEN p.tgt || [-101 - p.k]
+              ELSE CAST([] AS BIGINT[]) END AS targets,
+         coalesce(p.k, 0) AS k
+  FROM u2k t LEFT JOIN u2parts p USING (source, doc_id)
 )
-SELECT doc_id, source,
+SELECT 'fim' AS kind, doc_id, source,
        md5(array_to_string(out_tokens, ',')) AS tokens_md5,
        CAST(len(out_tokens) AS BIGINT) AS n_tok,
-       fim_applied
+       fim_applied AS applied
 FROM fim
+UNION ALL
+SELECT 'ul2' AS kind, doc_id, source,
+       md5(array_to_string(inputs, ',') || '|' || array_to_string(targets, ',')) AS tokens_md5,
+       CAST(len(inputs) + len(targets) AS BIGINT) AS n_tok,
+       CAST(k > 0 AS INT) AS applied
+FROM u2f
 """
 
 

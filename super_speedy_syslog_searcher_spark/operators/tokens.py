@@ -1872,3 +1872,94 @@ def corpus_profile(
         "approx_distinct_docs",
         F.round(F.col("n_tok_total") / F.col("n_docs"), 4).alias("mean_doc_len"),
     )
+
+
+def ul2_span_corruption(
+    docs: DataFrame,
+    rate_ppm: int = 150_000,
+    mean_span: int = 3,
+    sentinel_base: int = -101,
+    seed: str = "ul2",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """T5/UL2-style span-corruption denoising transform (Raffel et al.
+    2020 §3.1.4; Tay et al. 2022): k token spans are cut out of each
+    document and replaced by per-span sentinels; the decoder target is
+    ``sentinel_i ‖ span_i`` for each span plus a closing sentinel.
+
+    Deterministic variant of the paper's random spans (the
+    ``fim_transform`` hash discipline): ``k = clamp(round-down(
+    n·rate/mean_span), 1, n // mean_span)`` spans of FIXED length
+    ``mean_span``, one inside each of k equal token segments, the
+    in-segment offset derived from md5(seed:doc_id:i) — resume-stable,
+    layout-independent, recomputable by any engine with md5. Documents
+    shorter than ``mean_span`` pass through uncorrupted (targets
+    empty). Pure Column algebra (sequence/transform/flatten/slice),
+    map-only: zero Python, zero shuffles, zero driver rows.
+
+    Returns the input columns plus ``inputs`` (corrupted stream),
+    ``targets`` (denoising targets), ``n_spans``, ``corrupted``.
+    """
+    t = F.col(tokens_col)
+    n = F.size(t)
+    mu = mean_span
+    k_raw = F.floor(n * F.lit(rate_ppm) / F.lit(1_000_000.0) / F.lit(mu)).cast("int")
+    k = F.when(n >= mu, F.greatest(F.least(k_raw, (n / mu).cast("int")), F.lit(1))).otherwise(
+        F.lit(0)
+    )
+
+    def h32(i):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(seed), F.col(id_col).cast("string"), i.cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    def seg_start(i):
+        return F.floor(i * n / k).cast("int")
+
+    def seg_end(i):
+        return F.floor((i + 1) * n / k).cast("int")
+
+    def span_start(i):
+        room = seg_end(i) - seg_start(i) - mu + 1
+        return (seg_start(i) + (h32(i) % room).cast("int"))
+
+    def sent(i):
+        return (F.lit(sentinel_base) - i).cast("int")
+
+    idx = F.sequence(F.lit(0), k - 1)
+    inputs = F.flatten(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.slice(t, seg_start(i) + 1, span_start(i) - seg_start(i)),
+                F.array(sent(i)),
+                F.slice(t, span_start(i) + mu + 1, seg_end(i) - span_start(i) - mu),
+            ),
+        )
+    )
+    targets = F.concat(
+        F.flatten(
+            F.transform(
+                idx, lambda i: F.concat(F.array(sent(i)), F.slice(t, span_start(i) + 1, mu))
+            )
+        ),
+        F.array((F.lit(sentinel_base) - k).cast("int")),
+    )
+    empty = F.expr("array()").cast("array<int>")
+    return (
+        docs.withColumn("n_spans", k.cast("bigint"))
+        .withColumn("corrupted", k > 0)
+        .withColumn("inputs", F.when(k > 0, inputs).otherwise(t))
+        .withColumn("targets", F.when(k > 0, targets).otherwise(empty))
+    )
