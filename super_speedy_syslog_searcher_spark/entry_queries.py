@@ -531,20 +531,56 @@ def q_pipe_output_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     source name + separator, applied per line (reference PrinterLogMessage,
     printers.rs:143; prepend fmt s4.rs:454). Family-0 slice so the oracle
     can rebuild the exact printed line in SQL."""
+    from .operators.grok import grok_parse
     from .operators.output import output_line
 
-    msgs = parsed_messages(spark, sf_dir).filter(F.col("source") == "ev0")
+    all_msgs = parsed_messages(spark, sf_dir).persist()
+    msgs = all_msgs.filter(F.col("source") == "ev0")
     out = output_line(msgs, prepend_dt=True, prepend_name="source", separator="|")
-    return _with_event_id(out).select("event_id", "out_line")
+    nulls = [
+        F.lit(None).cast("string").alias(c)
+        for c in ("clientip", "g_ts", "request", "response", "bytes")
+    ]
+    printed = _with_event_id(out).select(
+        F.lit("printed").alias("kind"), "event_id", "out_line", *nulls
+    )
+    # r4.5 absorption: grok named-field extraction (the north rule's
+    # "grok/regex parse" by name) over the apache-CLF family; the
+    # oracle states every field from first principles (events columns),
+    # not by re-running the regex
+    g = grok_parse(
+        all_msgs.filter(F.col("source") == "ev2"),
+        "%{COMMONAPACHELOG} eid=%{INT:eid}",
+    )
+    grok_rows = _with_event_id(g).select(
+        F.lit("grok").alias("kind"),
+        "event_id",
+        F.lit(None).cast("string").alias("out_line"),
+        "clientip",
+        F.col("timestamp").alias("g_ts"),
+        "request",
+        "response",
+        "bytes",
+    )
+    return printed.unionByName(grok_rows)
 
 
 SQL_PIPE_OUTPUT_PROJECT = """
-SELECT event_id,
+SELECT 'printed' AS kind, event_id,
        strftime(ts, '%Y%m%dT%H%M%S') || '.' || substr(strftime(ts, '%f'), 1, 3) || '+0000'
        || '|' || 'ev0' || '|'
        || strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z host app[' || event_id || ']: '
-       || event_type || ' eid=' || event_id AS out_line
+       || event_type || ' eid=' || event_id AS out_line,
+       CAST(NULL AS VARCHAR) AS clientip, CAST(NULL AS VARCHAR) AS g_ts,
+       CAST(NULL AS VARCHAR) AS request, CAST(NULL AS VARCHAR) AS response,
+       CAST(NULL AS VARCHAR) AS bytes
 FROM events WHERE user_id % 8 = 0
+UNION ALL
+SELECT 'grok' AS kind, event_id, CAST(NULL AS VARCHAR) AS out_line,
+       '192.168.0.1' AS clientip,
+       strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS g_ts,
+       '/p' || event_id AS request, '200' AS response, '17' AS bytes
+FROM events WHERE user_id % 8 = 2
 """
 
 
