@@ -65,3 +65,20 @@ class TestGrokParse:
         assert ok["response"] == "404" and ok["bytes"] == "99"
         miss = got[2]
         assert not miss["grok_matched"] and miss["clientip"] is None
+
+
+class TestExtractKV:
+    def test_pairs_quotes_and_duplicates(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.grok import extract_kv
+
+        rows = [
+            (1, 'level=info msg="disk full" dev=sda1 retry=1 retry=2'),
+            (2, "no pairs here"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: (list(r["kv_keys"]), list(r["kv_vals"])) for r in extract_kv(df).collect()}
+        assert got[1] == (
+            ["level", "msg", "dev", "retry", "retry"],
+            ["info", "disk full", "sda1", "1", "2"],
+        )
+        assert got[2] == ([], [])
