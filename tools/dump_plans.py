@@ -264,6 +264,34 @@ def main() -> None:
             "share column.",
         ),
         (
+            "Grok named-field extraction (compile once, map-only codegen)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.grok",
+                fromlist=["grok_parse"],
+            ).grok_parse(
+                documents.select("doc_id", F.col("text")),
+                "%{WORD:head} %{GREEDYDATA:rest}",
+            ),
+            "The grok expression compiles to one plain regex on the "
+            "driver; every field is a codegen'd regexp_extract in a "
+            "single Project over the scan — zero exchanges, zero Python, "
+            "zero state. At 100 TB the stage runs at scan speed.",
+        ),
+        (
+            "UL2 span corruption (md5-deterministic spans, map-only)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.tokens",
+                fromlist=["ul2_span_corruption"],
+            ).ul2_span_corruption(
+                EQ.rendered_docs(spark, SF).select("doc_id", "tokens")
+            ),
+            "Span count, segment boundaries, and in-segment offsets are "
+            "all md5/sequence/transform Column algebra; inputs and "
+            "targets assemble via flatten(transform(...)) in the same "
+            "Project — zero exchanges, zero Python, layout-invariant by "
+            "construction.",
+        ),
+        (
             "Volume burst detection (histogram-first, integer-exact moments)",
             __import__(
                 "super_speedy_syslog_searcher_spark.operators.summary",
