@@ -165,6 +165,18 @@ def run_bench(spark, sf_dir: str) -> dict:
         )
         seg.count()
 
+    # q11: log analytics (r4.5) — Drain-style template mining + burst
+    # detection over the parsed stream (timed region includes the parse,
+    # like dt_filter_agg: the analytics consume parse output)
+    def q_analytics():
+        from super_speedy_syslog_searcher_spark.operators.summary import rate_anomalies
+        from super_speedy_syslog_searcher_spark.operators.templates import mine_templates
+
+        msgs = parse_messages_fused(docs, reference_year=EQ.REFERENCE_YEAR).persist()
+        mine_templates(msgs, group_cols=("source",), text_col="text").count()
+        rate_anomalies(msgs, bucket="hour").count()
+        msgs.unpersist()
+
     # e2e runs first and pays whole-write-path JIT on its first rep;
     # 3 runs so the reported min is steady-state even in a window with
     # one throttling spike
@@ -179,6 +191,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("ann_cosine_topk", q_ann)
     timed("tokens_pack", q_pack)
     timed("tokens_stupid_backoff", q_sb)
+    timed("log_analytics", q_analytics)
     # single rep: the trainer is 4 corpus passes by construction and its
     # integer-count determinism makes reps redundant for correctness
     timed("tokens_unigram_train", q_unigram, runs=1)
