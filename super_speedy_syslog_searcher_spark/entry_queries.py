@@ -291,25 +291,100 @@ def enrichment_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "source string, facility string, severity string, sink_key string")
 
 
+# as-of enrichment cutover: mid-corpus (events span Jan 2024); each
+# source's dimension row flips facility/severity by one index at T
+ASOF_CUTOVER = datetime(2024, 1, 15, tzinfo=timezone.utc)
+
+
+def asof_dim_history(spark: SparkSession) -> DataFrame:
+    rows = []
+    for i in range(8):
+        rows.append(
+            (f"ev{i}", datetime(1970, 1, 1, tzinfo=timezone.utc),
+             FACILITIES[i % 6], SEVERITIES[i % 6])
+        )
+        rows.append(
+            (f"ev{i}", ASOF_CUTOVER,
+             FACILITIES[(i + 1) % 6], SEVERITIES[(i + 1) % 6])
+        )
+    return spark.createDataFrame(
+        rows, "source string, valid_from timestamp, facility string, severity string"
+    )
+
+
 def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Broadcast-join enrichment + per-sink aggregate counts (A6)."""
-    msgs = parsed_messages(spark, sf_dir)
+    """Broadcast-join enrichment + per-sink aggregate counts (A6),
+    UNIONED with the AS-OF (temporal/SCD-2) enrichment over the same
+    messages (r4.5 absorption; rows tagged by ``kind``): every source's
+    dimension row changes facility/severity at the mid-corpus cutover,
+    so each message must pick the version in effect at ITS OWN ts —
+    the oracle states the temporal sink from first principles via a
+    ``ts >= cutover`` CASE, never re-running the join."""
+    from .operators.enrich import asof_enrich, severity_class_col
+
+    _utc(spark)
+    msgs = parsed_messages(spark, sf_dir).persist()
     enriched = enrich(msgs, enrichment_df(spark))
-    return sink_counts(enriched).select("sink_key", "messages", "lines", "dt_first", "dt_last")
+    static = sink_counts(enriched).select(
+        F.lit("static").alias("kind"),
+        "sink_key",
+        "messages",
+        "lines",
+        "dt_first",
+        "dt_last",
+    )
+    en2 = asof_enrich(msgs, asof_dim_history(spark))
+    asof = (
+        en2.withColumn(
+            "sink_key",
+            F.concat_ws(".", F.col("facility"), severity_class_col(F.col("severity"))),
+        )
+        .groupBy("sink_key")
+        .agg(
+            F.count("*").alias("messages"),
+            F.count("*").alias("lines"),
+            F.min("ts").alias("dt_first"),
+            F.max("ts").alias("dt_last"),
+        )
+        .select(
+            F.lit("asof").alias("kind"),
+            "sink_key",
+            "messages",
+            "lines",
+            "dt_first",
+            "dt_last",
+        )
+    )
+    return static.unionByName(asof)
 
 
 _SINK_CASE = " ".join(
     f"WHEN {i} THEN '{FACILITIES[i % 6]}.{SEV_CLASS[SEVERITIES[i % 6]]}'" for i in range(8)
+)
+_SINK_CASE_V2 = " ".join(
+    f"WHEN {i} THEN '{FACILITIES[(i + 1) % 6]}.{SEV_CLASS[SEVERITIES[(i + 1) % 6]]}'"
+    for i in range(8)
 )
 
 SQL_PIPE_ENRICH_SINKS = f"""
 WITH m AS (
   SELECT CASE user_id % 8 {_SINK_CASE} END AS sink_key, {ORACLE_TRUNC_TS} AS mts
   FROM events
+),
+m2 AS (
+  SELECT CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+              THEN CASE user_id % 8 {_SINK_CASE_V2} END
+              ELSE CASE user_id % 8 {_SINK_CASE} END END AS sink_key,
+         {ORACLE_TRUNC_TS} AS mts
+  FROM events
 )
-SELECT sink_key, count(*) AS messages, count(*) AS lines,
+SELECT 'static' AS kind, sink_key, count(*) AS messages, count(*) AS lines,
        min(mts) AS dt_first, max(mts) AS dt_last
 FROM m GROUP BY sink_key
+UNION ALL
+SELECT 'asof' AS kind, sink_key, count(*) AS messages, count(*) AS lines,
+       min(mts) AS dt_first, max(mts) AS dt_last
+FROM m2 GROUP BY sink_key
 """
 
 
