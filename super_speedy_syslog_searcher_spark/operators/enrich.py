@@ -94,3 +94,102 @@ def asof_enrich(
     for a in attrs:
         out = out.withColumn(a, picked[a])
     return out.drop("_hist")
+
+
+def cidr_enrich(
+    facts: DataFrame,
+    cidr_table: DataFrame,
+    ip_col: str = "ip",
+    cidr_col: str = "cidr",
+) -> DataFrame:
+    """Longest-prefix-match CIDR enrichment — the range-join shape of
+    log pipelines (IP → network/geo/tenant): each fact row joins the
+    most specific ``cidr_table`` block containing its IPv4 address.
+
+    A naive range join (ip BETWEEN net_lo AND net_hi) is a theta join —
+    quadratic without an interval index. This implementation exploits
+    CIDR structure instead: the table holds only a handful of DISTINCT
+    prefix lengths (collected once, ≤32), and for each one the fact's
+    candidate network is computable in place
+    (``ip_int - ip_int mod 2^(32-plen)``). The operator emits one
+    broadcast left join PER DISTINCT PREFIX LENGTH, descending, and
+    coalesces the first match — longest prefix wins, the fact stream
+    never shuffles, and every join is an equi-join on the network key
+    (codegen'd BroadcastHashJoin). Unmatched rows carry NULL attributes.
+
+    Returns the fact columns plus the dimension attributes and the
+    matched ``cidr``/``prefix_len``.
+    """
+    attrs = [c for c in cidr_table.columns if c != cidr_col]
+    dim = cidr_table.select(
+        F.col(cidr_col),
+        F.split(F.col(cidr_col), "/").getItem(1).cast("int").alias("_plen"),
+        F.split(F.split(F.col(cidr_col), "/").getItem(0), "\\.").alias("_oct"),
+        *attrs,
+    ).select(
+        cidr_col,
+        "_plen",
+        (
+            F.col("_oct").getItem(0).cast("long") * 16777216
+            + F.col("_oct").getItem(1).cast("long") * 65536
+            + F.col("_oct").getItem(2).cast("long") * 256
+            + F.col("_oct").getItem(3).cast("long")
+        ).alias("_net_raw"),
+        *attrs,
+    )
+    # canonicalize the network (a sloppy "10.1.2.3/16" means 10.1.0.0/16)
+    dim = dim.withColumn(
+        "_net", F.col("_net_raw") - F.pmod(F.col("_net_raw"), F.pow(F.lit(2.0), 32 - F.col("_plen")).cast("long"))
+    ).drop("_net_raw")
+    plens = sorted(
+        {r["_plen"] for r in dim.select("_plen").distinct().collect()}, reverse=True
+    )
+
+    o = F.split(F.col(ip_col), "\\.")
+    ip_int = (
+        o.getItem(0).cast("long") * 16777216
+        + o.getItem(1).cast("long") * 65536
+        + o.getItem(2).cast("long") * 256
+        + o.getItem(3).cast("long")
+    )
+    out = facts
+    for plen in plens:
+        block = 2 ** (32 - plen)
+        cand = ip_int - F.pmod(ip_int, F.lit(block))
+        # one row per (network, plen): duplicate blocks must not fan the
+        # fact stream out
+        d = (
+            dim.filter(F.col("_plen") == plen)
+            .dropDuplicates(["_net"])
+            .select(
+                F.col("_net").alias(f"_n{plen}"),
+                F.col(cidr_col).alias(f"_c{plen}"),
+                *[F.col(a).alias(f"_{a}{plen}") for a in attrs],
+            )
+        )
+        out = out.join(F.broadcast(d), cand == F.col(f"_n{plen}"), "left")
+    # the matched plen decides every attribute — a plain coalesce chain
+    # would fall through past a matched block whose attribute is NULL
+    out = out.withColumn(
+        "prefix_len",
+        F.coalesce(*[F.when(F.col(f"_c{p}").isNotNull(), F.lit(p)) for p in plens])
+        if plens
+        else F.lit(None).cast("int"),
+    )
+
+    def by_plen(col_of):
+        expr = None
+        for p in plens:
+            c = col_of(p)
+            expr = (
+                F.when(F.col("prefix_len") == p, c)
+                if expr is None
+                else expr.when(F.col("prefix_len") == p, c)
+            )
+        return expr if expr is not None else F.lit(None)
+
+    out = out.withColumn(cidr_col, by_plen(lambda p: F.col(f"_c{p}")))
+    for a in attrs:
+        out = out.withColumn(a, by_plen(lambda p, a=a: F.col(f"_{a}{p}")))
+    drop = [c for p in plens for c in ([f"_n{p}", f"_c{p}"] + [f"_{a}{p}" for a in attrs])]
+    return out.drop(*drop)
