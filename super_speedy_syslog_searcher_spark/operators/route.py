@@ -65,3 +65,62 @@ def sink_counts(enriched: DataFrame) -> DataFrame:
         F.min("ts").alias("dt_first"),
         F.max("ts").alias("dt_last"),
     )
+
+
+def compact_sinks(
+    spark,
+    out_dir: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> DataFrame:
+    """Small-files compaction for the routed sink tables — the
+    maintenance job every high-fan-out log sink needs (a day of
+    micro-batches leaves thousands of KB-scale files per sink; readers
+    then pay per-file open cost and the table's metadata layer swells).
+    Equivalent to Iceberg's rewrite_data_files at the parquet layout.
+
+    Per sink partition: if it holds ≥ ``min_files`` files AND more
+    than one file per ``target_bytes`` of data, rewrite it to
+    ``ceil(bytes / target_bytes)`` files via a repartition write;
+    otherwise leave it untouched (no write amplification on already-
+    compact sinks). The rewrite is per-partition dynamic overwrite —
+    idempotent, and readers of untouched sinks never see churn.
+    Row contents are checksum-stable (a pure rewrite).
+
+    Scale shape: the decision pass reads FILE METADATA only (input_file
+    listing + sizes via the FS, no data scan); each selected sink
+    rewrites independently. Returns the per-sink compaction report
+    ``(sink_key, n_files_before, n_files_after, bytes)``.
+    """
+    import math
+    import os
+
+    from ..sources.iceberg import read_table, write_table
+
+    base = os.path.join(out_dir, "routed") if os.path.isdir(os.path.join(out_dir, "routed")) else out_dir
+    report = []
+    for entry in sorted(os.listdir(base)):
+        if not entry.startswith("sink_key="):
+            continue
+        pdir = os.path.join(base, entry)
+        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+        want = max(1, math.ceil(nbytes / target_bytes))
+        sink = entry.split("=", 1)[1]
+        if len(files) < min_files or len(files) <= want:
+            report.append((sink, len(files), len(files), nbytes))
+            continue
+        part = spark.read.parquet(pdir).repartition(want)
+        # rewrite in place: write to a sibling temp dir, then swap —
+        # never a partial state visible under the live name
+        tmp = pdir + "._compact"
+        part.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(pdir)
+        os.rename(tmp, pdir)
+        after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+        report.append((sink, len(files), after, nbytes))
+    return spark.createDataFrame(
+        report, "sink_key string, n_files_before int, n_files_after int, bytes long"
+    )
