@@ -39,6 +39,11 @@ def main() -> None:
     ap.add_argument("--out", default=None, help="fan-out sink directory")
     ap.add_argument("--checkpoint", default=None, help="manifest/lineage dir (resumable runs)")
     ap.add_argument("--docs", type=int, default=200)
+    ap.add_argument(
+        "--compact",
+        action="store_true",
+        help="after routing, compact each sink's small files (requires --out)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("s4spark-demo", cores=8)
@@ -91,6 +96,16 @@ def main() -> None:
     print("== volume bursts (hourly z-score > 2) ==")
     bursts = rate_anomalies(res["merged"], bucket="hour", z_threshold=2.0)
     bursts.filter("is_burst").orderBy("source", "bucket_ts").show(10, truncate=False)
+
+    if args.compact:
+        if not args.out:
+            ap.error("--compact requires --out")
+        from super_speedy_syslog_searcher_spark.operators.route import compact_sinks
+
+        print("== sink compaction report ==")
+        compact_sinks(spark, args.out, target_bytes=64 << 20).orderBy("sink_key").show(
+            20, truncate=False
+        )
 
 
 if __name__ == "__main__":
