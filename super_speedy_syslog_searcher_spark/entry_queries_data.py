@@ -990,10 +990,11 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) end-to-end: deterministic Lloyd's
     k-means over the embeddings, within-cluster cosine pairs, then the
     shared pointer-jumping closure → per-vector duplicate-cluster label.
-    K-means is ITERATIVE (corpus scans per round) — genuinely not
-    single-statement-SQL-expressible, so this is a rows-only driver row;
-    the strong checks live in pytest: exact python-twin equality of the
-    clustering, brute-force within-cluster pair reference, and layout
+    K-means is ITERATIVE (corpus scans per round); with the round count
+    FIXED at 3 the loop unrolls to chained (assign, update) CTE rounds,
+    so the driver row is hash-checked against ``_semdedup_oracle_sql()``.
+    pytest additionally pins exact python-twin equality of the
+    clustering, a brute-force within-cluster pair reference, and layout
     invariance (tests/test_dataops.py::TestKMeansSemDedup)."""
     from .operators.dedup import connected_components
     from .operators.similarity import semdedup_pairs
@@ -1004,6 +1005,76 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_id").cast("long").alias("cluster_id"),
         F.col("cluster_size").cast("long").alias("cluster_size"),
     )
+
+
+def _semdedup_oracle_sql(k: int = 4, iters: int = 3, threshold: float = 0.99) -> str:
+    """DuckDB twin of ``q_embed_semdedup``: deterministic Lloyd's
+    k-means unrolled to ``iters`` chained (assign, update) CTE rounds —
+    centroids init from the k lowest-id vectors, assignment =
+    argmin(|c|² − 2⟨x,c⟩) with ties to the lowest cluster id
+    (row_number ordered by (dist, cl)), update = per-dimension mean
+    with empty clusters keeping their previous centroid — then the
+    final assignment, within-cluster cosine pairs ≥ threshold, and the
+    same recursive-reachability closure every components oracle uses."""
+    rounds = []
+    prev = "c0"
+    for i in range(1, iters + 1):
+        rounds.append(f"""a{i} AS (
+  SELECT id, cl FROM (
+    SELECT e.id, c.cl,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cl) AS rk
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+),
+u{i} AS (
+  SELECT a.cl, g.d, avg(e.v[CAST(g.d AS INT)]) AS mu
+  FROM a{i} a JOIN e ON e.id = a.id, unnest(generate_series(1, len(e.v))) AS g(d)
+  GROUP BY 1, 2
+),
+c{i} AS (
+  SELECT p.cl, COALESCE(u.v, p.v) AS v
+  FROM {prev} p LEFT JOIN (SELECT cl, list(mu ORDER BY d) AS v FROM u{i} GROUP BY cl) u USING (cl)
+)""")
+        prev = f"c{i}"
+    return f"""
+WITH RECURSIVE {SQL_EMBS2.strip()},
+e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embs2),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY id) - 1 AS cl, v
+  FROM (SELECT id, v FROM e ORDER BY id LIMIT {k})
+),
+{",".join(rounds)},
+af AS (
+  SELECT id, cl FROM (
+    SELECT e.id, c.cl,
+           row_number() OVER (PARTITION BY e.id
+             ORDER BY list_dot_product(c.v, c.v) - 2 * list_dot_product(e.v, c.v), c.cl) AS rk
+    FROM e CROSS JOIN {prev} c
+  ) WHERE rk = 1
+),
+b AS (SELECT e.id, e.v, af.cl FROM e JOIN af USING (id)),
+pairs AS (
+  SELECT l.id AS a, r.id AS b
+  FROM b l JOIN b r ON l.cl = r.cl AND l.id < r.id
+  WHERE list_cosine_similarity(l.v, r.v) >= {threshold}
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst
+),
+labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+SELECT CAST(node AS BIGINT) AS vec_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+FROM labels
+"""
 
 
 # r4 registry consolidation: both ANN kernels / both closure graphs under
@@ -1079,6 +1150,6 @@ ORACLES = {
     "text_tfidf": SQL_TEXT_TFIDF,
     "ann_cosine_topk": SQL_ANN_COSINE_COMBINED,
     "ann_cosine_topk_ivf": _ann_ivf_oracle_sql(),
-    # embed_semdedup: rows-only by design (iterative k-means)
+    "embed_semdedup": _semdedup_oracle_sql(k=4, iters=3, threshold=0.99),
     "multimodal_real_decode": SQL_MULTIMODAL_REAL_DECODE,
 }

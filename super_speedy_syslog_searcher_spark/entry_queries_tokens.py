@@ -596,10 +596,12 @@ def q_tokens_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training over the rendered corpus —
     the learned merge table (merge_no, left, right, new_id, n_pairs).
     The training loop is ITERATIVE (one corpus aggregate + one rewrite
-    per round) — genuinely not single-statement-SQL-expressible, so this
-    is a rows-only driver row; the strong checks live in pytest: exact
-    merge-table + rewritten-corpus equality vs the sequential textbook
-    reference (tests/test_tokens.py)."""
+    per round); with the round count FIXED at 8 the loop unrolls to
+    chained SQL rounds, so the driver row is hash-checked against
+    ``_bpe_train_oracle_sql()`` (pair-count group-by + relational greedy
+    rewrite per round). pytest additionally pins exact merge-table +
+    rewritten-corpus equality vs the sequential textbook reference
+    (tests/test_tokens.py)."""
     from .operators.tokens import train_bpe
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -613,9 +615,10 @@ def q_tokens_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tokens_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-fit-decreasing sequence packing (Krell et al. 2021) over the
     rendered corpus: one row per placed piece. The BFD composition is
-    solved driver-side on the bounded length histogram — an ALGORITHMIC
-    step no single SQL statement reproduces, so this is a rows-only
-    driver row; pytest carries the strong checks (full python-twin
+    solved driver-side on the bounded length histogram; the driver row
+    is hash-checked against ``_bfd_oracle_sql()``, which replays that
+    solve as a single-row recursive-CTE state machine over the same
+    histogram. pytest carries further checks (full python-twin
     assignment equality, bin validity, ≤1.15× fractional lower bound,
     layout invariance — tests/test_tokens.py)."""
     from .operators.tokens import pack_sequences_bestfit
@@ -630,6 +633,168 @@ def q_tokens_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bin_id").cast("bigint").alias("bin_id"),
         F.col("bin_off").cast("bigint").alias("bin_off"),
     )
+
+
+def _bpe_train_oracle_sql(num_merges: int = 8, min_freq: int = 2) -> str:
+    """DuckDB twin of ``q_tokens_bpe_train``: the merge loop unrolled to
+    ``num_merges`` chained CTE rounds — each round one pair-count
+    group-by (winner = max count, ties to smallest (left, right)), one
+    greedy left-to-right rewrite expressed relationally (kept match
+    starts become the fresh id, the slot after each kept start drops;
+    the only overlap case, left == right runs like ``aaa``, resolves by
+    run parity: a match is kept iff its offset from the run start is
+    even — exactly the textbook greedy scan). new_id numbering restarts
+    from max(corpus token) + 1, as the operator does. A round whose best
+    pair falls under ``min_freq`` emits no row and leaves the corpus
+    unchanged, matching the trainer's break."""
+    parts = [
+        f"WITH {_SQL_DOCS.strip()},",
+        """t0 AS MATERIALIZED (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS rn, unicode(substr(line, CAST(u.i AS INT), 1)) AS tok
+  FROM docs, unnest(generate_series(1, length(line))) AS u(i)
+),
+base AS (SELECT max(tok) AS mx FROM t0)""",
+    ]
+    for r in range(num_merges):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT a.tok AS l, b.tok AS r2, CAST(count(*) AS BIGINT) AS n
+  FROM t{r} a JOIN t{r} b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  GROUP BY 1, 2
+),
+w{r} AS MATERIALIZED (SELECT l, r2, n FROM p{r} WHERE n >= {min_freq} ORDER BY n DESC, l, r2 LIMIT 1),
+rs{r} AS MATERIALIZED (
+  SELECT doc_id, rn, min(rn) OVER (PARTITION BY doc_id, isl) AS run_start
+  FROM (
+    SELECT t.doc_id, t.rn,
+           t.rn - row_number() OVER (PARTITION BY t.doc_id ORDER BY t.rn) AS isl
+    FROM t{r} t, w{r} w WHERE t.tok = w.l
+  )
+),
+m{r} AS MATERIALIZED (
+  SELECT a.doc_id, a.rn
+  FROM t{r} a
+  JOIN t{r} b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  JOIN rs{r} s ON s.doc_id = a.doc_id AND s.rn = a.rn
+  CROSS JOIN w{r} w
+  WHERE a.tok = w.l AND b.tok = w.r2
+    AND (w.l <> w.r2 OR (a.rn - s.run_start) % 2 = 0)
+),
+t{r + 1} AS MATERIALIZED (
+  SELECT t.doc_id,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.rn) AS rn,
+         CASE WHEN k.rn IS NOT NULL THEN (SELECT mx FROM base) + 1 + {r} ELSE t.tok END AS tok
+  FROM t{r} t
+  LEFT JOIN m{r} k ON k.doc_id = t.doc_id AND k.rn = t.rn
+  LEFT JOIN m{r} d ON d.doc_id = t.doc_id AND d.rn = t.rn - 1
+  WHERE d.rn IS NULL
+)""")
+    selects = [
+        f"""SELECT CAST({r} AS INT) AS merge_no, CAST(l AS INT) AS "left",
+       CAST(r2 AS INT) AS "right",
+       CAST((SELECT mx FROM base) + 1 + {r} AS INT) AS new_id, n AS n_pairs
+FROM w{r}"""
+        for r in range(num_merges)
+    ]
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def _bfd_oracle_sql(max_len: int = PACK_MAX_LEN) -> str:
+    """DuckDB twin of ``q_tokens_pack_bestfit``: the driver-side BFD
+    histogram solve re-expressed as a single-row recursive-CTE state
+    machine (state = remaining (length, count) work list + the group
+    table as a list of structs; one recursion step = one body of the
+    solver's while loop, choosing the min-(cap, seq) candidate group
+    via ``list_sort`` over (cap, seq) projections), then the identical
+    integer rank→(bin, slot) arithmetic as window functions. Verified
+    piece-for-piece against ``_bfd_compositions`` on random and
+    adversarial histograms before wiring (multi-chunk docs included)."""
+    return f"""
+WITH RECURSIVE {_SQL_DOCS.strip()},
+pieces AS (
+  SELECT doc_id,
+         CAST(u.c AS INTEGER) AS chunk_no,
+         CAST(u.c * {max_len} AS BIGINT) AS tok_off,
+         CAST(least({max_len}, length(line) - u.c * {max_len}) AS INTEGER) AS length
+  FROM docs, unnest(generate_series(0, CAST(ceil(length(line) / {max_len}.0) AS INTEGER) - 1)) AS u(c)
+  WHERE length(line) > 0
+),
+hist AS (SELECT length AS L, CAST(count(*) AS BIGINT) AS n FROM pieces GROUP BY 1),
+solver(work, grps, seq) AS (
+  SELECT (SELECT list(struct_pack(L := L, n := n) ORDER BY L DESC) FROM hist),
+         CAST([] AS STRUCT(cap INTEGER, m BIGINT, comp STRUCT(L INTEGER, k INTEGER)[], seq INTEGER)[]),
+         0
+  UNION ALL
+  SELECT
+    CASE WHEN ch.cseq IS NULL OR w.n - tk.take = 0
+         THEN work[2:]
+         ELSE list_concat([struct_pack(L := w.L, n := w.n - tk.take)], work[2:]) END,
+    CASE WHEN ch.cseq IS NULL
+         THEN list_append(grps, struct_pack(
+                cap := {max_len} - w.L, m := w.n,
+                comp := [struct_pack(L := w.L, k := 1)], seq := seq))
+         ELSE list_append(
+                list_transform(grps, x -> CASE WHEN x.seq = ch.cseq
+                  THEN struct_pack(cap := x.cap, m := x.m - tk.take, comp := x.comp, seq := x.seq)
+                  ELSE x END),
+                struct_pack(
+                  cap := gg.g.cap - w.L, m := tk.take,
+                  comp := CASE WHEN len(list_filter(gg.g.comp, c -> c.L = w.L)) > 0
+                    THEN list_transform(gg.g.comp, c -> CASE WHEN c.L = w.L
+                           THEN struct_pack(L := c.L, k := c.k + 1) ELSE c END)
+                    ELSE list_append(gg.g.comp, struct_pack(L := w.L, k := 1)) END,
+                  seq := seq)) END,
+    seq + 1
+  FROM solver,
+  LATERAL (SELECT work[1].L AS L, work[1].n AS n) AS w,
+  LATERAL (SELECT list_filter(grps, g -> g.m > 0 AND g.cap >= w.L) AS cands) AS c,
+  LATERAL (SELECT CASE WHEN len(c.cands) = 0 THEN NULL
+                  ELSE list_sort(list_transform(c.cands, g -> struct_pack(cap := g.cap, seq := g.seq)))[1].seq
+                  END AS cseq) AS ch,
+  LATERAL (SELECT CASE WHEN ch.cseq IS NULL THEN NULL
+                  ELSE list_filter(grps, x -> x.seq = ch.cseq)[1] END AS g) AS gg,
+  LATERAL (SELECT CASE WHEN gg.g IS NULL THEN CAST(NULL AS BIGINT)
+                  ELSE least(w.n, gg.g.m) END AS take) AS tk
+  WHERE len(work) > 0
+),
+final AS (SELECT grps FROM solver WHERE len(work) = 0),
+fg AS (
+  SELECT g.cap AS cap, g.m AS m, g.comp AS comp, g.seq AS seq
+  FROM (SELECT unnest(grps) AS g FROM final)
+  WHERE g.m > 0
+),
+binb AS (
+  SELECT seq, m, comp,
+         COALESCE(sum(m) OVER (ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bin_base
+  FROM fg
+),
+flat AS (
+  SELECT seq, m, bin_base, c.L AS L, c.k AS k
+  FROM (SELECT seq, m, bin_base, unnest(comp) AS c FROM binb)
+),
+based AS (
+  SELECT *, COALESCE(sum(m * k) OVER (PARTITION BY L ORDER BY seq
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+  FROM flat
+),
+slotted AS (
+  SELECT *, COALESCE(sum(k * L) OVER (PARTITION BY seq ORDER BY L DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS slot_base
+  FROM based
+),
+ranked AS (
+  SELECT doc_id, chunk_no, tok_off, length,
+         row_number() OVER (PARTITION BY length
+           ORDER BY doc_id || '#' || CAST(chunk_no AS VARCHAR)) - 1 AS r
+  FROM pieces
+)
+SELECT p.doc_id, p.chunk_no, p.tok_off,
+       CAST(p.length AS BIGINT) AS length,
+       CAST(s.bin_base + (p.r - s.base) // s.k AS BIGINT) AS bin_id,
+       CAST(s.slot_base + ((p.r - s.base) % s.k) * p.length AS BIGINT) AS bin_off
+FROM ranked p
+JOIN slotted s ON s.L = p.length AND p.r >= s.base AND p.r < s.base + s.m * s.k
+"""
 
 
 QUERIES = {
@@ -653,7 +818,7 @@ ORACLES = {
     "tokens_assemble": SQL_TOKENS_ASSEMBLE,
     "tokens_bigram_lm": SQL_TOKENS_BIGRAM_LM,
     "tokens_fim": SQL_TOKENS_FIM,
-    # tokens_bpe_train, tokens_pack_bestfit: rows-only by design
-    # (iterative / algorithmic — see their docstrings)
+    "tokens_bpe_train": _bpe_train_oracle_sql(num_merges=8, min_freq=2),
+    "tokens_pack_bestfit": _bfd_oracle_sql(),
     "stream_tokens_pack": SQL_TOKENS_PACK,
 }

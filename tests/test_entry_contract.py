@@ -56,11 +56,12 @@ def test_registry_fits_driver_gate():
         "merge near-duplicate rows instead of overflowing (see SURVEY §8)"
     )
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "embed_semdedup",
-        "tokens_bpe_train",
-        "tokens_pack_bestfit",
-    }, f"unexpected rows-only queries: {sorted(rows_only)}"
+    assert rows_only == set(), (
+        f"unexpected rows-only queries: {sorted(rows_only)} — every registry "
+        "entry has a hash-checked oracle since r5 (the former iterative "
+        "rows-only trio gained fixed-round SQL twins: chained-CTE Lloyd's "
+        "k-means, unrolled BPE merge rounds, recursive-CTE BFD solver)"
+    )
 
 
 def test_parse_series_family_samples():
