@@ -57,6 +57,26 @@ def _utc(spark: SparkSession) -> SparkSession:
     return spark
 
 
+# dual-consumer queries persist their shared parse output; the returned
+# DataFrame still references it, so the query itself can never unpersist.
+# Instead each NEW _persist releases every previous one — across the
+# 50-query gate run at most ONE cached intermediate is live, instead of
+# the caches of every persisting query accumulating executor storage for
+# the rest of the session (ADVICE r4 low).
+_PERSISTED: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    for old in _PERSISTED:
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session may have restarted since; nothing to free
+    _PERSISTED.clear()
+    _PERSISTED.append(df)
+    return df.persist()
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -264,7 +284,7 @@ def q_pipe_merge_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampling, partition-count collect) re-execute only the small
     # in-range slice; at production scale the equivalent is ts-partition
     # pruning before the sort
-    msgs = parsed_messages(spark, sf_dir).filter(F.dayofmonth("ts") == 5).persist()
+    msgs = _persist(parsed_messages(spark, sf_dir).filter(F.dayofmonth("ts") == 5))
     merged = with_global_rank(global_sort(with_source_order(msgs)))
     return (
         _with_event_id(merged)
@@ -319,11 +339,19 @@ def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension row changes facility/severity at the mid-corpus cutover,
     so each message must pick the version in effect at ITS OWN ts —
     the oracle states the temporal sink from first principles via a
-    ``ts >= cutover`` CASE, never re-running the join."""
-    from .operators.enrich import asof_enrich, severity_class_col
+    ``ts >= cutover`` CASE, never re-running the join; AND with the
+    longest-prefix CIDR enrichment over per-message IPs derived from
+    each event's own id (r5 absorption, ``kind='cidr'`` — VERDICT r4 #7:
+    the one operator family with no oracle-checked face): the oracle
+    derives the matched network from the seeded IPs via integer
+    modulus CASE arms, never re-running the join. The CIDR dim seeds a
+    sloppy duplicate block (``10.1.2.9/24``, conflicting attribute) so
+    canonicalization + the deterministic min(struct) keeper election
+    are pinned under the hash gate too."""
+    from .operators.enrich import asof_enrich, cidr_enrich, severity_class_col
 
     _utc(spark)
-    msgs = parsed_messages(spark, sf_dir).persist()
+    msgs = _persist(parsed_messages(spark, sf_dir))
     enriched = enrich(msgs, enrichment_df(spark))
     static = sink_counts(enriched).select(
         F.lit("static").alias("kind"),
@@ -355,7 +383,51 @@ def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dt_last",
         )
     )
-    return static.unionByName(asof)
+    cidr_dim = spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "net.wide"),
+            ("10.1.0.0/16", "net.mid"),
+            ("10.1.2.0/24", "net.narrow"),
+            # sloppy duplicate of the /24 block with a conflicting
+            # attribute: canonicalizes to the same network; the keeper
+            # election takes min(struct(cidr, attrs)) = net.narrow
+            ("10.1.2.9/24", "zz.ignored"),
+        ],
+        "cidr string, net_sink string",
+    )
+    eid = F.col("event_id")
+    with_ip = _with_event_id(msgs).withColumn(
+        "ip",
+        F.when(eid % 5 == 0, F.lit("172.16.0.1")).otherwise(
+            F.concat_ws(
+                ".",
+                F.lit("10"),
+                (eid % 3).cast("string"),
+                (eid % 7).cast("string"),
+                (eid % 251).cast("string"),
+            )
+        ),
+    )
+    cidr = (
+        cidr_enrich(with_ip, cidr_dim, ip_col="ip")
+        .withColumn("sink_key", F.coalesce(F.col("net_sink"), F.lit("unmatched")))
+        .groupBy("sink_key")
+        .agg(
+            F.count("*").alias("messages"),
+            F.count("*").alias("lines"),
+            F.min("ts").alias("dt_first"),
+            F.max("ts").alias("dt_last"),
+        )
+        .select(
+            F.lit("cidr").alias("kind"),
+            "sink_key",
+            "messages",
+            "lines",
+            "dt_first",
+            "dt_last",
+        )
+    )
+    return static.unionByName(asof).unionByName(cidr)
 
 
 _SINK_CASE = " ".join(
@@ -385,6 +457,20 @@ UNION ALL
 SELECT 'asof' AS kind, sink_key, count(*) AS messages, count(*) AS lines,
        min(mts) AS dt_first, max(mts) AS dt_last
 FROM m2 GROUP BY sink_key
+UNION ALL
+SELECT 'cidr' AS kind, sink_key, count(*) AS messages, count(*) AS lines,
+       min(mts) AS dt_first, max(mts) AS dt_last
+FROM (
+  -- longest-prefix match restated via integer math on the seeded IPs:
+  -- ip = 172.16.0.1 when eid%5=0 (no block), else 10.(eid%3).(eid%7).x
+  -- /24 block 10.1.2.0 beats /16 10.1.0.0 beats /8 10.0.0.0
+  SELECT CASE WHEN event_id % 5 = 0 THEN 'unmatched'
+              WHEN event_id % 3 = 1 AND event_id % 7 = 2 THEN 'net.narrow'
+              WHEN event_id % 3 = 1 THEN 'net.mid'
+              ELSE 'net.wide' END AS sink_key,
+         {ORACLE_TRUNC_TS} AS mts
+  FROM events
+) m3 GROUP BY sink_key
 """
 
 
@@ -415,7 +501,7 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _utc(spark)
     docs = rendered_docs_multiline(spark, sf_dir)
-    parsed = parse_docs(docs).persist()
+    parsed = _persist(parse_docs(docs))
     msgs = sessionize(parsed)
     nulls = [
         F.lit(None).cast("timestamp").alias("bucket_ts"),
@@ -498,7 +584,7 @@ def q_pipe_pattern_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = rendered_docs(spark, sf_dir)
     # both union branches consume the fused Python parse — persist it
     # (the q_pipe_summary_rollup dual-consumer idiom)
-    parsed = parse_docs(docs).persist()
+    parsed = _persist(parse_docs(docs))
     dtpd = (
         parsed.groupBy("source", "pattern_id")
         .agg(F.count("*").alias("n"))
@@ -626,7 +712,7 @@ def q_pipe_output_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.grok import grok_parse
     from .operators.output import output_line
 
-    all_msgs = parsed_messages(spark, sf_dir).persist()
+    all_msgs = _persist(parsed_messages(spark, sf_dir))
     msgs = all_msgs.filter(F.col("source") == "ev0")
     out = output_line(msgs, prepend_dt=True, prepend_name="source", separator="|")
     nulls = [

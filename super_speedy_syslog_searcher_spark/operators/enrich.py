@@ -157,14 +157,18 @@ def cidr_enrich(
         block = 2 ** (32 - plen)
         cand = ip_int - F.pmod(ip_int, F.lit(block))
         # one row per (network, plen): duplicate blocks must not fan the
-        # fact stream out
+        # fact stream out. The keeper is ELECTED deterministically —
+        # min(struct(cidr, attrs)) per network — not dropDuplicates,
+        # whose arbitrary survivor would enrich conflicting duplicate
+        # blocks differently across runs/partitionings (ADVICE r4 low).
         d = (
             dim.filter(F.col("_plen") == plen)
-            .dropDuplicates(["_net"])
+            .groupBy("_net")
+            .agg(F.min(F.struct(F.col(cidr_col).alias("_c"), *[F.col(a).alias(a) for a in attrs])).alias("_k"))
             .select(
                 F.col("_net").alias(f"_n{plen}"),
-                F.col(cidr_col).alias(f"_c{plen}"),
-                *[F.col(a).alias(f"_{a}{plen}") for a in attrs],
+                F.col("_k._c").alias(f"_c{plen}"),
+                *[F.col(f"_k.{a}").alias(f"_{a}{plen}") for a in attrs],
             )
         )
         out = out.join(F.broadcast(d), cand == F.col(f"_n{plen}"), "left")

@@ -101,19 +101,23 @@ def grok_parse(
     anchor: bool = True,
 ) -> DataFrame:
     """Extract the grok expression's named fields as string columns plus
-    a ``grok_matched`` flag; non-matching rows carry NULL fields (Spark
-    ``regexp_extract`` returns '' on no-match — normalized to NULL here
-    so misses are unambiguous). ``anchor=True`` pins the expression to
-    the whole line (``^…$`` semantics via a full-match regex)."""
+    a ``grok_matched`` flag; non-matching rows carry NULL fields. Empty
+    extractions normalize to NULL UNIFORMLY: Spark ``regexp_extract``
+    returns '' both on a matched-but-non-participating optional group
+    (``httpversion`` in ``(?: HTTP/%{NUMBER:httpversion})?``) and on a
+    genuinely empty capture, so '' would be ambiguous — this operator
+    never emits '' (ADVICE r4: field absent and zero-width capture both
+    read as NULL, matching what ``re.fullmatch().groups()`` reports for
+    the absent case). ``anchor=True`` pins the expression to the whole
+    line (``^…$`` semantics via a full-match regex)."""
     regex, fields = grok_to_regex(pattern, library)
     if anchor:
         regex = f"^{regex}$"
     matched = F.col(text_col).rlike(regex)
     out = df.withColumn("grok_matched", matched)
     for i, name in enumerate(fields, start=1):
-        out = out.withColumn(
-            name, F.when(matched, F.regexp_extract(F.col(text_col), regex, i))
-        )
+        got = F.regexp_extract(F.col(text_col), regex, i)
+        out = out.withColumn(name, F.when(matched & (got != ""), got))
     return out
 
 

@@ -87,39 +87,43 @@ def compact_sinks(
     idempotent, and readers of untouched sinks never see churn.
     Row contents are checksum-stable (a pure rewrite).
 
-    Scale shape: the decision pass reads FILE METADATA only (input_file
-    listing + sizes via the FS, no data scan); each selected sink
-    rewrites independently. Returns the per-sink compaction report
+    Scale shape: the decision pass reads FILE METADATA only — one
+    Hadoop-FS ``listStatus`` per sink partition (names + sizes in one
+    RPC; works on file://, hdfs://, s3a:// alike — never POSIX
+    os.listdir), O(#sinks) driver cost; each selected sink rewrites
+    independently. The commit is the crash-safe three-step swap of
+    ``fs_swap_dir`` (live → ._old, staged → live, drop ._old): no step
+    leaves the partition's only copy in a temp dir. On a real Iceberg
+    catalog use ``rewrite_data_files`` instead — its snapshot commit
+    removes even the between-renames visibility gap. Returns the
+    per-sink compaction report
     ``(sink_key, n_files_before, n_files_after, bytes)``.
     """
     import math
-    import os
 
-    from ..sources.iceberg import read_table, write_table
+    from ..sources.iceberg import fs_delete, fs_exists, fs_swap_dir, partition_file_stats
 
-    base = os.path.join(out_dir, "routed") if os.path.isdir(os.path.join(out_dir, "routed")) else out_dir
+    base = f"{out_dir}/routed" if fs_exists(spark, f"{out_dir}/routed") else out_dir
+    stats = partition_file_stats(spark, base, prefix="sink_key=")
     report = []
-    for entry in sorted(os.listdir(base)):
-        if not entry.startswith("sink_key="):
-            continue
-        pdir = os.path.join(base, entry)
-        files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
-        nbytes = sum(os.path.getsize(os.path.join(pdir, f)) for f in files)
+    for entry in sorted(stats):
+        pdir = f"{base}/{entry}"
+        files = stats[entry]
+        nbytes = sum(sz for _, sz in files)
         want = max(1, math.ceil(nbytes / target_bytes))
         sink = entry.split("=", 1)[1]
         if len(files) < min_files or len(files) <= want:
             report.append((sink, len(files), len(files), nbytes))
             continue
         part = spark.read.parquet(pdir).repartition(want)
-        # rewrite in place: write to a sibling temp dir, then swap —
-        # never a partial state visible under the live name
+        # stage the rewrite beside the live dir, then swap (three-step,
+        # crash-safe — see fs_swap_dir); sweep any stale sibling from a
+        # previously crashed run first
         tmp = pdir + "._compact"
+        fs_delete(spark, tmp)
         part.write.mode("overwrite").parquet(tmp)
-        import shutil
-
-        shutil.rmtree(pdir)
-        os.rename(tmp, pdir)
-        after = len([f for f in os.listdir(pdir) if f.endswith(".parquet")])
+        fs_swap_dir(spark, pdir, tmp)
+        after = len(partition_file_stats(spark, base, prefix=entry).get(entry, []))
         report.append((sink, len(files), after, nbytes))
     return spark.createDataFrame(
         report, "sink_key string, n_files_before int, n_files_after int, bytes long"

@@ -43,3 +43,62 @@ def test_compact_sinks_reduces_files_and_preserves_rows(spark, tmp_path):
     # second run: already compact → untouched
     rpt2 = {r["sink_key"]: r for r in compact_sinks(spark, base, target_bytes=1 << 30).collect()}
     assert rpt2["a.err"]["n_files_before"] == rpt2["a.err"]["n_files_after"] == 1
+
+
+def test_compact_sinks_many_sinks_via_adapter(spark, tmp_path):
+    """Many-sink listing through the Hadoop-FS adapter (VERDICT r4 #6):
+    the decision pass must see every partition with one listStatus per
+    sink — no POSIX path assumptions — and only rewrite the fragmented
+    ones."""
+    from super_speedy_syslog_searcher_spark.operators.route import compact_sinks
+    from super_speedy_syslog_searcher_spark.sources.iceberg import partition_file_stats
+
+    base = str(tmp_path / "routed")
+    rows = spark.range(0, 3000).select(
+        F.col("id"),
+        F.concat(F.lit("s"), (F.col("id") % 24).cast("string")).alias("sink_key"),
+        F.concat(F.lit("m"), F.col("id")).alias("text"),
+    )
+    rows.repartition(8, "id").write.partitionBy("sink_key").parquet(base)
+    stats = partition_file_stats(spark, base, prefix="sink_key=")
+    assert len(stats) == 24
+    assert all(len(files) >= 2 for files in stats.values())
+    assert all(sz > 0 for files in stats.values() for _, sz in files)
+
+    before = _checksum(spark, base)
+    rpt = compact_sinks(spark, base, target_bytes=1 << 30).collect()
+    assert len(rpt) == 24
+    assert all(r["n_files_after"] == 1 for r in rpt)
+    assert _checksum(spark, base) == before
+
+
+def test_compact_swap_never_orphans_live_partition(spark, tmp_path):
+    """The three-step swap's stale siblings (._old / ._compact from a
+    crashed run) are swept, excluded from listings, and a re-run
+    converges (ADVICE r4 medium: the old rmtree-then-rename order left
+    the live partition deleted on a crash between the two calls)."""
+    from super_speedy_syslog_searcher_spark.operators.route import compact_sinks
+    from super_speedy_syslog_searcher_spark.sources.iceberg import partition_file_stats
+
+    base = str(tmp_path / "routed")
+    rows = spark.range(0, 1000).select(
+        F.col("id"),
+        F.lit("only.sink").alias("sink_key"),
+        F.concat(F.lit("m"), F.col("id")).alias("text"),
+    )
+    rows.repartition(8, "id").write.partitionBy("sink_key").parquet(base)
+    before = _checksum(spark, base)
+    # simulate a crashed previous run: stale staged dir beside the live one
+    stale = os.path.join(base, "sink_key=only.sink._compact")
+    os.makedirs(stale)
+    with open(os.path.join(stale, "garbage.parquet"), "wb") as f:
+        f.write(b"not parquet")
+
+    stats = partition_file_stats(spark, base, prefix="sink_key=")
+    assert set(stats) == {"sink_key=only.sink"}  # stale sibling not a partition
+
+    rpt = compact_sinks(spark, base, target_bytes=1 << 30).collect()
+    assert rpt[0]["n_files_after"] == 1
+    assert _checksum(spark, base) == before
+    # swap left no ._old / ._compact behind
+    assert [d for d in os.listdir(base) if d.endswith(("._old", "._compact"))] == []

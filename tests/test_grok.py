@@ -82,3 +82,18 @@ class TestExtractKV:
             ["info", "disk full", "sda1", "1", "2"],
         )
         assert got[2] == ([], [])
+
+
+class TestOptionalGroupNull:
+    def test_absent_optional_group_is_null_not_empty(self, spark):
+        """ADVICE r4: a matched row whose optional group did not
+        participate (CLF without HTTP version) must report NULL, same as
+        the python re reference — never ''."""
+        rows = [
+            (1, '10.1.2.3 - - [01/Jun/2023:06:15:56 +0000] "GET /x" 200 17'),
+            (2, '10.1.2.3 - - [01/Jun/2023:06:15:56 +0000] "GET /x HTTP/1.0" 200 17'),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in grok_parse(df, "%{COMMONAPACHELOG}").collect()}
+        assert got[1]["grok_matched"] and got[1]["httpversion"] is None
+        assert got[2]["grok_matched"] and got[2]["httpversion"] == "1.0"
