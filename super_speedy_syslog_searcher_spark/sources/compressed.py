@@ -16,6 +16,16 @@ codec step — this module is that on-ramp:
   ready for ``parse_messages_fused``; or ``read_archive_files`` for the
   typed binary on-ramp (evtx/journal/fixedstruct members).
 
+Whole-file compressed CONTAINERS (``System.journal.xz``,
+``Security.evtx.gz`` — distinct from xz/lz4/zstd-compressed *interior*
+objects, which the native readers handle themselves) route through the
+same two steps: the payload decompresses before typing, and
+``guess_filetype`` strips compression suffixes, so the decompressed
+bytes reach ``parse_journal_native``/``parse_evtx_native`` — the
+reference's decompress-before-parse semantics
+(src/readers/filedecompressor.rs:100). Pinned row-identical to the
+uncompressed twins in tests/test_compressed.py.
+
 Codec selection is by MAGIC BYTES, not extension — a ``.gz`` that is
 actually plain text parses fine, matching the reference's behavior of
 trusting content over names for block formats.  The *source* name does
