@@ -211,9 +211,28 @@ def run_bench(spark, sf_dir: str) -> dict:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(app_name="s4spark-bench")
-    result = run_bench(spark, sf_dir)
-    print(json.dumps(result))
+    # serialize against pytest / the scaling watcher (VERDICT r4 #10):
+    # timing while the suite drains on the same host measures contention,
+    # not the engine. The driver must still get a JSON line, so after a
+    # bounded wait we proceed and RECORD the contention instead of
+    # silently timing a polluted window.
+    from super_speedy_syslog_searcher_spark.hostlock import HostLock, HostLockTimeout
+
+    contended = False
+    try:
+        lock = HostLock("bench.py", timeout=900)
+        lock.__enter__()
+    except HostLockTimeout:
+        lock, contended = None, True
+    try:
+        spark = get_spark(app_name="s4spark-bench")
+        result = run_bench(spark, sf_dir)
+        if contended:
+            result["host_lock_contended"] = True
+        print(json.dumps(result))
+    finally:
+        if lock is not None:
+            lock.__exit__(None, None, None)
 
 
 if __name__ == "__main__":
