@@ -380,48 +380,96 @@ def embed_features_stub(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Media → feature-vector stage (the CLIP/audio-embedding slot of a
-    multimodal pipeline). Plumbing real, kernel a deterministic stub:
-    the "embedding" is the payload's L2-normalized byte-bigram histogram
-    folded into ``dim`` buckets — identical payloads get identical
-    vectors and near-identical payloads get high cosine, so the output
-    COMPOSES with the real similarity operators
+    multimodal pipeline). For PNG/BMP payloads with pixel data the
+    feature is computed from REAL PIXELS (r5, reusing
+    ``functions/imaging.py``): the image is decoded, bilinear-downsampled
+    to an 8×8 luma thumbnail, and the embedding is the L2-normalized
+    concatenation of that thumbnail (64 values, resampled to fill
+    ``dim``'s first 48 slots) with a 16-bucket luma histogram — a real
+    perceptual signature (aHash-family): re-encodes and resizes of the
+    same picture land close in cosine, unrelated pictures don't. For
+    JPEG/GIF/audio/video (C codec required) and header-only payloads the
+    documented fallback is the payload's L2-normalized byte-bigram
+    histogram — still deterministic and composition-correct. A
+    ``kernel`` column says which ran ('pixels' | 'byte-bigram'). Either
+    way the output COMPOSES with the real similarity operators
     (``similarity.cosine_dup_pairs`` / ``cosine_topk`` /
-    ``kmeans_assign``) exactly like a learned embedding would; swap the
-    histogram for a model forward pass on a real cluster.
+    ``kmeans_assign``) exactly like a learned embedding; swap for a
+    model forward pass on a real cluster.
 
-    Map-only (one Arrow stage, numpy per batch — no per-row Python
-    beyond the payload walk that any decoder pays); returns
-    ``(media_id, vec_id, vec array<float>)`` with ``vec_id`` a dense
-    per-batch-independent md5-derived long so the ANN operators' id
-    contracts hold.
+    Map-only (one Arrow stage, numpy per batch); returns
+    ``(media_id, vec_id, kernel, vec array<float>)`` with ``vec_id`` a
+    dense md5-derived long so the ANN operators' id contracts hold.
     """
+
+    def _pixel_vec(p: bytes) -> "np.ndarray | None":
+        from ..functions.imaging import bilinear_resize, decode_bmp, decode_png
+
+        try:
+            if p[:8] == b"\x89PNG\r\n\x1a\n":
+                img = decode_png(p)
+            elif p[:2] == b"BM":
+                img = decode_bmp(p)
+            else:
+                return None
+        except Exception:
+            return None
+        # luma per ITU-R 601 coefficients; gray/GA images use channel 0
+        f = img.astype(np.float64)
+        if img.shape[2] >= 3:
+            luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        else:
+            luma = f[:, :, 0]
+        thumb = bilinear_resize(
+            luma.astype(np.uint8)[:, :, None], 8, 8
+        ).reshape(-1).astype(np.float64)
+        hist = np.bincount((thumb // 16).astype(np.int64), minlength=16)[:16].astype(np.float64)
+        # thumbnail resampled into the first dim-16 slots, histogram after
+        body = np.interp(
+            np.linspace(0, 63, num=max(dim - 16, 1)), np.arange(64), thumb
+        )
+        vec = np.concatenate([body, hist])[:dim]
+        n = float(np.sqrt((vec * vec).sum()))
+        return vec / n if n > 0 else vec
 
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            ids, vids, vecs = [], [], []
+            ids, vids, kernels, vecs = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
                 p = bytes(payload) if payload is not None else b""
-                a = np.frombuffer(p, dtype=np.uint8)
-                if a.size >= 2:
-                    bigrams = a[:-1].astype(np.int64) * 256 + a[1:]
-                    hist = np.bincount(bigrams % dim, minlength=dim).astype(np.float64)
+                vec = _pixel_vec(p)
+                if vec is not None:
+                    kernel = "pixels"
                 else:
-                    hist = np.zeros(dim, dtype=np.float64)
-                    if a.size == 1:
-                        hist[int(a[0]) % dim] = 1.0
-                n = float(np.sqrt((hist * hist).sum()))
-                if n > 0:
-                    hist /= n
+                    kernel = "byte-bigram"
+                    a = np.frombuffer(p, dtype=np.uint8)
+                    if a.size >= 2:
+                        bigrams = a[:-1].astype(np.int64) * 256 + a[1:]
+                        vec = np.bincount(bigrams % dim, minlength=dim).astype(np.float64)
+                    else:
+                        vec = np.zeros(dim, dtype=np.float64)
+                        if a.size == 1:
+                            vec[int(a[0]) % dim] = 1.0
+                    n = float(np.sqrt((vec * vec).sum()))
+                    if n > 0:
+                        vec /= n
                 ids.append(mid)
+                kernels.append(kernel)
                 vids.append(
                     int.from_bytes(hashlib.md5(str(mid).encode()).digest()[:8], "big")
                     >> 1
                 )
-                vecs.append(hist.astype(np.float32))
-            yield pd.DataFrame({"media_id": ids, "vec_id": vids, "vec": vecs})
+                vecs.append(vec.astype(np.float32))
+            yield pd.DataFrame(
+                {"media_id": ids, "vec_id": vids, "kernel": kernels, "vec": vecs}
+            )
 
     return media.select("media_id", payload_col).mapInPandas(
-        _gen, schema="media_id string, vec_id long, vec array<float>"
+        _gen, schema="media_id string, vec_id long, kernel string, vec array<float>"
     )
+
+
+# the honest r5 name: the kernel is real pixels for png/bmp
+embed_features = embed_features_stub

@@ -174,3 +174,52 @@ class TestResizeOperator:
         assert got["hdr_png"]["kernel"] == "header-stub"
         assert parse_image_header(bytes(got["jpeg"]["payload"])) == (16, 16, "jpeg")
         assert not got["junk"]["ok"] and got["junk"]["payload"] is None
+
+
+class TestPixelFeatures:
+    def test_real_pixel_kernel_for_png_bmp(self, spark):
+        """r5: embed_features computes from REAL pixels for png/bmp — a
+        re-encode of the same picture in the other format lands at
+        cosine ~1, an unrelated picture doesn't; byte-level features
+        could not do that (different container bytes, same pixels)."""
+        from super_speedy_syslog_searcher_spark.operators.multimodal import (
+            embed_features,
+        )
+
+        rng = np.random.RandomState(5)
+        a = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        b = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [
+                ("a_png", bytearray(encode_png(a))),
+                ("a_bmp", bytearray(encode_bmp(a))),
+                ("b_png", bytearray(encode_png(b))),
+            ],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in embed_features(df, dim=64).collect()}
+        assert all(r["kernel"] == "pixels" for r in rows.values())
+
+        def cos(x, y):
+            x, y = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
+            return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y)))
+
+        same = cos(rows["a_png"]["vec"], rows["a_bmp"]["vec"])
+        diff = cos(rows["a_png"]["vec"], rows["b_png"]["vec"])
+        assert same > 0.999999  # identical pixels, different container
+        assert diff < same - 0.001
+
+    def test_fallback_kernel_labeled(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import (
+            build_jpeg,
+            build_png,
+            embed_features,
+        )
+
+        df = spark.createDataFrame(
+            [("j", bytearray(build_jpeg(8, 8))), ("hdr", bytearray(build_png(8, 8)))],
+            "media_id string, payload binary",
+        )
+        rows = {r["media_id"]: r for r in embed_features(df, dim=32).collect()}
+        assert rows["j"]["kernel"] == "byte-bigram"
+        assert rows["hdr"]["kernel"] == "byte-bigram"  # header-only: no pixels
