@@ -902,7 +902,7 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .operators.route import sink_counts_from_path
-    from .streaming.pipeline import stream_pipeline
+    from .streaming.pipeline import await_or_raise, stream_pipeline
 
     _utc(spark)
     work = tempfile.mkdtemp(prefix="s4spark_stream_q_")
@@ -913,11 +913,7 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, docs_dir, out_dir, ckpt, enrichment_df(spark),
             reference_year=REFERENCE_YEAR,
         )
-        # availableNow streams terminate on their own; a False here means
-        # the stream is still draining — half-committed sink counts would
-        # be a silent wrong answer, so fail loudly instead (VERDICT r4 #3)
-        if not q.awaitTermination(600):
-            raise TimeoutError("stream_pipeline did not drain within 600s")
+        await_or_raise(q, 600)
         counts = (
             sink_counts_from_path(spark, out_dir)
             .select("sink_key", "messages", "lines", "dt_first", "dt_last")

@@ -462,10 +462,9 @@ def q_stream_tokens_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        # a False return means the stream is still draining — half-packed
-        # output would be a silent wrong answer, so fail loudly instead
-        if not q.awaitTermination(600):
-            raise TimeoutError("stateful pack stream did not drain within 600s")
+        from .streaming.pipeline import await_or_raise
+
+        await_or_raise(q, 600)
         out = spark.table(name)
         rows = out.collect()  # materialize before the temp dir disappears
         return spark.createDataFrame(rows, out.schema)

@@ -46,6 +46,23 @@ _DURATION_UNITS = {
 }
 
 
+def await_or_raise(query, timeout_s: float) -> None:
+    """``awaitTermination`` that FAILS LOUDLY: a False return means the
+    stream is still draining, and proceeding would read half-committed
+    sink state as a plausible-but-short answer (VERDICT r4 #3 — the
+    boolean was previously ignored). availableNow streams terminate on
+    their own, so in healthy runs this never fires."""
+    if not query.awaitTermination(timeout_s):
+        try:
+            query.stop()
+        except Exception:
+            pass
+        raise TimeoutError(
+            f"streaming query did not drain within {timeout_s}s — refusing to "
+            "read a partially committed sink"
+        )
+
+
 def parse_duration_seconds(spec: str) -> int:
     """'25 hours' / '90 minutes' / '30 seconds' → seconds. Explicit unit
     table — never assumes hours."""

@@ -616,3 +616,36 @@ def test_stateful_rate_anomalies_online(spark, tmp_path):
     except (Exception,):
         raised = True
     assert raised
+
+
+def test_await_or_raise_on_undrained_stream(spark, tmp_path):
+    """VERDICT r4 #3 done-criterion: a stream that cannot drain within
+    the timeout must RAISE (and stop), never fall through to reading a
+    partially committed sink."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import await_or_raise
+
+    src = str(tmp_path / "src")
+    spark.range(0, 8).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    def _slow(batch_df, batch_id):
+        _time.sleep(5)
+
+    q = (
+        stream.writeStream.foreachBatch(_slow)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        with _pytest.raises(TimeoutError, match="did not drain"):
+            await_or_raise(q, 0.5)
+        assert not q.isActive  # raised AND stopped
+    finally:
+        if q.isActive:
+            q.stop()
