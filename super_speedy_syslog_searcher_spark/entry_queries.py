@@ -332,6 +332,23 @@ def asof_dim_history(spark: SparkSession) -> DataFrame:
     )
 
 
+def _cidr_dim(spark: SparkSession) -> DataFrame:
+    """Seeded CIDR dimension shared by the batch and streaming enrichment
+    rows. Includes a sloppy duplicate of the /24 block with a conflicting
+    attribute: it canonicalizes to the same network, and the keeper
+    election takes min(struct(cidr, attrs)) = net.narrow — pinning
+    canonicalization + deterministic election under the hash gate."""
+    return spark.createDataFrame(
+        [
+            ("10.0.0.0/8", "net.wide"),
+            ("10.1.0.0/16", "net.mid"),
+            ("10.1.2.0/24", "net.narrow"),
+            ("10.1.2.9/24", "zz.ignored"),
+        ],
+        "cidr string, net_sink string",
+    )
+
+
 def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Broadcast-join enrichment + per-sink aggregate counts (A6),
     UNIONED with the AS-OF (temporal/SCD-2) enrichment over the same
@@ -383,18 +400,6 @@ def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dt_last",
         )
     )
-    cidr_dim = spark.createDataFrame(
-        [
-            ("10.0.0.0/8", "net.wide"),
-            ("10.1.0.0/16", "net.mid"),
-            ("10.1.2.0/24", "net.narrow"),
-            # sloppy duplicate of the /24 block with a conflicting
-            # attribute: canonicalizes to the same network; the keeper
-            # election takes min(struct(cidr, attrs)) = net.narrow
-            ("10.1.2.9/24", "zz.ignored"),
-        ],
-        "cidr string, net_sink string",
-    )
     eid = F.col("event_id")
     with_ip = _with_event_id(msgs).withColumn(
         "ip",
@@ -409,7 +414,7 @@ def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     cidr = (
-        cidr_enrich(with_ip, cidr_dim, ip_col="ip")
+        cidr_enrich(with_ip, _cidr_dim(spark), ip_col="ip")
         .withColumn("sink_key", F.coalesce(F.col("net_sink"), F.lit("unmatched")))
         .groupBy("sink_key")
         .agg(
@@ -474,21 +479,12 @@ FROM (
 """
 
 
-# the STREAMING face (q_stream_enrich_sinks) emits only the static
-# enrichment counts (no `kind` tag, no asof leg — the stream pipeline's
-# per-batch work is the STATIC batch pipeline), so it gets its OWN
-# oracle rather than sharing the widened static∪asof twin above.
-# (r4 regression: sharing SQL_PIPE_ENRICH_SINKS orphaned this consumer
-# when the shared SQL grew a `kind` column — VERDICT r4 #1.)
-SQL_STREAM_ENRICH_SINKS = f"""
-WITH m AS (
-  SELECT CASE user_id % 8 {_SINK_CASE} END AS sink_key, {ORACLE_TRUNC_TS} AS mts
-  FROM events
-)
-SELECT sink_key, count(*) AS messages, count(*) AS lines,
-       min(mts) AS dt_first, max(mts) AS dt_last
-FROM m GROUP BY sink_key
-"""
+# the STREAMING face (q_stream_enrich_sinks) emits the SAME
+# static∪asof∪cidr shape as the batch row and shares its oracle. The r4
+# regression (a widened shared oracle silently orphaning this consumer)
+# is guarded twice now: tests/test_oracle_parity.py runs every registry
+# entry against its registered oracle, and both faces build their legs
+# from the same helpers (_cidr_dim, asof_dim_history, sink-count agg).
 
 
 def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -895,13 +891,20 @@ SELECT event_id, ts FROM events
 def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The STREAMING face of the pipeline: readStream over the tokenized
     corpus → foreachBatch(parse→enrich→route append) with checkpointed
-    batches → per-sink counts from the committed sink. Expected output is
-    identical to the batch path (pipe_enrich_sinks) — the per-batch work
-    IS the batch pipeline."""
+    batches → per-sink counts from the committed sink, PLUS the asof and
+    cidr enrichment legs computed over the committed sink's own rows
+    (r5: the r4 regression happened because this face fell behind the
+    widened batch twin — now both faces emit the identical
+    static∪asof∪cidr shape and share ONE oracle, and the in-suite
+    parity test holds them together). Expected output is identical to
+    the batch path (pipe_enrich_sinks): the per-batch work IS the batch
+    pipeline, and the analytics legs read what the stream committed."""
     import shutil
     import tempfile
 
+    from .operators.enrich import asof_enrich, cidr_enrich, severity_class_col
     from .operators.route import sink_counts_from_path
+    from .sources.iceberg import read_table
     from .streaming.pipeline import await_or_raise, stream_pipeline
 
     _utc(spark)
@@ -914,10 +917,48 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             reference_year=REFERENCE_YEAR,
         )
         await_or_raise(q, 600)
-        counts = (
-            sink_counts_from_path(spark, out_dir)
-            .select("sink_key", "messages", "lines", "dt_first", "dt_last")
+        agg = [
+            F.count("*").alias("messages"),
+            F.count("*").alias("lines"),
+            F.min("ts").alias("dt_first"),
+            F.max("ts").alias("dt_last"),
+        ]
+
+        def leg(kind: str, df: DataFrame) -> DataFrame:
+            return df.groupBy("sink_key").agg(*agg).select(
+                F.lit(kind).alias("kind"), "sink_key",
+                "messages", "lines", "dt_first", "dt_last",
+            )
+
+        static = sink_counts_from_path(spark, out_dir).select(
+            F.lit("static").alias("kind"),
+            "sink_key", "messages", "lines", "dt_first", "dt_last",
         )
+        committed = read_table(spark, out_dir).select("source", "ts", "text")
+        asof = leg(
+            "asof",
+            asof_enrich(committed, asof_dim_history(spark)).withColumn(
+                "sink_key",
+                F.concat_ws(".", F.col("facility"), severity_class_col(F.col("severity"))),
+            ),
+        )
+        eid = F.col("event_id")
+        with_ip = _with_event_id(committed).withColumn(
+            "ip",
+            F.when(eid % 5 == 0, F.lit("172.16.0.1")).otherwise(
+                F.concat_ws(
+                    ".", F.lit("10"), (eid % 3).cast("string"),
+                    (eid % 7).cast("string"), (eid % 251).cast("string"),
+                )
+            ),
+        )
+        cidr = leg(
+            "cidr",
+            cidr_enrich(with_ip, _cidr_dim(spark), ip_col="ip").withColumn(
+                "sink_key", F.coalesce(F.col("net_sink"), F.lit("unmatched"))
+            ),
+        )
+        counts = static.unionByName(asof).unionByName(cidr)
         # materialize before the temp dir disappears
         rows = counts.collect()
         return spark.createDataFrame(rows, counts.schema)
@@ -1039,5 +1080,5 @@ ORACLES: dict = {
     "pipe_output_project": SQL_PIPE_OUTPUT_PROJECT,
     "pipe_rejects": SQL_PIPE_REJECTS,
     "pipe_tz_normalize": SQL_PIPE_TZ_NORMALIZE,
-    "stream_enrich_sinks": SQL_STREAM_ENRICH_SINKS,
+    "stream_enrich_sinks": SQL_PIPE_ENRICH_SINKS,
 }
