@@ -491,8 +491,14 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """--summary counters per source + grand total (rollup row
     source=NULL) over the multiline corpus, UNIONED with per-source
     hourly volume burst detection over the same messages (r4.5
-    absorption; rows tagged by ``kind``) — the reference's counters
-    extended along the time axis."""
+    absorption) and with Count-Min-sketch heavy hitters over the raw
+    event stream's user ids (r5 absorption: ``kind='heavy'`` —
+    ``source`` = 'u'+user_id, ``lines_processed`` = exact count,
+    ``n`` = the CMS ESTIMATE; the oracle recomputes the identical d×w
+    md5-probe cells and min-estimates in SQL, so the approximate sketch
+    sits under an exact hash check) — the reference's counters extended
+    along the time and key-cardinality axes."""
+    from .operators.sketch import cms_heavy_hitters
     from .operators.summary import rate_anomalies
 
     _utc(spark)
@@ -528,10 +534,33 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z",
         "is_burst",
     )
-    return summ.unionByName(rate)
+    heavy = cms_heavy_hitters(
+        _events(spark, sf_dir), "user_id", threshold=CMS_HEAVY_THRESHOLD,
+        depth=CMS_DEPTH, width=CMS_WIDTH, seed="cms",
+    ).select(
+        F.lit("heavy").alias("kind"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("source"),
+        F.col("exact").alias("lines_processed"),
+        F.lit(None).cast("bigint").alias("lines_with_dt"),
+        F.lit(None).cast("bigint").alias("lines_dropped"),
+        F.lit(None).cast("bigint").alias("syslines"),
+        F.lit(None).cast("timestamp").alias("bucket_ts"),
+        F.col("cms_est").alias("n"),
+        F.lit(None).cast("double").alias("mean_n"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("boolean").alias("is_burst"),
+    )
+    return summ.unionByName(rate).unionByName(heavy)
 
 
-SQL_PIPE_SUMMARY_ROLLUP = """
+# Count-Min heavy-hitter constants shared by the Spark leg and its SQL
+# twin (threshold 75 sits just above the ~67 events/user mean at every
+# SF — the corpus's per-user rate is SF-invariant)
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_HEAVY_THRESHOLD = 75
+
+SQL_PIPE_SUMMARY_ROLLUP = f"""
 WITH per AS (
   SELECT 'ev' || (user_id % 8) AS source,
          CASE WHEN event_type = 'error' THEN 3 ELSE 1 END AS nl
@@ -565,6 +594,30 @@ SELECT 'rate' AS kind, hist.source,
                  > 2.0 * sqrt(greatest(mom.s2 / mom.c - (mom.s1 / mom.c) * (mom.s1 / mom.c), 0.0))
             ELSE FALSE END AS is_burst
 FROM hist JOIN mom USING (source)
+UNION ALL
+SELECT 'heavy' AS kind, 'u' || CAST(u.user_id AS VARCHAR) AS source,
+       u.exact AS lines_processed,
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS TIMESTAMP), min(c.n) AS n,
+       CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)
+FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS exact FROM events GROUP BY 1) u,
+     unnest(generate_series(0, {CMS_DEPTH} - 1)) AS g(r)
+JOIN (
+  -- the same d×w Count-Min cells the engine builds: md5 probe per
+  -- (sketch row, key), counts collapsed per cell
+  SELECT g2.r AS r,
+         CAST('0x' || substr(md5('cms:' || CAST(g2.r AS VARCHAR) || ':'
+                                 || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {CMS_WIDTH} AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events, unnest(generate_series(0, {CMS_DEPTH} - 1)) AS g2(r)
+  GROUP BY 1, 2
+) c ON c.r = g.r
+   AND c.c = CAST('0x' || substr(md5('cms:' || CAST(g.r AS VARCHAR) || ':'
+                                     || CAST(u.user_id AS VARCHAR)), 1, 8) AS BIGINT)
+             % {CMS_WIDTH}
+GROUP BY 1, 2, 3
+HAVING min(c.n) >= {CMS_HEAVY_THRESHOLD}
 """
 
 

@@ -1,0 +1,117 @@
+"""Count-Min sketch heavy hitters — mergeable-sketch top-talker
+detection (Cormode & Muthukrishnan 2005), the classic log-pipeline
+answer to "which keys are hot?" when per-key exact state is too big.
+
+Reference analogue: the summary counters (SummaryPrinted,
+/root/reference/src/printer/summary.rs:151) count per SOURCE — a
+bounded key space. The north_rule's 10^12-sequence corpus has unbounded
+hot-key questions (users, IPs, templates); the CMS answers them in
+``depth × width`` integers regardless of key cardinality.
+
+Scale shape: the sketch build is ONE aggregate over ``depth`` md5
+probes per row — partial aggregation collapses the d×w cell space
+map-side, so a 10^12-row corpus contributes ≤ d·w rows per task to the
+exchange and the final sketch is d·w integers on the driver
+(mergeable: sketches of shards ADD cell-wise, the property that makes
+this a streaming/cross-day structure). Estimation is map-only against
+the broadcast sketch. Candidate enumeration here uses the key column's
+distinct values (fine at test scale and for bounded key spaces); at
+unbounded cardinality feed any candidate source — a sample, the
+previous day's heavy set — through ``cms_estimate_col``; the sketch
+itself never grows.
+
+Hashes are the repo's md5 bucket idiom (``curation.hash_bucket``
+semantics) so a DuckDB oracle recomputes the IDENTICAL cells and
+estimates — the approximate structure is under an exact twin: the
+driver gate checks the estimates value-for-value, and ``est >= exact``
+(one-sided CMS error) is pinned in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _probe(key: Column, row: int, width: int, seed: str) -> Column:
+    """Deterministic cell column for sketch row ``row`` — md5 bucket of
+    ``'<seed>:<row>:<key>'``, identical in DuckDB as
+    ``CAST('0x'||substr(md5('<seed>:<row>:'||key),1,8) AS BIGINT) % width``."""
+    s = F.concat(F.lit(f"{seed}:{row}:"), key.cast("string"))
+    h = F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10)
+    return (h.cast("long") % width)
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> dict[tuple[int, int], int]:
+    """Corpus → the d×w sketch as a dict {(row, col): count} (only
+    occupied cells; absent = 0). One tagged-explode scan + one bounded
+    aggregate."""
+    key = F.col(key_col)
+    cells = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("r"), _probe(key, r, width, seed).alias("c"))
+                for r in range(depth)
+            ])
+        ).alias("p")
+    ).groupBy("p.r", "p.c").count()
+    return {(int(x["r"]), int(x["c"])): int(x["count"]) for x in cells.collect()}
+
+
+def cms_estimate_col(
+    sketch: dict[tuple[int, int], int],
+    key: Column,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> Column:
+    """min over sketch rows of the key's cell — pure Column algebra over
+    the broadcast (closure-captured) bounded sketch: each row's cell
+    lookup is a CASE chain over that row's OCCUPIED columns only (a key
+    probing an empty cell short-circuits to 0)."""
+    est = None
+    for r in range(depth):
+        col = _probe(key, r, width, seed)
+        row_cells = {c: n for (rr, c), n in sketch.items() if rr == r}
+        if row_cells:
+            lookup = F.element_at(
+                F.create_map(*[
+                    x for c, n in sorted(row_cells.items())
+                    for x in (F.lit(c), F.lit(n))
+                ]),
+                col,
+            )
+            cell = F.coalesce(lookup, F.lit(0))
+        else:
+            cell = F.lit(0)
+        est = cell if est is None else F.least(est, cell)
+    return est.cast("bigint")
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+    with_exact: bool = True,
+) -> DataFrame:
+    """Keys whose CMS ESTIMATE ≥ threshold, with the estimate (and the
+    exact count alongside when ``with_exact``, so the one-sided error
+    ``est >= exact`` is visible/testable). Distinct-key candidates at
+    this scale; see the module docstring for the unbounded-cardinality
+    composition."""
+    sketch = cms_build(df, key_col, depth=depth, width=width, seed=seed)
+    keys = df.groupBy(key_col).agg(F.count("*").alias("exact"))
+    est = cms_estimate_col(sketch, F.col(key_col), depth=depth, width=width, seed=seed)
+    out = keys.withColumn("cms_est", est).filter(F.col("cms_est") >= threshold)
+    if with_exact:
+        return out.select(key_col, "cms_est", F.col("exact").cast("bigint").alias("exact"))
+    return out.select(key_col, "cms_est")
