@@ -760,7 +760,9 @@ def q_pipe_output_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     can rebuild the exact printed line in SQL."""
     from .operators.grok import grok_parse
     from .operators.output import output_line
+    from .operators.syslog_rfc import parse_rfc5424, sd_params
 
+    _utc(spark)
     all_msgs = _persist(parsed_messages(spark, sf_dir))
     msgs = all_msgs.filter(F.col("source") == "ev0")
     out = output_line(msgs, prepend_dt=True, prepend_name="source", separator="|")
@@ -768,8 +770,12 @@ def q_pipe_output_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias(c)
         for c in ("clientip", "g_ts", "request", "response", "bytes")
     ]
+    rfc_nulls = [
+        F.lit(None).cast("string").alias(c)
+        for c in ("facility", "severity", "hostname", "appname")
+    ]
     printed = _with_event_id(out).select(
-        F.lit("printed").alias("kind"), "event_id", "out_line", *nulls
+        F.lit("printed").alias("kind"), "event_id", "out_line", *nulls, *rfc_nulls
     )
     # r4.5 absorption: grok named-field extraction (the north rule's
     # "grok/regex parse" by name) over the apache-CLF family; the
@@ -788,8 +794,46 @@ def q_pipe_output_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "request",
         "response",
         "bytes",
+        *rfc_nulls,
     )
-    return printed.unionByName(grok_rows)
+    # r5 absorption: RFC 5424 protocol parse + <PRI> decode
+    # (operators/syslog_rfc.py). The ev5 slice renders full 5424 lines
+    # with pri = event_id % 192 (every facility×severity combo at sf
+    # ≥0.01 — LOG_MAXPRI sweep, reference datetime.rs:2689), a
+    # structured-data element carrying the client ip, and the eid in
+    # MSG; the oracle restates every field from events columns by
+    # integer math, so header split, SD param extraction, PRI tables,
+    # and the timestamp roundtrip all sit under the value hash.
+    ev = _events(spark, sf_dir)
+    eid = F.col("event_id")
+    pri = (eid % 192).cast("int")
+    line5424 = F.concat(
+        F.lit("<"), pri, F.lit(">1 "),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z "),
+        F.lit("host"), (F.col("user_id") % 4).cast("int"), F.lit(" "),
+        F.lit("app"), (F.col("user_id") % 3).cast("int"), F.lit(" "),
+        eid, F.lit(" ID"), (eid % 100).cast("int"),
+        F.lit(' [ex@32473 ip="10.0.'), (F.floor(eid / 256) % 256).cast("int"),
+        F.lit("."), (eid % 256).cast("int"),
+        F.lit('" iut="'), (eid % 10).cast("int"), F.lit('"] '),
+        F.col("event_type"), F.lit(" eid="), eid,
+    )
+    p = parse_rfc5424(ev.filter(F.col("user_id") % 8 == 5).select(line5424.alias("text")))
+    rfc_rows = p.select(
+        F.lit("rfc5424").alias("kind"),
+        F.regexp_extract("msg", r"eid=(\d+)", 1).cast("long").alias("event_id"),
+        F.lit(None).cast("string").alias("out_line"),
+        F.element_at(sd_params(F.col("sd")), "ip").alias("clientip"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("g_ts"),
+        F.lit(None).cast("string").alias("request"),
+        F.lit(None).cast("string").alias("response"),
+        F.lit(None).cast("string").alias("bytes"),
+        "facility",
+        "severity",
+        "hostname",
+        F.col("app_name").alias("appname"),
+    )
+    return printed.unionByName(grok_rows).unionByName(rfc_rows)
 
 
 SQL_PIPE_OUTPUT_PROJECT = """
@@ -800,14 +844,34 @@ SELECT 'printed' AS kind, event_id,
        || event_type || ' eid=' || event_id AS out_line,
        CAST(NULL AS VARCHAR) AS clientip, CAST(NULL AS VARCHAR) AS g_ts,
        CAST(NULL AS VARCHAR) AS request, CAST(NULL AS VARCHAR) AS response,
-       CAST(NULL AS VARCHAR) AS bytes
+       CAST(NULL AS VARCHAR) AS bytes,
+       CAST(NULL AS VARCHAR) AS facility, CAST(NULL AS VARCHAR) AS severity,
+       CAST(NULL AS VARCHAR) AS hostname, CAST(NULL AS VARCHAR) AS appname
 FROM events WHERE user_id % 8 = 0
 UNION ALL
 SELECT 'grok' AS kind, event_id, CAST(NULL AS VARCHAR) AS out_line,
        '192.168.0.1' AS clientip,
        strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000' AS g_ts,
-       '/p' || event_id AS request, '200' AS response, '17' AS bytes
+       '/p' || event_id AS request, '200' AS response, '17' AS bytes,
+       CAST(NULL AS VARCHAR) AS facility, CAST(NULL AS VARCHAR) AS severity,
+       CAST(NULL AS VARCHAR) AS hostname, CAST(NULL AS VARCHAR) AS appname
 FROM events WHERE user_id % 8 = 2
+UNION ALL
+SELECT 'rfc5424' AS kind, event_id, CAST(NULL AS VARCHAR) AS out_line,
+       '10.0.' || CAST((event_id // 256) % 256 AS VARCHAR) || '.'
+               || CAST(event_id % 256 AS VARCHAR) AS clientip,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS g_ts,
+       CAST(NULL AS VARCHAR) AS request, CAST(NULL AS VARCHAR) AS response,
+       CAST(NULL AS VARCHAR) AS bytes,
+       (['kern','user','mail','daemon','auth','syslog','lpr','news',
+         'uucp','cron','authpriv','ftp','ntp','audit','alert','clock',
+         'local0','local1','local2','local3','local4','local5','local6',
+         'local7'])[CAST((event_id % 192) // 8 AS INT) + 1] AS facility,
+       (['emerg','alert','crit','err','warning','notice','info','debug'
+         ])[CAST(event_id % 8 AS INT) + 1] AS severity,
+       'host' || CAST(user_id % 4 AS VARCHAR) AS hostname,
+       'app' || CAST(user_id % 3 AS VARCHAR) AS appname
+FROM events WHERE user_id % 8 = 5
 """
 
 
