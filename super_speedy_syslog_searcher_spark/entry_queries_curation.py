@@ -318,7 +318,16 @@ FROM hits GROUP BY domain
 
 
 def q_text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return length_quantiles(_docs(spark, sf_dir).select("source", "n_chars"))
+    # r5 absorption: HDR-histogram log2 quantile sketch (bounded,
+    # mergeable, integer-exact twin — operators/sketch.py) joined
+    # beside the exact quantiles, so the sketch's bucket math AND its
+    # rep(exact_quantile) identity sit under the driver's value hash.
+    from .operators.sketch import hdr_quantiles
+
+    docs = _docs(spark, sf_dir).select("source", "n_chars")
+    exact = length_quantiles(docs)
+    hdr = hdr_quantiles(docs, k=5)
+    return exact.join(hdr, "source")
 
 
 SQL_TEXT_LENGTH_QUANTILES = """
@@ -331,13 +340,34 @@ cum AS (
          CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS cum,
          CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
   FROM hist
+),
+hdr_hist AS (
+  SELECT source,
+         (CAST(n_chars AS BIGINT) >> greatest(length(bin(CAST(n_chars AS BIGINT))) - 1 - 5, 0))
+           << greatest(length(bin(CAST(n_chars AS BIGINT))) - 1 - 5, 0) AS rep,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+hdr_cum AS (
+  SELECT source, rep,
+         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY rep) AS BIGINT) AS cum,
+         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+  FROM hdr_hist
+),
+hdr AS (
+  SELECT source,
+         min(CASE WHEN cum * 100 >= 50 * total THEN rep END) AS hdr_p50,
+         min(CASE WHEN cum * 100 >= 90 * total THEN rep END) AS hdr_p90,
+         min(CASE WHEN cum * 100 >= 99 * total THEN rep END) AS hdr_p99
+  FROM hdr_cum GROUP BY source
 )
 SELECT source,
        min(CASE WHEN cum * 100 >= 50 * total THEN n_chars END) AS p50,
        min(CASE WHEN cum * 100 >= 90 * total THEN n_chars END) AS p90,
        min(CASE WHEN cum * 100 >= 99 * total THEN n_chars END) AS p99,
-       max(total) AS n_docs
-FROM cum GROUP BY source
+       max(total) AS n_docs,
+       min(hdr_p50) AS hdr_p50, min(hdr_p90) AS hdr_p90, min(hdr_p99) AS hdr_p99
+FROM cum JOIN hdr USING (source) GROUP BY source
 """
 
 # ---------------------------------------------------------------------------

@@ -115,3 +115,76 @@ def cms_heavy_hitters(
     if with_exact:
         return out.select(key_col, "cms_est", F.col("exact").cast("bigint").alias("exact"))
     return out.select(key_col, "cms_est")
+
+
+# ---------------------------------------------------------------------------
+# HDR-histogram-style log2 quantile sketch
+# ---------------------------------------------------------------------------
+# Public design: HdrHistogram (Tene) / Prometheus native histograms —
+# values bucket by (exponent, top-k mantissa bits), so the histogram is
+# bounded (≤ 2^k buckets per octave × 64 octaves) with a guaranteed
+# relative error ≤ 2^-k, and buckets are INTEGERS (the representative =
+# the value with its low bits zeroed), so Spark and the DuckDB oracle
+# agree bit-exactly — no float log/pow on either side (the reason this
+# sketch is preferred here over float-bucketed DDSketch).
+#
+# Scale shape (100 TB): the raw column collapses to the (stratum, rep)
+# histogram in ONE partial-aggregable groupBy — map-side combine absorbs
+# the per-task value stream, the exchange carries ≤ strata × buckets
+# rows, and sketches MERGE by adding counts (cross-day / cross-shard /
+# streaming-ready, same property as the CMS above). Quantile extraction
+# then runs on bounded rows only — never a window over raw data.
+
+
+def hdr_rep(value_col: str, k: int = 5) -> Column:
+    """Bucket representative of a non-negative integer column: keep the
+    top ``k+1`` significant bits, zero the rest (values < 2^(k+1) are
+    exact). Pure integer ops — identical in DuckDB as
+    ``(v >> s) << s`` with ``s = greatest(length(bin(v))-1-k, 0)``."""
+    n = f"CAST({value_col} AS BIGINT)"
+    s = f"greatest(length(bin({n})) - 1 - {k}, 0)"
+    return F.expr(f"shiftleft(shiftright({n}, {s}), {s})")
+
+
+def hdr_histogram(
+    df: DataFrame, stratum_col: str = "source", value_col: str = "n_chars", k: int = 5
+) -> DataFrame:
+    """Per-stratum bounded histogram ``(stratum, rep, cnt)`` — the
+    mergeable sketch state (union of shards ≡ cnt-wise sum)."""
+    return (
+        df.select(stratum_col, hdr_rep(value_col, k).alias("rep"))
+        .groupBy(stratum_col, "rep")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    df: DataFrame,
+    stratum_col: str = "source",
+    value_col: str = "n_chars",
+    k: int = 5,
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Relative-error quantiles from the HDR sketch, same integer
+    cumulative rule as :func:`..curation.length_quantiles` (smallest rep
+    with cum*100 >= p*total). Because value→rep is monotone, the result
+    is EXACTLY ``rep(exact_quantile)`` — pinned in tests — hence
+    ``hdr_p <= exact_p < hdr_p * (1 + 2^-k) + 1``."""
+    from pyspark.sql import Window
+
+    hist = hdr_histogram(df, stratum_col, value_col, k)
+    w_cum = Window.partitionBy(stratum_col).orderBy("rep")
+    w_all = Window.partitionBy(stratum_col)
+    cum = hist.select(
+        stratum_col,
+        "rep",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = [
+        F.min(F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("rep"))).alias(
+            f"hdr_p{p}"
+        )
+        for p in pcts
+    ]
+    return cum.groupBy(stratum_col).agg(*aggs)

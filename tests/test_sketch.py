@@ -5,6 +5,7 @@ from __future__ import annotations
 import sys
 from pathlib import Path
 
+import numpy as np
 from pyspark.sql import functions as F
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
@@ -68,3 +69,79 @@ class TestCms:
         for cell, n in sb.items():
             merged[cell] = merged.get(cell, 0) + n
         assert merged == cms_build(df, "key", depth=3, width=128)
+
+
+# ---------------------------------------------------------------------------
+# HDR log2 quantile sketch
+# ---------------------------------------------------------------------------
+def test_hdr_rep_properties(spark):
+    """rep is monotone, ≤ value, within 2^-k relative error, exact below
+    2^(k+1) — checked against a pure-python restatement."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import hdr_rep
+
+    vals = [0, 1, 2, 63, 64, 65, 127, 128, 1000, 4095, 4096, 10**6, 10**9, 2**40 + 12345]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    got = {r["n"]: r["rep"] for r in df.select("n", hdr_rep("n", 5).alias("rep")).collect()}
+
+    def py_rep(n, k=5):
+        s = max(n.bit_length() - 1 - k, 0)
+        return (n >> s) << s
+
+    prev = -1
+    for v in vals:
+        r = got[v]
+        assert r == py_rep(v), v
+        assert r <= v
+        if v > 0:
+            assert (v - r) / v <= 2**-5
+        if v < 64:
+            assert r == v
+        assert r >= prev
+        prev = r
+
+
+def test_hdr_sketch_merges(spark):
+    """Sketch of the union == cnt-wise sum of shard sketches (the
+    mergeable property that makes it a cross-shard/streaming structure)."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import hdr_histogram
+
+    rng = np.random.RandomState(7)
+    rows = [("s%d" % (i % 3), int(rng.randint(1, 100000))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    a, b = rows[:900], rows[900:]
+    whole = {
+        (r["source"], r["rep"]): r["cnt"]
+        for r in hdr_histogram(df).collect()
+    }
+    merged: dict = {}
+    for shard in (a, b):
+        sdf = spark.createDataFrame(shard, "source string, n_chars long")
+        for r in hdr_histogram(sdf).collect():
+            key = (r["source"], r["rep"])
+            merged[key] = merged.get(key, 0) + r["cnt"]
+    assert whole == merged
+
+
+def test_hdr_quantiles_equal_rep_of_exact(spark):
+    """Monotone bucketing ⇒ the sketch quantile is exactly
+    rep(exact_quantile); hence hdr_p ≤ exact_p ≤ hdr_p·(1+2^-k)."""
+    from super_speedy_syslog_searcher_spark.operators.curation import length_quantiles
+    from super_speedy_syslog_searcher_spark.operators.sketch import hdr_quantiles
+
+    rng = np.random.RandomState(11)
+    rows = [
+        ("s%d" % (i % 4), int(rng.lognormal(7, 2)) + 1) for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "source string, n_chars long")
+    exact = {r["source"]: r for r in length_quantiles(df).collect()}
+    hdr = {r["source"]: r for r in hdr_quantiles(df, k=5).collect()}
+
+    def py_rep(n, k=5):
+        s = max(n.bit_length() - 1 - k, 0)
+        return (n >> s) << s
+
+    for src in exact:
+        for p in (50, 90, 99):
+            e, h = exact[src][f"p{p}"], hdr[src][f"hdr_p{p}"]
+            assert h == py_rep(e), (src, p, e, h)
+            assert h <= e <= h * (1 + 2**-5), (src, p, e, h)
