@@ -190,14 +190,24 @@ def q_docs_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-ordered top-{EXACT_K} (NULL otherwise) — both keep-sets are
     layout/engine-independent and the twin re-derives the rank with a
     plain window."""
-    from .operators.curation import exact_k_sample
+    from .operators.curation import exact_k_sample, priority_sample
 
-    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
     ek = exact_k_sample(d, EXACT_K).select("doc_id", "sample_rank")
+    # r5 absorption: WEIGHTED sampling without replacement (priority
+    # sampling, Duffield et al. 2007 — curation.priority_sample) with
+    # n_chars as the weight; its top-k set, ranks, and the max(w, tau)
+    # subset-sum estimator are bit-exact across engines (one IEEE
+    # division), so they sit under the value hash beside the uniform
+    # samplers.
+    ps = priority_sample(d, EXACT_K, weight_col="n_chars").select(
+        "doc_id", "prio_rank", "est_w"
+    )
     return (
         stratified_sample(d, SAMPLE_RATES)
         .select("doc_id", "lang", "source", "bucket", "rate")
         .join(ek, "doc_id", "left")
+        .join(ps, "doc_id", "left")
     )
 
 
@@ -214,6 +224,25 @@ WITH ek AS (
     FROM documents
   ) WHERE rnk <= {EXACT_K}
 ),
+pr AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(n_chars AS DOUBLE)
+           / ((CAST('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+              / 4294967296.0) AS q,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           CAST(n_chars AS DOUBLE)
+             / ((CAST('0x' || substr(md5('psample:' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1)
+                / 4294967296.0) DESC, doc_id ASC) AS rnk
+  FROM documents
+),
+tau AS (
+  SELECT lang, max(CASE WHEN rnk = {EXACT_K} + 1 THEN q END) AS tau FROM pr GROUP BY lang
+),
+ps AS (
+  SELECT pr.doc_id, CAST(pr.rnk AS BIGINT) AS prio_rank,
+         greatest(CAST(pr.n_chars AS DOUBLE), coalesce(tau.tau, 0.0)) AS est_w
+  FROM pr JOIN tau USING (lang) WHERE pr.rnk <= {EXACT_K}
+),
 kept AS (
   SELECT doc_id, lang, source, bucket, rate FROM (
     SELECT doc_id, lang, source,
@@ -222,7 +251,8 @@ kept AS (
     FROM documents
   ) WHERE bucket < rate
 )
-SELECT k.*, ek.sample_rank FROM kept k LEFT JOIN ek USING (doc_id)
+SELECT k.*, ek.sample_rank, ps.prio_rank, ps.est_w
+FROM kept k LEFT JOIN ek USING (doc_id) LEFT JOIN ps USING (doc_id)
 """
 
 # ---------------------------------------------------------------------------

@@ -1098,6 +1098,68 @@ def exact_k_sample(
     )
 
 
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str = "n_tok",
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "psample",
+) -> DataFrame:
+    """WEIGHTED sampling without replacement — priority sampling
+    (Duffield, Lund & Thorup, JACM 2007): each row draws a deterministic
+    uniform ``u ∈ (0,1]`` from md5 of its id, gets priority ``q = w/u``,
+    and the top-k priorities per stratum are the sample. Each kept row
+    carries the unbiased subset-sum estimator ``est_w = max(w, tau)``
+    where ``tau`` is the (k+1)-th priority — summing ``est_w`` over any
+    kept subset estimates that subset's true total weight (THE property
+    a token-weighted corpus sample needs: "sample 10k docs per language
+    by token mass, still able to estimate token totals of any slice").
+
+    Chosen over Efraimidis–Spirakis keys (``u^(1/w)``): the priority
+    needs ONE IEEE division of exact doubles (``u`` is a 32-bit integer
+    scaled by 2^-32 — exact; ``w`` integer — exact; division correctly
+    rounded), so Spark and DuckDB produce BIT-IDENTICAL keys and the
+    identical sample — E-S needs ``ln``/``pow``, which neither engine
+    correctly rounds, so its sample could differ by 1-ulp races at the
+    rank-k boundary.
+
+    Scale shape: draw + priority are map-only; the per-stratum top-k is
+    the same WindowGroupLimit partial-top-k shape as
+    :func:`exact_k_sample` (a hot stratum never funnels raw rows into
+    one sort); ``tau`` needs rank k+1, so the window keeps k+1 and one
+    bounded per-stratum aggregate broadcasts tau back. Deterministic,
+    resume-stable, layout-independent.
+
+    Returns the sampled rows plus ``prio_rank`` (1..k) and ``est_w``.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.encode(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), "UTF-8")), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)  # (0,1], exact double
+    q = F.col(weight_col).cast("double") / u  # one correctly-rounded division
+    w = Window.partitionBy(stratum_col).orderBy(F.col("_prio").desc(), F.col(id_col).asc())
+    ranked = (
+        df.withColumn("_prio", q)
+        .withColumn("prio_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("prio_rank") <= k + 1)
+    )
+    tau = ranked.filter(F.col("prio_rank") == k + 1).groupBy(stratum_col).agg(
+        F.max("_prio").alias("_tau")
+    )
+    return (
+        ranked.filter(F.col("prio_rank") <= k)
+        .join(F.broadcast(tau), stratum_col, "left")
+        .withColumn(
+            "est_w",
+            F.greatest(F.col(weight_col).cast("double"), F.coalesce(F.col("_tau"), F.lit(0.0))),
+        )
+        .drop("_prio", "_tau")
+    )
+
+
 def filter_blocked_domains(
     df: DataFrame,
     blocked: list[str] | DataFrame,

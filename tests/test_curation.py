@@ -1186,3 +1186,78 @@ class TestFilterBlockedDomains:
         bl = spark.createDataFrame([("x.dev",)], "blocked_domain string")
         assert sorted(r["doc_id"] for r in filter_blocked_domains(df, bl).collect()) == [2]
         assert filter_blocked_domains(df, []).count() == 2
+
+
+# ---------------------------------------------------------------------------
+# priority sampling (weighted WOR)
+# ---------------------------------------------------------------------------
+def _py_priority(doc_id: str, w: int, seed: str = "psample") -> float:
+    import hashlib
+
+    h = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:8], 16)
+    return float(w) / ((h + 1) / 4294967296.0)
+
+
+def test_priority_sample_matches_python_twin(spark):
+    from super_speedy_syslog_searcher_spark.operators.curation import priority_sample
+
+    rows = [(f"d{i:04d}", "en" if i % 2 else "de", (i * 37) % 997 + 1) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tok int")
+    k = 15
+    got = {
+        r["doc_id"]: r for r in priority_sample(df, k, weight_col="n_tok").collect()
+    }
+    # python twin: rank by priority desc per lang, tau = (k+1)-th
+    import collections
+
+    bylang = collections.defaultdict(list)
+    for did, lang, w in rows:
+        bylang[lang].append((_py_priority(did, w), did, w))
+    expect = {}
+    for lang, items in bylang.items():
+        items.sort(key=lambda t: (-t[0], t[1]))
+        tau = items[k][0] if len(items) > k else 0.0
+        for rank, (q, did, w) in enumerate(items[:k], start=1):
+            expect[did] = (rank, max(float(w), tau))
+    assert set(got) == set(expect)
+    for did, (rank, est) in expect.items():
+        assert got[did]["prio_rank"] == rank, did
+        assert got[did]["est_w"] == est, did  # bit-exact, not approx
+
+
+def test_priority_sample_layout_invariant_and_small_stratum(spark):
+    from super_speedy_syslog_searcher_spark.operators.curation import priority_sample
+
+    rows = [(f"x{i}", "solo" if i < 5 else "big", i + 1) for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tok int")
+    a = sorted(
+        (r["doc_id"], r["prio_rank"], r["est_w"])
+        for r in priority_sample(df, 10, weight_col="n_tok").collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["prio_rank"], r["est_w"])
+        for r in priority_sample(df.repartition(7), 10, weight_col="n_tok").collect()
+    )
+    assert a == b
+    # the 5-row stratum keeps everything with est_w == its own weight
+    solo = [r for r in priority_sample(df, 10, weight_col="n_tok").collect() if r["lang"] == "solo"]
+    assert len(solo) == 5
+    for r in solo:
+        assert r["est_w"] == float(r["n_tok"])
+
+
+def test_priority_sample_estimator_is_unbiased_over_seeds(spark):
+    """Sum of est_w over the sample estimates total weight; averaged
+    over many independent seeds the relative error collapses (weak-LLN
+    check of the Duffield et al. unbiasedness at k=25, n=200)."""
+    from super_speedy_syslog_searcher_spark.operators.curation import priority_sample
+
+    rows = [(f"d{i}", "en", (i * 13) % 301 + 1) for i in range(200)]
+    total = sum(w for _, _, w in rows)
+    df = spark.createDataFrame(rows, "doc_id string, lang string, n_tok int")
+    ests = []
+    for s in range(12):
+        got = priority_sample(df, 25, weight_col="n_tok", seed=f"ub{s}").collect()
+        ests.append(sum(r["est_w"] for r in got))
+    mean = sum(ests) / len(ests)
+    assert abs(mean - total) / total < 0.15, (mean, total)
