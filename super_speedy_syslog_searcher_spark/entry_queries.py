@@ -550,7 +550,36 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("z"),
         F.lit(None).cast("boolean").alias("is_burst"),
     )
-    return summ.unionByName(rate).unionByName(heavy)
+    # r5 absorption: explicit-register HyperLogLog distinct event-ids
+    # per family (``kind='hll'``) — registers, the exact-integer
+    # harmonic sum S (-> ``n``), empty-register count V (->
+    # ``lines_with_dt``) and the bit-exact raw estimate (-> ``mean_n``)
+    # all recomputed by the oracle from the same md5 register math;
+    # ``lines_processed`` carries the exact distinct count alongside.
+    from .operators.sketch import hll_profile
+
+    evs = _events(spark, sf_dir).select(
+        F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+        "event_id",
+    )
+    hll = (
+        hll_profile(evs, "event_id", group_cols=("source",))
+        .join(evs.groupBy("source").agg(F.count_distinct("event_id").alias("_exact")), "source")
+        .select(
+            F.lit("hll").alias("kind"),
+            "source",
+            F.col("_exact").cast("bigint").alias("lines_processed"),
+            F.col("hll_v").alias("lines_with_dt"),
+            F.lit(None).cast("bigint").alias("lines_dropped"),
+            F.lit(None).cast("bigint").alias("syslines"),
+            F.lit(None).cast("timestamp").alias("bucket_ts"),
+            F.col("hll_s").alias("n"),
+            F.col("hll_est").alias("mean_n"),
+            F.lit(None).cast("double").alias("z"),
+            F.lit(None).cast("boolean").alias("is_burst"),
+        )
+    )
+    return summ.unionByName(rate).unionByName(heavy).unionByName(hll)
 
 
 # Count-Min heavy-hitter constants shared by the Spark leg and its SQL
@@ -559,6 +588,13 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 CMS_DEPTH = 4
 CMS_WIDTH = 1024
 CMS_HEAVY_THRESHOLD = 75
+
+# the one float constant of the HLL face — repr() roundtrips, and
+# decimal->double parsing is correctly rounded in both engines, so the
+# SQL literal and F.lit() are the same double bit-for-bit
+from .operators.sketch import hll_alpha_num as _hll_alpha_num  # noqa: E402
+
+_HLL_ALPHA = _hll_alpha_num()
 
 SQL_PIPE_SUMMARY_ROLLUP = f"""
 WITH per AS (
@@ -618,6 +654,37 @@ JOIN (
              % {CMS_WIDTH}
 GROUP BY 1, 2, 3
 HAVING min(c.n) >= {CMS_HEAVY_THRESHOLD}
+UNION ALL
+SELECT 'hll' AS kind, hx.source,
+       hx.n_exact AS lines_processed,
+       ha.hll_v AS lines_with_dt,
+       CAST(NULL AS BIGINT) AS lines_dropped, CAST(NULL AS BIGINT) AS syslines,
+       CAST(NULL AS TIMESTAMP) AS bucket_ts,
+       ha.hll_s AS n,
+       {_HLL_ALPHA!r} / CAST(ha.hll_s AS DOUBLE) AS mean_n,
+       CAST(NULL AS DOUBLE) AS z, CAST(NULL AS BOOLEAN) AS is_burst
+FROM (
+  SELECT source,
+         CAST(sum(CAST(1 AS BIGINT) << (40 - M))
+              + (512 - count(*)) * (CAST(1 AS BIGINT) << 40) AS BIGINT) AS hll_s,
+         CAST(512 - count(*) AS BIGINT) AS hll_v
+  FROM (
+    SELECT source, reg, max(rho) AS M FROM (
+      SELECT 'ev' || (user_id % 8) AS source,
+             CAST(h % 512 AS INT) AS reg,
+             CASE WHEN (h // 512) = 0 THEN 24
+                  ELSE 23 - (length(bin(h // 512)) - 1) END AS rho
+      FROM (SELECT user_id,
+                   CAST('0x' || substr(md5('hll:' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+            FROM events)
+    ) GROUP BY source, reg
+  ) GROUP BY source
+) ha
+JOIN (
+  SELECT 'ev' || (user_id % 8) AS source,
+         CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+) hx USING (source)
 """
 
 

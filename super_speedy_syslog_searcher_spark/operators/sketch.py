@@ -188,3 +188,105 @@ def hdr_quantiles(
         for p in pcts
     ]
     return cum.groupBy(stratum_col).agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog with an engine-exact twin
+# ---------------------------------------------------------------------------
+# Flajolet et al. 2007. Spark's approx_count_distinct is HLL++ over an
+# internal xxhash — a DuckDB oracle cannot reproduce it, which is why
+# corpus_profile's sketches live outside the hash gate. This explicit
+# HLL keeps every piece engine-exact: the register/rho split is integer
+# math on the md5-32 bucket idiom; the harmonic denominator
+# sum_j 2^(-M_j) is carried as the EXACT INTEGER S = sum_j 2^(SCALE-M_j)
+# (M_j <= 32-b+1 < SCALE, and m * 2^SCALE < 2^63 — no float sum whose
+# partial-order could round differently per engine); the raw estimate is
+# then ONE correctly-rounded division alpha*m^2*2^SCALE / S of exactly
+# representable operands — bit-identical in Spark and DuckDB, so even
+# the float estimate sits under a value hash. The small-range linear-
+# counting correction needs ln (not correctly rounded in either engine),
+# so hll_corrected applies it OUTSIDE the hashable face, from the same
+# hashable integers (V, m).
+#
+# Scale shape: registers form in one partial-aggregable groupBy (the
+# exchange carries <= groups x m rows); sketches MERGE by register-wise
+# max — cross-shard / cross-day / streaming-ready.
+
+HLL_B = 9  # m = 512 registers, standard error 1.04/sqrt(m) ≈ 4.6%
+HLL_SCALE = 40  # integer harmonic-sum scaling exponent
+
+
+def _hll_h32(key: Column, seed: str) -> Column:
+    s = F.concat(F.lit(f"{seed}:"), key.cast("string"))
+    return F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10).cast("long")
+
+
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = ("source",),
+    b: int = HLL_B,
+    seed: str = "hll",
+) -> DataFrame:
+    """Occupied-register table ``(*group_cols, reg, M)`` — the mergeable
+    sketch state (merge = register-wise max across shards)."""
+    m = 1 << b
+    width = 32 - b
+    h = _hll_h32(F.col(key_col), seed)
+    reg = (h % m).cast("int")
+    w = F.floor(h / m).cast("long")  # top 32-b bits
+    rho = (
+        F.when(w == 0, F.lit(width + 1))
+        .otherwise(F.lit(width) - (F.length(F.bin(w)) - F.lit(1)))
+        .cast("int")
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("M"))
+    )
+
+
+def hll_alpha_num(b: int = HLL_B, scale: int = HLL_SCALE) -> float:
+    """The constant numerator alpha_m * m^2 * 2^scale, as the one float
+    literal both engines parse (decimal->double is correctly rounded)."""
+    m = 1 << b
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << scale)
+
+
+def hll_profile(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = ("source",),
+    b: int = HLL_B,
+    seed: str = "hll",
+) -> DataFrame:
+    """Per-group HLL summary ``(.., hll_s, hll_v, hll_est)``:
+    ``hll_s`` = the exact integer harmonic sum, ``hll_v`` = empty
+    registers, ``hll_est`` = the raw HLL estimate (bit-exact across
+    engines). Apply :func:`hll_corrected` for the small-range fix."""
+    m = 1 << b
+    regs = hll_registers(df, key_col, group_cols, b, seed)
+    per = regs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("_occ"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_SCALE} - M)")).cast("long").alias("_s_occ"),
+    )
+    s = (F.col("_s_occ") + (F.lit(m) - F.col("_occ")) * F.lit(1 << HLL_SCALE)).cast("long")
+    return per.select(
+        *group_cols,
+        s.alias("hll_s"),
+        (F.lit(m) - F.col("_occ")).cast("long").alias("hll_v"),
+        (F.lit(hll_alpha_num(b)) / s.cast("double")).alias("hll_est"),
+    )
+
+
+def hll_corrected(est: float, v: int, b: int = HLL_B) -> float:
+    """Small-range linear-counting correction (driver-side, from the
+    hashable integers): if est <= 2.5*m and V > 0, m*ln(m/V)."""
+    import math
+
+    m = 1 << b
+    if est <= 2.5 * m and v > 0:
+        return m * math.log(m / v)
+    return est

@@ -145,3 +145,63 @@ def test_hdr_quantiles_equal_rep_of_exact(spark):
             e, h = exact[src][f"p{p}"], hdr[src][f"hdr_p{p}"]
             assert h == py_rep(e), (src, p, e, h)
             assert h <= e <= h * (1 + 2**-5), (src, p, e, h)
+
+
+# ---------------------------------------------------------------------------
+# explicit-register HyperLogLog
+# ---------------------------------------------------------------------------
+def _py_hll(keys, b=9, seed="hll"):
+    """Independent python statement of the register math."""
+    import hashlib
+
+    m, width = 1 << b, 32 - b
+    regs: dict = {}
+    for k in keys:
+        h = int(hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:8], 16)
+        reg, w = h % m, h // m
+        rho = width + 1 if w == 0 else width - (w.bit_length() - 1)
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_python(spark):
+    from super_speedy_syslog_searcher_spark.operators.sketch import hll_registers
+
+    keys = [f"k{i}" for i in range(3000)]
+    df = spark.createDataFrame([("g", k) for k in keys], "source string, key string")
+    got = {r["reg"]: r["M"] for r in hll_registers(df, "key").collect()}
+    assert got == _py_hll(keys)
+
+
+def test_hll_merge_is_registerwise_max(spark):
+    from super_speedy_syslog_searcher_spark.operators.sketch import hll_registers
+
+    a = [f"a{i}" for i in range(800)]
+    b = [f"b{i}" for i in range(800)] + a[:200]  # overlap
+    whole = _py_hll(a + b)
+    merged: dict = {}
+    for shard in (a, b):
+        for reg, M in _py_hll(shard).items():
+            merged[reg] = max(merged.get(reg, 0), M)
+    assert whole == merged
+    # and the Spark registers of the union agree
+    df = spark.createDataFrame([("g", k) for k in set(a + b)], "source string, key string")
+    got = {r["reg"]: r["M"] for r in hll_registers(df, "key").collect()}
+    assert got == whole
+
+
+def test_hll_estimate_accuracy(spark):
+    """Corrected estimate within 5x the 1.04/sqrt(m) standard error at
+    three cardinalities spanning the small-range boundary."""
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        hll_corrected,
+        hll_profile,
+    )
+
+    for n in (300, 2000, 20000):
+        df = spark.createDataFrame(
+            [("g", f"key-{n}-{i}") for i in range(n)], "source string, key string"
+        )
+        r = hll_profile(df, "key").collect()[0]
+        est = hll_corrected(r["hll_est"], r["hll_v"])
+        assert abs(est - n) / n < 5 * 1.04 / (512**0.5), (n, est)
