@@ -93,7 +93,7 @@ _RFC5424_RE = (
     + r" "
     + _NIL_OR(r"[!-~]{1,32}")  # 7 msgid
     + r" "
-    + r"(-|(?:\[[^\]]*\])+)"  # 8 structured-data
+    + r"(-|(?:\[(?:[^\]\\]|\\.)*\])+)"  # 8 structured-data (\] escapes ok)
     + r"(?: (.*))?$"  # 9 msg
 )
 

@@ -156,3 +156,14 @@ def test_rfc3164_matches_rendered_family3(spark, corpus):
         assert r["rfc3164_matched"], r["text"]
         assert r["pri"] == 14 and r["facility"] == "user" and r["severity"] == "info"
         assert r["hostname"] == "HOST" and r["tag"] == "dropbear"
+
+
+def test_sd_escaped_bracket_in_value(spark):
+    line = '<14>1 - h a p m [x k="a\\]b"][y z="1"] m'
+    df = parse_rfc5424(spark.createDataFrame([(line,)], "text string"))
+    r = df.select(
+        F.col("sd"), sd_params(F.col("sd")).alias("p"), sd_ids(F.col("sd")).alias("ids")
+    ).collect()[0]
+    assert r["sd"] == '[x k="a\\]b"][y z="1"]'
+    assert r["p"] == {"k": "a\\]b", "z": "1"}
+    assert r["ids"] == ["x", "y"]
