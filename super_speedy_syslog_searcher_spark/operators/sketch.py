@@ -158,6 +158,36 @@ def hdr_histogram(
     )
 
 
+def hdr_quantiles_from_hist(
+    hist: DataFrame,
+    group_cols: tuple[str, ...] = ("source",),
+    pcts: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Quantile extraction from an ``(.., rep, cnt)`` HDR histogram —
+    runs on BOUNDED rows only (≤ groups × buckets), so the windows here
+    never see raw data. Histograms from any producer compose: batch
+    shards, micro-batches, or per-window streaming state all merge by
+    summing ``cnt`` first."""
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+    w_cum = Window.partitionBy(*gc).orderBy("rep")
+    w_all = Window.partitionBy(*gc)
+    cum = hist.select(
+        *gc,
+        "rep",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("total"),
+    )
+    aggs = [
+        F.min(F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("rep"))).alias(
+            f"hdr_p{p}"
+        )
+        for p in pcts
+    ]
+    return cum.groupBy(*gc).agg(*aggs)
+
+
 def hdr_quantiles(
     df: DataFrame,
     stratum_col: str = "source",
@@ -170,24 +200,9 @@ def hdr_quantiles(
     with cum*100 >= p*total). Because value→rep is monotone, the result
     is EXACTLY ``rep(exact_quantile)`` — pinned in tests — hence
     ``hdr_p <= exact_p < hdr_p * (1 + 2^-k) + 1``."""
-    from pyspark.sql import Window
-
-    hist = hdr_histogram(df, stratum_col, value_col, k)
-    w_cum = Window.partitionBy(stratum_col).orderBy("rep")
-    w_all = Window.partitionBy(stratum_col)
-    cum = hist.select(
-        stratum_col,
-        "rep",
-        F.sum("cnt").over(w_cum).alias("cum"),
-        F.sum("cnt").over(w_all).alias("total"),
+    return hdr_quantiles_from_hist(
+        hdr_histogram(df, stratum_col, value_col, k), (stratum_col,), pcts
     )
-    aggs = [
-        F.min(F.when(F.col("cum") * 100 >= F.lit(p) * F.col("total"), F.col("rep"))).alias(
-            f"hdr_p{p}"
-        )
-        for p in pcts
-    ]
-    return cum.groupBy(stratum_col).agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

@@ -197,3 +197,34 @@ def late_rows_metric(messages: DataFrame, watermark: str = WATERMARK) -> DataFra
         .groupBy("source")
         .agg(F.count("*").alias("messages"), F.sum("_late").alias("late_rows"))
     )
+
+
+def windowed_hdr_histogram(
+    messages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = WATERMARK,
+    value_col: str = "msg_chars",
+    k: int = 5,
+) -> DataFrame:
+    """Watermarked per-(source, time-window) HDR histogram of a message
+    size/latency column — the streaming "p99 per source per hour"
+    primitive. The streaming STATE is the bounded mergeable sketch
+    (≤ 2^k·octaves rows per group), never raw values: micro-batches add
+    ``cnt`` into the same (window, source, rep) cells through Spark's
+    ordinary streaming-aggregation state store, and closed windows emit
+    once the watermark passes (append mode). Quantiles come from
+    :func:`..operators.sketch.hdr_quantiles_from_hist` over the emitted
+    bounded rows — so the expensive part rides the native watermarked
+    agg, and the window functions only ever see sketch cells."""
+    from ..operators.sketch import hdr_rep
+
+    return (
+        messages.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("source"),
+            hdr_rep(value_col, k).alias("rep"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "source", "rep", "cnt")
+    )

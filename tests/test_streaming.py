@@ -649,3 +649,82 @@ def test_await_or_raise_on_undrained_stream(spark, tmp_path):
     finally:
         if q.isActive:
             q.stop()
+
+
+def test_windowed_hdr_quantiles_stream_matches_batch(spark, corpus, stream_dirs):
+    """The watermarked HDR histogram run as a REAL stream (availableNow,
+    update mode via foreachBatch merge) sums to the batch histogram on
+    the same corpus cell-for-cell, and the extracted per-(window, source)
+    quantiles agree exactly — the mergeable-sketch property carried
+    across micro-batches and the streaming state store."""
+    from super_speedy_syslog_searcher_spark.functions.parse import parse_messages_fused
+    from super_speedy_syslog_searcher_spark.operators.sketch import (
+        hdr_quantiles_from_hist,
+    )
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import (
+        read_docs_stream,
+        windowed_hdr_histogram,
+    )
+
+    from super_speedy_syslog_searcher_spark.functions.parse import vote_patterns_fused
+
+    _write_docs(spark, corpus, stream_dirs["input"])
+    # the P9 vote needs a bounded collect, which a streaming DF forbids —
+    # precompute it from the at-rest input (production: catalog history)
+    # and inject the SAME locked_map into both faces
+    locked = vote_patterns_fused(spark.read.parquet(stream_dirs["input"]))
+
+    def _with_size(msgs):
+        return msgs.withColumn("msg_chars", F.length("text").cast("long"))
+
+    # streaming side: fused parse -> watermarked sketch agg; update-mode
+    # foreachBatch merges each micro-batch's changed cells into a dict
+    # (additive merge — exactly what a downstream store would do)
+    cells: dict = {}
+
+    def _merge(bdf, bid):
+        for r in bdf.collect():
+            key = (r["window_start"], r["source"], r["rep"])
+            cells[key] = r["cnt"]  # update mode re-emits the new total
+
+    stream_msgs = _with_size(
+        parse_messages_fused(
+            read_docs_stream(spark, stream_dirs["input"]), reference_year=2023, locked_map=locked
+        )
+    )
+    q = (
+        windowed_hdr_histogram(stream_msgs, window="1 hour", value_col="msg_chars")
+        .writeStream.outputMode("update")
+        .foreachBatch(_merge)
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # batch side: identical plan in batch mode
+    batch_msgs = _with_size(
+        parse_messages_fused(
+            spark.read.parquet(stream_dirs["input"]), reference_year=2023, locked_map=locked
+        )
+    )
+    bhist = windowed_hdr_histogram(batch_msgs, window="1 hour", value_col="msg_chars")
+    want = {
+        (r["window_start"], r["source"], r["rep"]): r["cnt"] for r in bhist.collect()
+    }
+    assert cells == want and len(want) > 10
+
+    # quantile extraction over the emitted bounded cells agrees too
+    sdf = spark.createDataFrame(
+        [(k[0], k[1], k[2], v) for k, v in cells.items()],
+        "window_start timestamp, source string, rep long, cnt long",
+    )
+    got_q = {
+        (r["window_start"], r["source"]): (r["hdr_p50"], r["hdr_p99"])
+        for r in hdr_quantiles_from_hist(sdf, ("window_start", "source"), (50, 99)).collect()
+    }
+    want_q = {
+        (r["window_start"], r["source"]): (r["hdr_p50"], r["hdr_p99"])
+        for r in hdr_quantiles_from_hist(bhist, ("window_start", "source"), (50, 99)).collect()
+    }
+    assert got_q == want_q
