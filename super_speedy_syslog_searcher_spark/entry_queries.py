@@ -579,7 +579,33 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("boolean").alias("is_burst"),
         )
     )
-    return summ.unionByName(rate).unionByName(heavy).unionByName(hll)
+    # r5 absorption: snapshot drift (``kind='drift'``) — total-variation
+    # distance of each family's event_type mix between two synthetic
+    # snapshots (event_id parity); the integer numerator and the one-
+    # division tv are engine-exact (operators/summary.py docstring).
+    from .operators.summary import distribution_drift
+
+    ev2 = _events(spark, sf_dir).select(
+        F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+        "event_type",
+        (F.col("event_id") % 2).alias("_half"),
+    )
+    drift = distribution_drift(
+        ev2.filter(F.col("_half") == 0), ev2.filter(F.col("_half") == 1), "event_type"
+    ).select(
+        F.lit("drift").alias("kind"),
+        "source",
+        F.col("n_a").alias("lines_processed"),
+        F.col("n_b").alias("lines_with_dt"),
+        F.lit(None).cast("bigint").alias("lines_dropped"),
+        F.lit(None).cast("bigint").alias("syslines"),
+        F.lit(None).cast("timestamp").alias("bucket_ts"),
+        F.col("tv_num").alias("n"),
+        F.col("tv").alias("mean_n"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("boolean").alias("is_burst"),
+    )
+    return summ.unionByName(rate).unionByName(heavy).unionByName(hll).unionByName(drift)
 
 
 # Count-Min heavy-hitter constants shared by the Spark leg and its SQL
@@ -685,6 +711,28 @@ JOIN (
          CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
   FROM events GROUP BY 1
 ) hx USING (source)
+UNION ALL
+SELECT 'drift' AS kind, source,
+       n_a AS lines_processed, n_b AS lines_with_dt,
+       CAST(NULL AS BIGINT) AS lines_dropped, CAST(NULL AS BIGINT) AS syslines,
+       CAST(NULL AS TIMESTAMP) AS bucket_ts,
+       tv_num AS n,
+       CAST(tv_num AS DOUBLE) / CAST(2 * n_a * n_b AS DOUBLE) AS mean_n,
+       CAST(NULL AS DOUBLE) AS z, CAST(NULL AS BOOLEAN) AS is_burst
+FROM (
+  SELECT source,
+         max(n_a) AS n_a, max(n_b) AS n_b,
+         CAST(sum(abs(c_a * n_b - c_b * n_a)) AS BIGINT) AS tv_num
+  FROM (
+    SELECT source, event_type,
+           CAST(count(*) FILTER (event_id % 2 = 0) AS BIGINT) AS c_a,
+           CAST(count(*) FILTER (event_id % 2 = 1) AS BIGINT) AS c_b,
+           CAST(sum(count(*) FILTER (event_id % 2 = 0)) OVER (PARTITION BY source) AS BIGINT) AS n_a,
+           CAST(sum(count(*) FILTER (event_id % 2 = 1)) OVER (PARTITION BY source) AS BIGINT) AS n_b
+    FROM (SELECT 'ev' || (user_id % 8) AS source, event_type, event_id FROM events)
+    GROUP BY source, event_type
+  ) GROUP BY source
+)
 """
 
 

@@ -121,3 +121,58 @@ def rate_anomalies(
             .alias("is_burst"),
         )
     )
+
+
+def distribution_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Total-variation distance between two corpus snapshots' key
+    distributions, per group — the drift detector a daily-crawl pipeline
+    runs before trusting a new snapshot ("did source X's event-type /
+    template / user mix shift since yesterday?").
+
+    TV(P,Q) = 1/2 * sum_k |P(k) - Q(k)| is computed with an EXACT
+    INTEGER numerator: ``sum_k |c_a(k)*n_b - c_b(k)*n_a|`` (cross-
+    multiplied counts — no per-term float division whose summation
+    order could round differently per engine), then ONE correctly-
+    rounded division by ``2*n_a*n_b`` — so even the float ``tv`` column
+    is bit-identical in Spark and a DuckDB twin. Bound: counts must
+    satisfy ``c * n < 2^63``; beyond that, bucket the key first
+    (``curation.hash_bucket``) so counts are per-bucket.
+
+    Scale shape: each snapshot collapses to its (group, key) histogram
+    via partial-aggregable groupBy; the FULL OUTER join runs on
+    histogram rows (bounded by distinct keys), never raw rows; the
+    group totals ride the same histograms. Zero extra scans.
+
+    Returns ``(*group_cols, n_a, n_b, tv_num, tv)``.
+    """
+    gc = list(group_cols)
+
+    def hist(df, cnt_name):
+        return df.groupBy(*gc, key_col).agg(F.count("*").alias(cnt_name))
+
+    ha, hb = hist(df_a, "c_a"), hist(df_b, "c_b")
+    joined = ha.join(hb, gc + [key_col], "full_outer").fillna(0, ["c_a", "c_b"])
+    tot_a = df_a.groupBy(*gc).agg(F.count("*").alias("n_a"))
+    tot_b = df_b.groupBy(*gc).agg(F.count("*").alias("n_b"))
+    num = joined.join(tot_a, gc).join(tot_b, gc).groupBy(*gc).agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))
+        .cast("long")
+        .alias("tv_num"),
+    )
+    return num.select(
+        *gc,
+        "n_a",
+        "n_b",
+        "tv_num",
+        (
+            F.col("tv_num").cast("double")
+            / (F.lit(2).cast("long") * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("tv"),
+    )

@@ -205,3 +205,39 @@ def test_hll_estimate_accuracy(spark):
         r = hll_profile(df, "key").collect()[0]
         est = hll_corrected(r["hll_est"], r["hll_v"])
         assert abs(est - n) / n < 5 * 1.04 / (512**0.5), (n, est)
+
+
+# ---------------------------------------------------------------------------
+# distribution drift (TV distance)
+# ---------------------------------------------------------------------------
+def test_distribution_drift_bounds_and_twin(spark):
+    from fractions import Fraction
+
+    from super_speedy_syslog_searcher_spark.operators.summary import distribution_drift
+
+    rng = np.random.RandomState(3)
+    ka = [("s", f"k{rng.randint(20)}") for _ in range(500)]
+    kb = [("s", f"k{rng.randint(25)}") for _ in range(700)]
+    da = spark.createDataFrame(ka, "source string, key string")
+    db = spark.createDataFrame(kb, "source string, key string")
+    r = distribution_drift(da, db, "key").collect()[0]
+    # python twin with exact rationals
+    import collections
+
+    ca, cb = collections.Counter(k for _, k in ka), collections.Counter(k for _, k in kb)
+    na, nb = len(ka), len(kb)
+    num = sum(abs(ca.get(k, 0) * nb - cb.get(k, 0) * na) for k in set(ca) | set(cb))
+    assert (r["n_a"], r["n_b"], r["tv_num"]) == (na, nb, num)
+    assert r["tv"] == num / (2 * na * nb)  # bit-exact single division
+    assert 0.0 <= r["tv"] <= 1.0
+    assert Fraction(num, 2 * na * nb) == sum(
+        abs(Fraction(ca.get(k, 0), na) - Fraction(cb.get(k, 0), nb))
+        for k in set(ca) | set(cb)
+    ) / 2  # the cross-multiplied numerator IS the textbook TV, exactly
+
+    # identical snapshots -> 0; disjoint key sets -> 1
+    same = distribution_drift(da, da, "key").collect()[0]
+    assert same["tv_num"] == 0 and same["tv"] == 0.0
+    dc = spark.createDataFrame([("s", "zz")] * 50, "source string, key string")
+    disj = distribution_drift(da, dc, "key").collect()[0]
+    assert disj["tv"] == 1.0
