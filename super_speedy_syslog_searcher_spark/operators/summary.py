@@ -157,9 +157,13 @@ def distribution_drift(
 
     ha, hb = hist(df_a, "c_a"), hist(df_b, "c_b")
     joined = ha.join(hb, gc + [key_col], "full_outer").fillna(0, ["c_a", "c_b"])
-    tot_a = df_a.groupBy(*gc).agg(F.count("*").alias("n_a"))
-    tot_b = df_b.groupBy(*gc).agg(F.count("*").alias("n_b"))
-    num = joined.join(tot_a, gc).join(tot_b, gc).groupBy(*gc).agg(
+    # group totals DERIVED FROM the histograms (sum of cnt), not a second
+    # raw scan per snapshot: each snapshot is read exactly once, and the
+    # totals are |groups|-row aggregates of bounded histogram rows —
+    # broadcast back to the joined histogram
+    tot_a = ha.groupBy(*gc).agg(F.sum("c_a").alias("n_a"))
+    tot_b = hb.groupBy(*gc).agg(F.sum("c_b").alias("n_b"))
+    num = joined.join(F.broadcast(tot_a), gc).join(F.broadcast(tot_b), gc).groupBy(*gc).agg(
         F.max("n_a").cast("long").alias("n_a"),
         F.max("n_b").cast("long").alias("n_b"),
         F.sum(F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a")))

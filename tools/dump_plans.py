@@ -308,6 +308,99 @@ def main() -> None:
             "partitionings) aggregate the bounded histogram and broadcast "
             "back.",
         ),
+        (
+            "RFC 5424 protocol parse + PRI decode (map-only codegen)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.syslog_rfc",
+                fromlist=["parse_rfc5424"],
+            ).parse_rfc5424(
+                documents.select(
+                    F.concat(
+                        F.lit("<165>1 2024-01-02T03:04:05.123456Z h a p m - "),
+                        F.col("text"),
+                    ).alias("text")
+                )
+            ),
+            "Header split, NILVALUE nulling, PRI validity and the "
+            "facility/severity array lookups are all one codegen'd "
+            "Project chain over the scan — zero exchanges, zero Python. "
+            "The protocol stage runs at scan speed like grok.",
+        ),
+        (
+            "HDR quantile sketch (bounded mergeable histogram first)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.sketch",
+                fromlist=["hdr_quantiles"],
+            ).hdr_quantiles(
+                spark.read.parquet(f"{SF}/documents.parquet").select("source", "n_chars")
+            ),
+            "The raw column collapses to the (stratum, rep) histogram in "
+            "ONE partial-agg exchange (rep = integer bit-shift bucketing "
+            "in the scan projection); the cumulative windows then key on "
+            "bounded sketch rows only (≤ 2^k·octaves per stratum) — raw "
+            "data never meets a window.",
+        ),
+        (
+            "HyperLogLog distinct (register partial-agg, integer harmonic sum)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.sketch",
+                fromlist=["hll_profile"],
+            ).hll_profile(
+                spark.read.parquet(f"{SF}/events.parquet").select(
+                    F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+                    "event_id",
+                ),
+                "event_id",
+            ),
+            "Register/rho math is codegen'd integer work in the scan "
+            "projection; registers form in one partial-aggregable groupBy "
+            "(exchange ≤ groups × 512 rows) and the per-group summary is "
+            "a second bounded aggregate. The estimate is one division — "
+            "no float summation whose order could vary with layout.",
+        ),
+        (
+            "Priority sampling (weighted WOR, partial top-k + bounded tau)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.curation",
+                fromlist=["priority_sample"],
+            ).priority_sample(
+                spark.read.parquet(f"{SF}/documents.parquet").select(
+                    "doc_id", "lang", "n_chars"
+                ),
+                20,
+                weight_col="n_chars",
+            ),
+            "The md5 uniform and the w/u priority are scan-projection "
+            "Column algebra; the per-stratum rank<=k+1 window goes "
+            "through WindowGroupLimit (partial top-k below the exchange — "
+            "a hot stratum never funnels raw rows into one sort); tau is "
+            "a |strata|-row aggregate broadcast back.",
+        ),
+        (
+            "Distribution drift (TV distance on histogram rows only)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.summary",
+                fromlist=["distribution_drift"],
+            ).distribution_drift(
+                spark.read.parquet(f"{SF}/events.parquet")
+                .filter(F.col("event_id") % 2 == 0)
+                .select(
+                    F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+                    "event_type",
+                ),
+                spark.read.parquet(f"{SF}/events.parquet")
+                .filter(F.col("event_id") % 2 == 1)
+                .select(
+                    F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+                    "event_type",
+                ),
+                "event_type",
+            ),
+            "Each snapshot collapses to its (group, key) histogram via a "
+            "partial-agg groupBy; the full-outer join and the cross-"
+            "multiplied integer numerator run on histogram rows (bounded "
+            "by distinct keys), never raw rows.",
+        ),
     ]
     out = ["# PLANS — physical plans of the headline operators\n",
            f"Generated by `python tools/dump_plans.py` at sf0.001.\n"]
