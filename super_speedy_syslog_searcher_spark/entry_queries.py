@@ -1198,13 +1198,22 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
 def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic gap-based sessionization over the raw events stream (30-min
     inactivity gap per user) — the window-function face of P2 — UNIONED
     with the per-user event-type transition matrix over the same stream
-    (r4.5 absorption; rows tagged by ``kind``)."""
+    (r4.5 absorption), the ordered-step funnel (view→click→purchase;
+    strictly-after semantics, ties broken on event_id) and day-grain
+    cohort retention (r5 absorptions; rows tagged by ``kind``). The
+    funnel/retention oracles re-derive both from first principles:
+    chained earliest-after CTEs for the funnel, distinct-active-day
+    joins for retention — never the engine's array algebra."""
     from pyspark.sql.window import Window
 
+    from .operators.funnel import cohort_retention, funnel_conversion
     from .operators.sessionize import event_transitions
 
     _utc(spark)
@@ -1242,7 +1251,38 @@ def q_events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "share",
     )
-    return sessions.unionByName(trans)
+    pad = dict(
+        user_id=F.lit(None).cast("bigint"),
+        n_sessions=F.lit(None).cast("bigint"),
+        max_session_events=F.lit(None).cast("bigint"),
+        prev_type=F.lit(None).cast("string"),
+        next_type=F.lit(None).cast("string"),
+    )
+    # deterministic 1/11 thinning: at these SFs every user completes the
+    # funnel over the full stream (all shares 1.0) — the thinned stream
+    # makes the strictly-after rule actually discriminate under the gate
+    funnel = funnel_conversion(ev.filter(F.col("event_id") % 11 == 0), FUNNEL_STEPS).select(
+        F.lit("funnel").alias("kind"),
+        *[c.alias(k) for k, c in pad.items()],
+        F.col("users").alias("n"),
+        "share",
+        "step",
+        "idx",
+    )
+    ret = cohort_retention(ev).select(
+        F.lit("retention").alias("kind"),
+        *[c.alias(k) for k, c in pad.items()],
+        F.col("active_users").alias("n"),
+        "share",
+        F.col("cohort_day").alias("step"),
+        F.col("offset_days").alias("idx"),
+    )
+    base = sessions.unionByName(trans).select(
+        "*",
+        F.lit(None).cast("string").alias("step"),
+        F.lit(None).cast("bigint").alias("idx"),
+    )
+    return base.unionByName(funnel).unionByName(ret)
 
 
 SQL_EVENTS_SESSIONIZE_GAP = """
@@ -1266,17 +1306,59 @@ WITH g AS (
   FROM events
 ), tc AS (
   SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n FROM tr GROUP BY 1, 2
-), tt AS (SELECT prev_type, sum(n) AS tot FROM tc GROUP BY 1)
+), tt AS (SELECT prev_type, sum(n) AS tot FROM tc GROUP BY 1),
+-- funnel: earliest step event strictly after the previous step's pick,
+-- ties on ts broken by event_id ((ts, event_id) row comparison);
+-- deterministic 1/11 thinning so conversion discriminates at gate SFs
+fe AS (SELECT * FROM events WHERE event_id % 11 = 0),
+f0 AS (
+  SELECT user_id, ts, event_id FROM fe WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+), f1 AS (
+  SELECT e.user_id, e.ts, e.event_id FROM fe e JOIN f0 USING (user_id)
+  WHERE e.event_type = 'click' AND (e.ts, e.event_id) > (f0.ts, f0.event_id)
+  QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) = 1
+), f2 AS (
+  SELECT e.user_id, e.ts, e.event_id FROM fe e JOIN f1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND (e.ts, e.event_id) > (f1.ts, f1.event_id)
+  QUALIFY row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) = 1
+), fc AS (
+  SELECT CAST(1 AS BIGINT) AS idx, 'view' AS step, (SELECT CAST(count(*) AS BIGINT) FROM f0) AS users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f1)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f2)
+), fr AS (
+  SELECT idx, step, users,
+         coalesce(lag(users) OVER (ORDER BY idx),
+                  (SELECT count(DISTINCT user_id) FROM fe)) AS prev
+  FROM fc
+),
+-- retention: cohort = first active day; active-day set per user
+pu AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events GROUP BY 1),
+ad AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+rr AS (
+  SELECT cohort, date_diff('day', cohort, day) AS off, CAST(count(*) AS BIGINT) AS n
+  FROM ad JOIN pu USING (user_id) GROUP BY 1, 2
+), cz AS (SELECT cohort, n AS size FROM rr WHERE off = 0)
 SELECT 'sessions' AS kind, user_id, count(*) AS n_sessions,
        max(n_events) AS max_session_events,
        CAST(NULL AS VARCHAR) AS prev_type, CAST(NULL AS VARCHAR) AS next_type,
-       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS share
+       CAST(NULL AS BIGINT) AS n, CAST(NULL AS DOUBLE) AS share,
+       CAST(NULL AS VARCHAR) AS step, CAST(NULL AS BIGINT) AS idx
 FROM c GROUP BY user_id
 UNION ALL
 SELECT 'transitions' AS kind, CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
        CAST(NULL AS BIGINT),
-       tc.prev_type, tc.next_type, tc.n, round(tc.n / tt.tot, 4) AS share
+       tc.prev_type, tc.next_type, tc.n, round(tc.n / tt.tot, 4) AS share,
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
 FROM tc JOIN tt USING (prev_type)
+UNION ALL
+SELECT 'funnel', NULL, NULL, NULL, NULL, NULL, users,
+       CASE WHEN prev > 0 THEN round(users / prev, 4) END, step, idx
+FROM fr
+UNION ALL
+SELECT 'retention', NULL, NULL, NULL, NULL, NULL, rr.n,
+       round(rr.n / cz.size, 4), strftime(rr.cohort, '%Y-%m-%d'), rr.off
+FROM rr JOIN cz USING (cohort)
 """
 
 
