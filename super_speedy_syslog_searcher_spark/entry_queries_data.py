@@ -555,20 +555,62 @@ def q_docs_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the full permutation with a plain row_number
     window — verifying the engine's range-partition + frozen-pid rank
     attach against the single-window definition, the same two-phase
-    machinery the k-way merge rank uses (merge.with_global_rank)."""
+    machinery the k-way merge rank uses (merge.with_global_rank).
+
+    UNIONED (r5 absorption, kind='zorder') with the Morton layout key
+    over the events stream — the data-layout sibling operator
+    (operators/zorder.py): z = interleave(day-since-2024-01-01, md5
+    bucket of user_id), 8 bits each. The oracle restates the bit
+    interleave as 16 explicit shift/mask terms in SQL — every bit of
+    every row's layout key is hash-checked. (The pruning WIN the key
+    buys is execution-truth-tested from written parquet footers in
+    tests/test_zorder.py; a permutation and a space-filling-curve key
+    are the two layout primitives a 100-TB table rewrite needs.)"""
     from .operators.tokens import global_shuffle
+    from .operators.zorder import day_code, hash_bucket, z_value
 
     d = _docs(spark, sf_dir).select("doc_id")
-    return global_shuffle(d, seed="s4").select(
-        F.col("doc_id"), F.col("shuffle_rank")
+    shuffled = global_shuffle(d, seed="s4").select(
+        F.lit("shuffle").alias("kind"),
+        F.col("doc_id"),
+        F.col("shuffle_rank"),
+        F.lit(None).cast("bigint").alias("z"),
     )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    zed = ev.select(
+        F.lit("zorder").alias("kind"),
+        F.col("event_id").cast("string").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("shuffle_rank"),
+        z_value(
+            [day_code("ts", "2024-01-01", 8), hash_bucket("user_id", 8, salt="z:")], 8
+        ).alias("z"),
+    )
+    return shuffled.unionByName(zed)
 
 
 SQL_DOCS_SHUFFLE = """
-SELECT doc_id,
+WITH codes AS (
+  SELECT CAST(event_id AS VARCHAR) AS doc_id,
+         least(greatest(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)), 0), 255) AS d,
+         CAST('0x' || substr(md5('z:' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % 256 AS b
+  FROM events
+)
+SELECT 'shuffle' AS kind, doc_id,
        CAST(row_number() OVER (ORDER BY md5('s4:' || CAST(doc_id AS VARCHAR)), doc_id)
-            - 1 AS BIGINT) AS shuffle_rank
+            - 1 AS BIGINT) AS shuffle_rank,
+       CAST(NULL AS BIGINT) AS z
 FROM documents
+UNION ALL
+SELECT 'zorder', doc_id, CAST(NULL AS BIGINT),
+       (((d >> 0) & 1) << 0) | (((b >> 0) & 1) << 1)
+     | (((d >> 1) & 1) << 2) | (((b >> 1) & 1) << 3)
+     | (((d >> 2) & 1) << 4) | (((b >> 2) & 1) << 5)
+     | (((d >> 3) & 1) << 6) | (((b >> 3) & 1) << 7)
+     | (((d >> 4) & 1) << 8) | (((b >> 4) & 1) << 9)
+     | (((d >> 5) & 1) << 10) | (((b >> 5) & 1) << 11)
+     | (((d >> 6) & 1) << 12) | (((b >> 6) & 1) << 13)
+     | (((d >> 7) & 1) << 14) | (((b >> 7) & 1) << 15) AS z
+FROM codes
 """
 
 
