@@ -401,6 +401,59 @@ def main() -> None:
             "multiplied integer numerator run on histogram rows (bounded "
             "by distinct keys), never raw rows.",
         ),
+        (
+            "Funnel conversion (one entity shuffle, codegen step walk)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.funnel",
+                fromlist=["funnel_conversion"],
+            ).funnel_conversion(
+                spark.read.parquet(f"{SF}/events.parquet"),
+                ["view", "click", "purchase"],
+            ),
+            "The stream is filtered to funnel step types BEFORE the one "
+            "hash exchange on the entity key; the strictly-after step "
+            "walk is array algebra inside codegen (no second shuffle, no "
+            "window over raw rows); the per-step counts are one "
+            "partial-aggregable global agg plus a broadcast of the "
+            "1-row distinct-entity total.",
+        ),
+        (
+            "Cohort retention (active-day sets bounded by calendar span)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.funnel",
+                fromlist=["cohort_retention"],
+            ).cohort_retention(spark.read.parquet(f"{SF}/events.parquet")),
+            "One entity-key shuffle builds (cohort, distinct-day set) per "
+            "entity — state bounded by the calendar span, not event "
+            "count; the exploded (cohort, offset) count partial-aggs, and "
+            "cohort sizes come back as a broadcast join.",
+        ),
+        (
+            "Z-order layout (one sampled range exchange, no UDF)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.operators.zorder",
+                fromlist=["zorder_layout"],
+            ).zorder_layout(
+                spark.read.parquet(f"{SF}/events.parquet").select(
+                    "event_id",
+                    __import__(
+                        "super_speedy_syslog_searcher_spark.operators.zorder",
+                        fromlist=["day_code"],
+                    ).day_code("ts", "2024-01-01", 8).alias("day"),
+                    __import__(
+                        "super_speedy_syslog_searcher_spark.operators.zorder",
+                        fromlist=["hash_bucket"],
+                    ).hash_bucket("user_id", 6).alias("bucket"),
+                ),
+                [F.col("day"), F.col("bucket")],
+                bits=8,
+            ),
+            "The Morton key is a pure shift/mask expression chain inside "
+            "WholeStageCodegen; the layout is exactly one RangePartitioning "
+            "exchange (sampled bounds — balanced files under any skew) "
+            "plus an in-partition sort. Footer-stats pruning does the "
+            "rest at read time; queries are unchanged.",
+        ),
     ]
     out = ["# PLANS — physical plans of the headline operators\n",
            f"Generated by `python tools/dump_plans.py` at sf0.001.\n"]
