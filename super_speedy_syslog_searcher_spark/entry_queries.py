@@ -605,7 +605,34 @@ def q_pipe_summary_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("z"),
         F.lit(None).cast("boolean").alias("is_burst"),
     )
-    return summ.unionByName(rate).unionByName(heavy).unionByName(hll).unionByName(drift)
+    # r5 absorption: trailing rolling-window volume (``kind='rolling'``,
+    # 6-hour trailing frame over the hourly histogram) — exact integer
+    # roll_sum (-> ``lines_processed``) and present-bucket count (->
+    # ``lines_with_dt``), one-division roll_mean (-> ``mean_n``); the
+    # oracle restates the RANGE frame over epoch seconds, so sparse-gap
+    # handling (absent buckets narrow the frame) is under the hash gate.
+    from .operators.summary import rolling_rates
+
+    rolling = rolling_rates(msgs, bucket="hour", window_buckets=6).select(
+        F.lit("rolling").alias("kind"),
+        "source",
+        F.col("roll_sum").alias("lines_processed"),
+        F.col("roll_buckets").alias("lines_with_dt"),
+        F.lit(None).cast("bigint").alias("lines_dropped"),
+        F.lit(None).cast("bigint").alias("syslines"),
+        "bucket_ts",
+        "n",
+        F.col("roll_mean").alias("mean_n"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("boolean").alias("is_burst"),
+    )
+    return (
+        summ.unionByName(rate)
+        .unionByName(heavy)
+        .unionByName(hll)
+        .unionByName(drift)
+        .unionByName(rolling)
+    )
 
 
 # Count-Min heavy-hitter constants shared by the Spark leg and its SQL
@@ -732,6 +759,24 @@ FROM (
     FROM (SELECT 'ev' || (user_id % 8) AS source, event_type, event_id FROM events)
     GROUP BY source, event_type
   ) GROUP BY source
+)
+UNION ALL
+-- rolling: 6-hour trailing RANGE frame over the hourly histogram;
+-- absent (silent) buckets are absent rows, so they narrow the
+-- present-bucket count instead of contributing zeros
+SELECT 'rolling' AS kind, source,
+       roll_sum AS lines_processed, roll_cnt AS lines_with_dt,
+       CAST(NULL AS BIGINT) AS lines_dropped, CAST(NULL AS BIGINT) AS syslines,
+       bucket_ts, n,
+       CAST(roll_sum AS DOUBLE) / roll_cnt AS mean_n,
+       CAST(NULL AS DOUBLE) AS z, CAST(NULL AS BOOLEAN) AS is_burst
+FROM (
+  SELECT source, bucket_ts, n,
+         CAST(sum(n) OVER w AS BIGINT) AS roll_sum,
+         CAST(count(n) OVER w AS BIGINT) AS roll_cnt
+  FROM hist
+  WINDOW w AS (PARTITION BY source ORDER BY epoch(bucket_ts)
+               RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
 )
 """
 

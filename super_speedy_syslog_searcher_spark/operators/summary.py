@@ -123,6 +123,61 @@ def rate_anomalies(
     )
 
 
+_BUCKET_SECONDS = {"hour": 3600, "day": 86400, "minute": 60}
+
+
+def rolling_rates(
+    msgs: DataFrame,
+    bucket: str = "hour",
+    window_buckets: int = 24,
+    ts_col: str = "ts",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source trailing-window volume: for each (source, time
+    bucket), the exact sum / present-bucket count / mean of message
+    counts over the trailing ``window_buckets`` buckets — the "is this
+    hour loud vs the last day" face of :func:`rate_anomalies` (which
+    z-scores against the source's WHOLE history instead).
+
+    The frame is a RANGE frame over epoch seconds, so a silent gap
+    narrows ``roll_buckets`` rather than silently stretching the window
+    across it (sparse-safe — empty buckets are absent rows, the
+    histogram-first doctrine).
+
+    Scale shape (100 TB): raw messages collapse to the (source, bucket,
+    n) histogram with ONE partial-agg shuffle; the window partitions per
+    SOURCE over that bounded histogram (≤ corpus-span/bucket rows per
+    source), never over raw messages. ``roll_sum``/``roll_buckets`` are
+    exact integers; ``roll_mean`` is one IEEE division — bit-identical
+    across engines and partitionings.
+
+    Returns ``(source, bucket_ts, n, roll_sum, roll_buckets,
+    roll_mean)``.
+    """
+    from pyspark.sql.window import Window
+
+    span = _BUCKET_SECONDS[bucket] * (window_buckets - 1)
+    hist = msgs.groupBy(
+        F.col(source_col).alias("source"),
+        F.date_trunc(bucket, F.col(ts_col)).alias("bucket_ts"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.unix_timestamp("bucket_ts"))
+        .rangeBetween(-span, 0)
+    )
+    roll_sum = F.sum("n").over(w)
+    roll_cnt = F.count("n").over(w)
+    return hist.select(
+        "source",
+        "bucket_ts",
+        "n",
+        roll_sum.alias("roll_sum"),
+        roll_cnt.cast("bigint").alias("roll_buckets"),
+        (roll_sum / roll_cnt).alias("roll_mean"),
+    )
+
+
 def distribution_drift(
     df_a: DataFrame,
     df_b: DataFrame,
