@@ -444,3 +444,90 @@ def rate_anomalies_stateful(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+FUNNEL_OUT_SCHEMA = "user_id long, idx int, step string, ts timestamp, event_id long"
+# (furthest step reached, its pivot event, last event seen — order guard)
+FUNNEL_STATE_SCHEMA = "idx int, p_ts long, p_eid long, l_ts long, l_eid long"
+
+
+def funnel_stateful(
+    events_stream: DataFrame,
+    steps: list,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """ONLINE ordered-step funnel — the streaming face of
+    ``operators.funnel.funnel_conversion``. Emits one row per entity
+    per step ADVANCE (a step-reached changelog); counting rows per
+    ``idx`` downstream gives the live conversion funnel.
+
+    Equivalence with the batch operator: batch picks the EARLIEST
+    step-k event strictly after its step-(k-1) pick — an in-event-time
+    greedy walk. Streaming replays exactly that walk, so given the
+    contract below, furthest-step-per-entity ≡ batch on the same rows
+    (pinned across micro-batch splits and a checkpoint restart in
+    pytest).
+
+    Contract (the ``rate_anomalies_stateful`` discipline): each
+    entity's events arrive in nondecreasing (ts, event_id) order
+    across micro-batches — a regression RAISES rather than silently
+    undercounting (a late earlier-ts event could have been a missed
+    pivot; loud beats wrong).
+
+    Scale: state is FIVE numbers per entity, forever (no growth with
+    activity); the only shuffle keys on the entity. The step list is
+    plan-time config, never state.
+    """
+    n_steps = len(steps)
+    if not n_steps:
+        raise ValueError("funnel needs at least one step")
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        idx, p_ts, p_eid, l_ts, l_eid = (
+            state.get if state.exists else (0, None, None, None, None)
+        )
+        out = []
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts_col, id_col])
+            ts_ns = pdf[ts_col].astype("int64").to_numpy()
+            eids = pdf[id_col].to_numpy()
+            types = pdf[type_col].to_numpy()
+            for t, e, ty in zip(ts_ns, eids, types):
+                t, e = int(t), int(e)
+                if l_ts is not None and (t, e) < (l_ts, l_eid):
+                    raise ValueError(
+                        f"entity {uid!r}: event ({t}, {e}) arrived after "
+                        f"({l_ts}, {l_eid}) — per-entity event-time order regressed"
+                    )
+                l_ts, l_eid = t, e
+                if idx < n_steps and ty == steps[idx] and (
+                    p_ts is None or (t, e) > (p_ts, p_eid)
+                ):
+                    idx += 1
+                    p_ts, p_eid = t, e
+                    out.append(
+                        {
+                            "user_id": uid,
+                            "idx": idx,
+                            "step": steps[idx - 1],
+                            "ts": pd.Timestamp(t, unit="ns"),
+                            "event_id": e,
+                        }
+                    )
+        state.update((idx, p_ts, p_eid, l_ts, l_eid))
+        if out:
+            yield pd.DataFrame(out)
+
+    return events_stream.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=FUNNEL_OUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -728,3 +728,106 @@ def test_windowed_hdr_quantiles_stream_matches_batch(spark, corpus, stream_dirs)
         for r in hdr_quantiles_from_hist(bhist, ("window_start", "source"), (50, 99)).collect()
     }
     assert got_q == want_q
+
+
+def test_stateful_funnel_matches_batch_across_restart(spark, tmp_path):
+    """funnel_stateful: the greedy step walk carries (pivot, guard)
+    state across micro-batches and a checkpoint restart; the
+    furthest-step-per-user changelog must agree with the batch
+    operator's per-step counts over the union of both batches, and a
+    step spanning the batch boundary must only fire once."""
+    import datetime as dt
+
+    from super_speedy_syslog_searcher_spark.operators.funnel import funnel_conversion
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import await_or_raise
+    from super_speedy_syslog_searcher_spark.streaming.stateful import funnel_stateful
+
+    steps = ["view", "click", "purchase"]
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, sec, uid, ty):
+        return (eid, t0 + dt.timedelta(seconds=sec), uid, ty)
+
+    # u1 views+clicks in batch 1, purchases in batch 2 (state carries)
+    # u2's click precedes its view (never converts past view)
+    # u3 is all in batch 2
+    batch1 = [ev(1, 10, 1, "view"), ev(2, 20, 1, "click"),
+              ev(3, 5, 2, "click"), ev(4, 30, 2, "view")]
+    batch2 = [ev(5, 40, 1, "purchase"),
+              ev(6, 50, 2, "error"),
+              ev(7, 60, 3, "view"), ev(8, 70, 3, "click"), ev(9, 80, 3, "purchase")]
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    in_dir, ckpt, out_dir = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        q = (
+            funnel_stateful(spark.readStream.schema(schema).parquet(in_dir), steps)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+
+    run_once(batch1, "overwrite")
+    got1 = {(r["user_id"], r["idx"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got1 == {(1, 1), (1, 2), (2, 1)}
+
+    run_once(batch2, "append")
+    rows = spark.read.parquet(out_dir).collect()
+    got = {(r["user_id"], r["idx"]) for r in rows}
+    # u1's purchase advanced WITHOUT re-emitting earlier steps; u3 walked
+    # all three inside one batch; u2 never advanced past view
+    assert got == {(1, 1), (1, 2), (1, 3), (2, 1), (3, 1), (3, 2), (3, 3)}
+    assert len(rows) == len(got)  # each advance fired exactly once
+
+    # furthest-step counts == batch funnel over the union
+    batch_counts = {
+        r["idx"]: r["users"]
+        for r in funnel_conversion(
+            spark.createDataFrame(batch1 + batch2, schema), steps
+        ).collect()
+    }
+    furthest: dict = {}
+    for u, j in got:
+        furthest[u] = max(furthest.get(u, 0), j)
+    stream_counts = {i: sum(1 for v in furthest.values() if v >= i) for i in (1, 2, 3)}
+    assert stream_counts == batch_counts
+
+
+def test_stateful_funnel_out_of_order_raises(spark, tmp_path):
+    """A second batch delivering an event OLDER than the entity's last
+    seen (ts, event_id) must raise (loud beats silently undercounting)."""
+    import datetime as dt
+
+    import pytest
+
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import await_or_raise
+    from super_speedy_syslog_searcher_spark.streaming.stateful import funnel_stateful
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    in_dir, ckpt, out_dir = (str(tmp_path / d) for d in ("in", "ckpt", "out"))
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(in_dir)
+        q = (
+            funnel_stateful(
+                spark.readStream.schema(schema).parquet(in_dir), ["view", "click"]
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+
+    run_once([(1, t0 + dt.timedelta(seconds=100), 1, "view")], "overwrite")
+    with pytest.raises(Exception, match="order regressed"):
+        run_once([(2, t0 + dt.timedelta(seconds=50), 1, "click")], "append")
