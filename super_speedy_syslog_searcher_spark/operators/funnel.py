@@ -48,10 +48,22 @@ def funnel_conversion(
     type_col: str = "event_type",
     ts_col: str = "ts",
     order_cols: tuple[str, ...] = ("event_id",),
+    horizon_s: int | None = None,
 ) -> DataFrame:
     """Ordered-step funnel counts: one row per step with the number of
     entities whose stream contains the step AFTER their earliest
     completion of the previous step.
+
+    With ``horizon_s`` set, a chain only counts if every step lands
+    within ``horizon_s`` seconds of ITS OWN entry event (ClickHouse
+    ``windowFunnel`` semantics). This changes the search: the greedy
+    earliest-entry walk is no longer optimal (a later entry can open a
+    window an earlier one misses), so reach is decided per step as
+    EXISTS over the entity's step-1 events — within one entry the
+    earliest-valid-next walk IS optimal (the window depends only on the
+    entry), so the inner chain stays greedy. Still pure array algebra
+    on the same per-step sorted arrays: O(|entries| x funnel events)
+    per entity, zero extra shuffles.
 
     Returns ``(idx, step, users, share)`` where ``share`` is the
     conversion from the previous step (step 1: share of ALL entities in
@@ -76,16 +88,41 @@ def funnel_conversion(
     # step walk in pure array algebra: t0 = first event of step 0,
     # t_k = first step-k event strictly after t_{k-1} (struct order =
     # (ts, *order_cols) lexicographic, so ties cannot double-count).
-    # NB the pivot binds via closure, not a lambda default: a 2-param
+    # NB pivots bind via closure, not a lambda default: a 2-param
     # lambda makes F.filter pass (element, index) instead.
-    def _first_after(arr: F.Column, pivot: F.Column) -> F.Column:
-        return F.try_element_at(F.filter(arr, lambda x: x > pivot), F.lit(1))
+    def _first_after(arr: F.Column, pivot: F.Column, entry=None) -> F.Column:
+        def pred(x):
+            ok = x > pivot
+            if entry is not None:
+                ok = ok & (
+                    x[ts_col]
+                    <= entry[ts_col] + F.expr(f"INTERVAL {int(horizon_s)} SECOND")
+                )
+            return ok
 
-    t = F.try_element_at(F.col("_a0"), F.lit(1))
-    reached = [t.isNotNull()]
-    for i in range(1, len(steps)):
-        t = _first_after(F.col(f"_a{i}"), t)
-        reached.append(t.isNotNull())
+        return F.try_element_at(F.filter(arr, pred), F.lit(1))
+
+    if horizon_s is None:
+        t = F.try_element_at(F.col("_a0"), F.lit(1))
+        reached = [t.isNotNull()]
+        for i in range(1, len(steps)):
+            t = _first_after(F.col(f"_a{i}"), t)
+            reached.append(t.isNotNull())
+    else:
+        # windowed: entity reaches step k iff SOME entry event opens a
+        # window whose greedy inner chain gets to k
+        def _chain_reaches(entry: F.Column, upto: int) -> F.Column:
+            t = entry
+            for i in range(1, upto + 1):
+                t = _first_after(F.col(f"_a{i}"), t, entry=entry)
+            return t.isNotNull()
+
+        def _exists_chain(k: int) -> F.Column:
+            return F.exists(F.col("_a0"), lambda e: _chain_reaches(e, k))
+
+        reached = [F.size(F.col("_a0")) > 0]
+        for k in range(1, len(steps)):
+            reached.append(_exists_chain(k))
     counts = per_user.agg(
         *[F.sum(r.cast("long")).alias(f"_n{i}") for i, r in enumerate(reached)]
     )

@@ -149,3 +149,73 @@ def test_retention_offset_zero_is_cohort_size(spark):
     assert all(r["share"] == 1.0 for r in zero.values())
     one = [r for r in out if r["offset_days"] == 1]
     assert len(one) == 1 and one[0]["active_users"] == 1 and one[0]["share"] == 0.5
+
+
+def _py_funnel_windowed(rows, steps, h):
+    """Windowed twin: entity reaches step k iff SOME step-1 entry's
+    greedy inner chain (all steps within h seconds of the entry)
+    reaches k."""
+    users = {}
+    for eid, s, u, t in rows:
+        users.setdefault(u, []).append((s, eid, t))
+    counts = [0] * len(steps)
+    for evs in users.values():
+        evs.sort()
+        entries = [(s, eid) for s, eid, t in evs if t == steps[0]]
+        best = 1 if entries else 0
+        for entry in entries:
+            pick, depth = entry, 1
+            for step in steps[1:]:
+                nxt = None
+                for s, eid, t in evs:
+                    if t == step and (s, eid) > pick and s <= entry[0] + h:
+                        nxt = (s, eid)
+                        break
+                if nxt is None:
+                    break
+                pick = nxt
+                depth += 1
+            best = max(best, depth)
+        for i in range(best):
+            counts[i] += 1
+    return counts
+
+
+def test_funnel_windowed_later_entry_can_convert(spark):
+    # entry A@0's 3 s window misses B@7; entry A@5's window catches it —
+    # exists-over-entries must convert where a greedy-earliest-entry
+    # window walk would not
+    rows = [(1, 0, 1, "view"), (2, 5, 1, "view"), (3, 7, 1, "click")]
+    out = {r["step"]: r["users"] for r in
+           funnel_conversion(_ev(spark, rows), ["view", "click"], horizon_s=3).collect()}
+    assert out == {"view": 1, "click": 1}
+    # and with every window too small, the chain must NOT complete
+    out2 = {r["step"]: r["users"] for r in
+            funnel_conversion(_ev(spark, rows), ["view", "click"], horizon_s=1).collect()}
+    assert out2 == {"view": 1, "click": 0}
+
+
+def test_funnel_windowed_boundary_is_inclusive(spark):
+    rows = [(1, 0, 1, "view"), (2, 3, 1, "click")]
+    out = {r["step"]: r["users"] for r in
+           funnel_conversion(_ev(spark, rows), ["view", "click"], horizon_s=3).collect()}
+    assert out["click"] == 1
+
+
+def test_funnel_windowed_matches_python_twin_random(spark):
+    rng = random.Random(13)
+    types = STEPS + ["error"]
+    rows = [
+        (eid, rng.randrange(0, 2000), rng.randrange(0, 30), rng.choice(types))
+        for eid in range(1000)
+    ]
+    h = 120
+    expect = _py_funnel_windowed(rows, STEPS, h)
+    df = _ev(spark, rows)
+    for parts in (1, 16):
+        out = {
+            r["idx"]: r["users"]
+            for r in funnel_conversion(df.repartition(parts), STEPS,
+                                       horizon_s=h).collect()
+        }
+        assert [out[i + 1] for i in range(3)] == expect
