@@ -156,6 +156,8 @@ def rolling_rates(
     """
     from pyspark.sql.window import Window
 
+    if bucket not in _BUCKET_SECONDS:
+        raise ValueError(f"bucket must be one of {sorted(_BUCKET_SECONDS)}, got {bucket!r}")
     span = _BUCKET_SECONDS[bucket] * (window_buckets - 1)
     hist = msgs.groupBy(
         F.col(source_col).alias("source"),
