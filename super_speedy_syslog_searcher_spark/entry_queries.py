@@ -332,6 +332,26 @@ def asof_dim_history(spark: SparkSession) -> DataFrame:
     )
 
 
+def _interval_dim(spark: SparkSession) -> DataFrame:
+    """Seeded maintenance windows shared by the batch and streaming
+    enrichment rows: two OVERLAPPING closed spans per source, so the
+    deterministic later-start-wins election is pinned under the hash
+    gate (Jan 10–14 is inside both; win.late must win)."""
+    rows = []
+    for i in range(8):
+        rows.append(
+            (f"ev{i}", datetime(2024, 1, 5, tzinfo=timezone.utc),
+             datetime(2024, 1, 14, tzinfo=timezone.utc), "win.early")
+        )
+        rows.append(
+            (f"ev{i}", datetime(2024, 1, 10, tzinfo=timezone.utc),
+             datetime(2024, 1, 22, tzinfo=timezone.utc), "win.late")
+        )
+    return spark.createDataFrame(
+        rows, "source string, valid_from timestamp, valid_to timestamp, label string"
+    )
+
+
 def _cidr_dim(spark: SparkSession) -> DataFrame:
     """Seeded CIDR dimension shared by the batch and streaming enrichment
     rows. Includes a sloppy duplicate of the /24 block with a conflicting
@@ -364,8 +384,13 @@ def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     modulus CASE arms, never re-running the join. The CIDR dim seeds a
     sloppy duplicate block (``10.1.2.9/24``, conflicting attribute) so
     canonicalization + the deterministic min(struct) keeper election
-    are pinned under the hash gate too."""
-    from .operators.enrich import asof_enrich, cidr_enrich, severity_class_col
+    are pinned under the hash gate too; AND with the point-in-INTERVAL
+    enrichment (r5 absorption, ``kind='interval'`` — "was this message
+    inside a maintenance window"): two overlapping closed windows per
+    source, the oracle restating containment + the later-start-wins
+    overlap election as CASE arms over the message ts, never re-running
+    the join."""
+    from .operators.enrich import asof_enrich, cidr_enrich, interval_enrich, severity_class_col
 
     _utc(spark)
     msgs = _persist(parsed_messages(spark, sf_dir))
@@ -432,7 +457,26 @@ def q_pipe_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dt_last",
         )
     )
-    return static.unionByName(asof).unionByName(cidr)
+    interval = (
+        interval_enrich(msgs, _interval_dim(spark))
+        .withColumn("sink_key", F.coalesce(F.col("label"), F.lit("unmatched")))
+        .groupBy("sink_key")
+        .agg(
+            F.count("*").alias("messages"),
+            F.count("*").alias("lines"),
+            F.min("ts").alias("dt_first"),
+            F.max("ts").alias("dt_last"),
+        )
+        .select(
+            F.lit("interval").alias("kind"),
+            "sink_key",
+            "messages",
+            "lines",
+            "dt_first",
+            "dt_last",
+        )
+    )
+    return static.unionByName(asof).unionByName(cidr).unionByName(interval)
 
 
 _SINK_CASE = " ".join(
@@ -476,6 +520,20 @@ FROM (
          {ORACLE_TRUNC_TS} AS mts
   FROM events
 ) m3 GROUP BY sink_key
+UNION ALL
+SELECT 'interval' AS kind, sink_key, count(*) AS messages, count(*) AS lines,
+       min(mts) AS dt_first, max(mts) AS dt_last
+FROM (
+  -- containment in CLOSED windows + later-start-wins overlap election,
+  -- restated as CASE arms: win.late [Jan10, Jan22] beats win.early
+  -- [Jan5, Jan14] wherever both contain the ts
+  SELECT CASE WHEN mts >= TIMESTAMP '2024-01-10 00:00:00'
+                   AND mts <= TIMESTAMP '2024-01-22 00:00:00' THEN 'win.late'
+              WHEN mts >= TIMESTAMP '2024-01-05 00:00:00'
+                   AND mts <= TIMESTAMP '2024-01-14 00:00:00' THEN 'win.early'
+              ELSE 'unmatched' END AS sink_key, mts
+  FROM (SELECT {ORACLE_TRUNC_TS} AS mts FROM events) t
+) m4 GROUP BY sink_key
 """
 
 
@@ -1172,14 +1230,15 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cidr enrichment legs computed over the committed sink's own rows
     (r5: the r4 regression happened because this face fell behind the
     widened batch twin — now both faces emit the identical
-    static∪asof∪cidr shape and share ONE oracle, and the in-suite
-    parity test holds them together). Expected output is identical to
-    the batch path (pipe_enrich_sinks): the per-batch work IS the batch
-    pipeline, and the analytics legs read what the stream committed."""
+    static∪asof∪cidr∪interval shape and share ONE oracle, and the
+    in-suite parity test holds them together). Expected output is
+    identical to the batch path (pipe_enrich_sinks): the per-batch work
+    IS the batch pipeline, and the analytics legs read what the stream
+    committed."""
     import shutil
     import tempfile
 
-    from .operators.enrich import asof_enrich, cidr_enrich, severity_class_col
+    from .operators.enrich import asof_enrich, cidr_enrich, interval_enrich, severity_class_col
     from .operators.route import sink_counts_from_path
     from .sources.iceberg import read_table
     from .streaming.pipeline import await_or_raise, stream_pipeline
@@ -1235,7 +1294,13 @@ def q_stream_enrich_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sink_key", F.coalesce(F.col("net_sink"), F.lit("unmatched"))
             ),
         )
-        counts = static.unionByName(asof).unionByName(cidr)
+        interval = leg(
+            "interval",
+            interval_enrich(committed, _interval_dim(spark)).withColumn(
+                "sink_key", F.coalesce(F.col("label"), F.lit("unmatched"))
+            ),
+        )
+        counts = static.unionByName(asof).unionByName(cidr).unionByName(interval)
         # materialize before the temp dir disappears
         rows = counts.collect()
         return spark.createDataFrame(rows, counts.schema)

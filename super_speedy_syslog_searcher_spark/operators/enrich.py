@@ -197,3 +197,98 @@ def cidr_enrich(
         out = out.withColumn(a, by_plen(lambda p, a=a: F.col(f"_{a}{p}")))
     drop = [c for p in plens for c in ([f"_n{p}", f"_c{p}"] + [f"_{a}{p}" for a in attrs])]
     return out.drop(*drop)
+
+
+def interval_enrich(
+    facts: DataFrame,
+    intervals: DataFrame,
+    key_col: str = "source",
+    ts_col: str = "ts",
+    start_col: str = "valid_from",
+    end_col: str = "valid_to",
+    how: str = "broadcast",
+    bucket_s: int = 3600,
+    fact_id_cols: tuple[str, ...] = ("doc_id", "msg_no"),
+) -> DataFrame:
+    """Point-in-interval enrichment — the fourth non-equi-join shape a
+    log pipeline needs after equi (:func:`enrich`), AS-OF
+    (:func:`asof_enrich`, start-only versions) and CIDR
+    (:func:`cidr_enrich`): each fact joins the ``intervals`` row whose
+    CLOSED span ``[start, end]`` contains its own timestamp — "was this
+    message inside a deploy / incident / maintenance window?".
+
+    Overlapping windows resolve deterministically to the one with the
+    greatest ``(start, end, attrs)`` struct — the latest-opened
+    (innermost for properly nested spans) window wins, identical across
+    runs, partitionings, and both execution strategies. Facts inside no
+    window carry NULL attributes.
+
+    Two strategies, one election:
+
+    - ``how='broadcast'`` (dimension-sized interval tables): spans
+      collapse to ONE sorted array per key and broadcast; each fact
+      picks ``element_at(filter(spans, s <= ts <= e), -1)`` — map-only,
+      zero fact shuffle, the :func:`asof_enrich` shape with an end
+      bound.
+    - ``how='bucketed'`` (interval tables too big to broadcast): spans
+      explode to the time buckets they cover (bounded by span/bucket_s
+      — choose ``bucket_s`` near the typical span so the blow-up stays
+      O(1) per interval), facts key on their single bucket, and the
+      containment join is a co-partitioned EQUI-join on (key, bucket) —
+      never a theta join. Multiple containing spans collapse back to
+      the same max-struct keeper with one partial-aggregable groupBy on
+      ``fact_id_cols``.
+    """
+    attrs = [c for c in intervals.columns if c not in (key_col, start_col, end_col)]
+    span = F.struct(
+        F.col(start_col).alias("_s"), F.col(end_col).alias("_e"), *attrs
+    )
+    if how == "broadcast":
+        hist = intervals.groupBy(key_col).agg(
+            F.sort_array(F.collect_list(span)).alias("_iv")
+        )
+        joined = facts.join(F.broadcast(hist), key_col, "left")
+        ts = F.col(ts_col)
+        picked = F.try_element_at(
+            F.filter("_iv", lambda v: (v["_s"] <= ts) & (ts <= v["_e"])), F.lit(-1)
+        )
+        out = joined
+        for a in attrs:
+            out = out.withColumn(a, picked[a])
+        return (
+            out.withColumn("window_start", picked["_s"])
+            .withColumn("window_end", picked["_e"])
+            .drop("_iv")
+        )
+    if how != "bucketed":
+        raise ValueError(f"how must be 'broadcast' or 'bucketed', got {how!r}")
+    bucket_us = bucket_s * 1_000_000
+
+    def _bk(c):
+        return F.floor(F.unix_micros(c) / bucket_us).cast("bigint")
+
+    exploded = intervals.select(
+        F.col(key_col),
+        span.alias("_sp"),
+        F.explode(
+            F.sequence(_bk(F.col(start_col)), _bk(F.col(end_col)))
+        ).alias("_bk"),
+    )
+    keyed = facts.withColumn("_bk", _bk(F.col(ts_col)))
+    ts = F.col(ts_col)
+    hits = (
+        keyed.join(exploded, [key_col, "_bk"], "inner")
+        .filter((F.col("_sp._s") <= ts) & (ts <= F.col("_sp._e")))
+        .groupBy(*fact_id_cols)
+        .agg(F.max("_sp").alias("_sp"))
+    )
+    # hits is fact-sized: the keeper attach is a co-partitioned
+    # shuffle join on the fact id, never a broadcast
+    out = keyed.drop("_bk").join(hits, list(fact_id_cols), "left")
+    for a in attrs:
+        out = out.withColumn(a, F.col(f"_sp.{a}"))
+    return (
+        out.withColumn("window_start", F.col("_sp._s"))
+        .withColumn("window_end", F.col("_sp._e"))
+        .drop("_sp")
+    )
