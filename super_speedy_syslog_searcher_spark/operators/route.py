@@ -128,3 +128,74 @@ def compact_sinks(
     return spark.createDataFrame(
         report, "sink_key string, n_files_before int, n_files_after int, bytes long"
     )
+
+
+def propagate_deletes(
+    spark,
+    out_dir: str,
+    predicate,
+    partition_col: str = "sink_key",
+) -> DataFrame:
+    """Targeted row purge across the routed sinks — the
+    right-to-be-forgotten / bad-batch-retraction maintenance job
+    (Iceberg ``DELETE FROM`` semantics at the parquet layout, the
+    sibling of :func:`compact_sinks`).
+
+    Deletion = rows where ``predicate`` is strictly TRUE; a NULL
+    predicate keeps the row (never silently widen a purge). Partitions
+    with zero matches are NEVER rewritten — their files stay
+    byte-identical (the compaction discipline: no write amplification,
+    no reader churn outside the blast radius).
+
+    Scale shape: the decision pass is one aggregate over the predicate
+    columns producing ≤ |partitions| rows; each dirty partition then
+    rewrites independently through the crash-safe three-step swap
+    (``fs_swap_dir``). A partition whose every row matches is deleted
+    outright. Re-running after any crash point converges (idempotent:
+    the second pass finds either the old rows — and purges again — or
+    zero matches). On a real Iceberg catalog use ``DELETE FROM`` /
+    position deletes instead; the snapshot commit removes even the
+    between-renames visibility gap.
+
+    Returns the purge report
+    ``(sink_key, rows_before, rows_deleted, rows_after, rewritten)``.
+    """
+    from ..sources.iceberg import fs_delete, fs_exists, fs_swap_dir
+
+    base = f"{out_dir}/routed" if fs_exists(spark, f"{out_dir}/routed") else out_dir
+    table = spark.read.option("basePath", base).parquet(f"{base}/{partition_col}=*")
+    hit = F.coalesce(predicate.cast("boolean"), F.lit(False))
+    counts = {
+        r["_p"]: (r["_n"], r["_d"])
+        for r in table.groupBy(F.col(partition_col).alias("_p"))
+        .agg(F.count("*").alias("_n"), F.sum(hit.cast("long")).alias("_d"))
+        .collect()
+    }
+    report = []
+    for part in sorted(counts):
+        n, d = counts[part]
+        pdir = f"{base}/{partition_col}={part}"
+        if not d:
+            report.append((part, n, 0, n, False))
+            continue
+        if d == n:
+            # every row matches: drop the partition outright
+            fs_delete(spark, pdir)
+            report.append((part, n, d, 0, True))
+            continue
+        # read through basePath so the predicate may reference the
+        # partition column too; survivors drop it (partition value lives
+        # in the directory name, matching route_write's layout)
+        survivors = (
+            table.filter(F.col(partition_col) == part).filter(~hit).drop(partition_col)
+        )
+        tmp = pdir + "._purge"
+        fs_delete(spark, tmp)
+        survivors.write.mode("overwrite").parquet(tmp)
+        fs_swap_dir(spark, pdir, tmp)
+        report.append((part, n, d, n - d, True))
+    return spark.createDataFrame(
+        report,
+        f"{partition_col} string, rows_before long, rows_deleted long, "
+        "rows_after long, rewritten boolean",
+    )
