@@ -101,9 +101,16 @@ def compact_sinks(
     """
     import math
 
-    from ..sources.iceberg import fs_delete, fs_exists, fs_swap_dir, partition_file_stats
+    from ..sources.iceberg import (
+        fs_delete,
+        fs_exists,
+        fs_swap_dir,
+        partition_file_stats,
+        recover_stale_swaps,
+    )
 
     base = f"{out_dir}/routed" if fs_exists(spark, f"{out_dir}/routed") else out_dir
+    recover_stale_swaps(spark, base)
     stats = partition_file_stats(spark, base, prefix="sink_key=")
     report = []
     for entry in sorted(stats):
@@ -160,9 +167,10 @@ def propagate_deletes(
     Returns the purge report
     ``(sink_key, rows_before, rows_deleted, rows_after, rewritten)``.
     """
-    from ..sources.iceberg import fs_delete, fs_exists, fs_swap_dir
+    from ..sources.iceberg import fs_delete, fs_exists, fs_swap_dir, recover_stale_swaps
 
     base = f"{out_dir}/routed" if fs_exists(spark, f"{out_dir}/routed") else out_dir
+    recover_stale_swaps(spark, base)
     table = spark.read.option("basePath", base).parquet(f"{base}/{partition_col}=*")
     hit = F.coalesce(predicate.cast("boolean"), F.lit(False))
     counts = {

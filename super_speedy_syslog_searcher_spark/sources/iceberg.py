@@ -153,3 +153,44 @@ def fs_swap_dir(spark: SparkSession, live: str, staged: str) -> None:
         fs.rename(jold, jlive)
         raise IOError(f"compaction swap: rename {staged} -> {live} failed (rolled back)")
     fs.delete(jold, True)
+
+
+def recover_stale_swaps(spark: SparkSession, base: str) -> list[str]:
+    """Crash recovery for the three-step swap (:func:`fs_swap_dir`) and
+    its staging dirs — run before any maintenance pass:
+
+    - ``X._old`` present with NO live ``X``: the previous run died
+      between the two renames; restore the partition by renaming
+      ``._old`` back (the staged rewrite, if any, is re-derivable —
+      the old data is not).
+    - ``X._old`` present WITH a live ``X``: the crash was after step 2;
+      the live dir is already the rewrite — drop the leftover.
+    - Orphaned ``X._compact`` / ``X._purge`` staging dirs: incomplete
+      rewrites, safe to drop (their source partition is intact).
+
+    Returns a log of actions taken (for the maintenance report).
+    Equivalent role to Iceberg's orphan-file cleanup; with a real
+    catalog the snapshot commit makes all of this moot.
+    """
+    fs, jbase, jvm = _hadoop_fs(spark, base)
+    if not fs.exists(jbase):
+        return []
+    actions = []
+    for st in fs.listStatus(jbase):
+        name = st.getPath().getName()
+        if not st.isDirectory():
+            continue
+        if name.endswith("._old"):
+            live = name[: -len("._old")]
+            jlive = jvm.org.apache.hadoop.fs.Path(f"{base}/{live}")
+            if fs.exists(jlive):
+                fs.delete(st.getPath(), True)
+                actions.append(f"dropped {name} (live partition present)")
+            else:
+                if not fs.rename(st.getPath(), jlive):
+                    raise IOError(f"recover: rename {name} -> {live} failed")
+                actions.append(f"restored {live} from {name}")
+        elif name.endswith("._compact") or name.endswith("._purge"):
+            fs.delete(st.getPath(), True)
+            actions.append(f"dropped staging dir {name}")
+    return actions

@@ -123,3 +123,43 @@ def test_null_predicate_rows_are_kept(spark, tmp_path):
     assert rpt["rows_deleted"] == 1 and rpt["rows_after"] == 2
     kept = {r["id"] for r in spark.read.parquet(base).collect()}
     assert kept == {1, 2}
+
+
+def test_recover_stale_swaps_restores_and_sweeps(spark, tmp_path):
+    """Simulate every crash point of the three-step swap and assert the
+    pre-maintenance recovery converges: a partition stranded in ._old
+    (crash between renames) is restored, a leftover ._old beside a live
+    partition is dropped, and orphan staging dirs are swept."""
+    import shutil
+
+    from super_speedy_syslog_searcher_spark.operators.route import propagate_deletes
+    from super_speedy_syslog_searcher_spark.sources.iceberg import recover_stale_swaps
+
+    base = str(tmp_path / "routed")
+    _routed(spark, base)
+    a = os.path.join(base, "sink_key=a.err")
+    b = os.path.join(base, "sink_key=b.info")
+
+    # crash point 1: live renamed away, nothing promoted
+    os.rename(a, a + "._old")
+    # crash point 2: promotion done, ._old left behind
+    shutil.copytree(b, b + "._old")
+    # incomplete staging rewrites
+    shutil.copytree(b, os.path.join(base, "sink_key=c.warn._purge"))
+    shutil.copytree(b, os.path.join(base, "sink_key=c.warn._compact"))
+
+    actions = recover_stale_swaps(spark, base)
+    assert os.path.isdir(a) and not os.path.isdir(a + "._old")
+    assert os.path.isdir(b) and not os.path.isdir(b + "._old")
+    assert not glob.glob(os.path.join(base, "*._purge"))
+    assert not glob.glob(os.path.join(base, "*._compact"))
+    assert len(actions) == 4
+
+    # and the maintenance ops run it implicitly: a purge right after a
+    # simulated crash still sees the full table
+    os.rename(a, a + "._old")
+    rpt = {
+        r["sink_key"]: r
+        for r in propagate_deletes(spark, base, F.col("user") == "u5").collect()
+    }
+    assert "a.err" in rpt and rpt["a.err"]["rows_before"] == 1000
