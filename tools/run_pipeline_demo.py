@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None, help="manifest/lineage dir (resumable runs)")
     ap.add_argument("--docs", type=int, default=200)
     ap.add_argument(
+        "--purge-source",
+        default=None,
+        help="after routing, purge every committed row of this source "
+        "across all sinks (delete-propagation demo; requires --out)",
+    )
+    ap.add_argument(
         "--compact",
         action="store_true",
         help="after routing, compact each sink's small files (requires --out)",
@@ -106,6 +112,18 @@ def main() -> None:
         compact_sinks(spark, args.out, target_bytes=64 << 20).orderBy("sink_key").show(
             20, truncate=False
         )
+
+    if args.purge_source:
+        if not args.out:
+            ap.error("--purge-source requires --out")
+        from pyspark.sql import functions as F
+
+        from super_speedy_syslog_searcher_spark.operators.route import propagate_deletes
+
+        print(f"== purge report (source = {args.purge_source}) ==")
+        propagate_deletes(
+            spark, args.out, F.col("source") == args.purge_source
+        ).orderBy("sink_key").show(20, truncate=False)
 
 
 if __name__ == "__main__":
