@@ -429,6 +429,34 @@ def main() -> None:
             "cohort sizes come back as a broadcast join.",
         ),
         (
+            "Interval enrichment, broadcast strategy (zero fact shuffle)",
+            __import__(
+                "super_speedy_syslog_searcher_spark.entry_queries",
+                fromlist=["_interval_dim"],
+            )._interval_dim(spark)
+            and __import__(
+                "super_speedy_syslog_searcher_spark.operators.enrich",
+                fromlist=["interval_enrich"],
+            ).interval_enrich(
+                spark.read.parquet(f"{SF}/events.parquet").select(
+                    F.col("event_id").alias("doc_id"),
+                    F.lit(0).alias("msg_no"),
+                    F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+                    "ts",
+                ),
+                __import__(
+                    "super_speedy_syslog_searcher_spark.entry_queries",
+                    fromlist=["_interval_dim"],
+                )._interval_dim(spark),
+            ),
+            "Window spans collapse to ONE sorted array per key and "
+            "broadcast; each fact picks its containing window with a "
+            "codegen array filter — the fact stream never shuffles. The "
+            "bucketed strategy (giant interval tables) trades this for a "
+            "co-partitioned equi-join on (key, time-bucket) — still never "
+            "a theta join.",
+        ),
+        (
             "Z-order layout (one sampled range exchange, no UDF)",
             __import__(
                 "super_speedy_syslog_searcher_spark.operators.zorder",
