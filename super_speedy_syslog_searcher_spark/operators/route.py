@@ -207,3 +207,64 @@ def propagate_deletes(
         f"{partition_col} string, rows_before long, rows_deleted long, "
         "rows_after long, rewritten boolean",
     )
+
+
+def optimize_sinks(
+    spark,
+    out_dir: str,
+    codes,
+    bits: int = 8,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> DataFrame:
+    """Layout-optimizing rewrite of the routed sinks — Delta/Iceberg
+    ``OPTIMIZE ... ZORDER BY`` at the parquet layout, completing the
+    maintenance trio (:func:`compact_sinks` merges small files,
+    :func:`propagate_deletes` purges rows, this clusters what remains
+    so multi-dimension predicates prune files via footer stats).
+
+    ``codes`` is a callable ``df -> list[Column]`` producing the
+    dimension codes from each sink's own columns (evaluated per
+    partition so it can reference any data column). Per sink: skip if
+    fewer than ``min_files`` files (nothing to gain — the z-sort inside
+    one file is row-group-level only and the rewrite cost isn't free);
+    otherwise rewrite to ``ceil(bytes/target_bytes)`` z-clustered files
+    through the crash-safe three-step swap. Rows are checksum-stable (a
+    pure rewrite); the report mirrors compaction's.
+    """
+    import math
+
+    from ..sources.iceberg import (
+        fs_delete,
+        fs_exists,
+        fs_swap_dir,
+        partition_file_stats,
+        recover_stale_swaps,
+    )
+    from .zorder import zorder_layout
+
+    base = f"{out_dir}/routed" if fs_exists(spark, f"{out_dir}/routed") else out_dir
+    recover_stale_swaps(spark, base)
+    stats = partition_file_stats(spark, base, prefix="sink_key=")
+    report = []
+    for entry in sorted(stats):
+        pdir = f"{base}/{entry}"
+        files = stats[entry]
+        nbytes = sum(sz for _, sz in files)
+        sink = entry.split("=", 1)[1]
+        if len(files) < min_files:
+            report.append((sink, len(files), len(files), nbytes, False))
+            continue
+        part = spark.read.parquet(pdir)
+        want = max(1, math.ceil(nbytes / target_bytes))
+        clustered = zorder_layout(part, codes(part), bits=bits, num_files=want).drop("z")
+        tmp = pdir + "._compact"
+        fs_delete(spark, tmp)
+        clustered.write.mode("overwrite").parquet(tmp)
+        fs_swap_dir(spark, pdir, tmp)
+        after = len(partition_file_stats(spark, base, prefix=entry).get(entry, []))
+        report.append((sink, len(files), after, nbytes, True))
+    return spark.createDataFrame(
+        report,
+        "sink_key string, n_files_before int, n_files_after int, bytes long, rewritten boolean",
+    )

@@ -150,3 +150,51 @@ def test_zorder_key_is_partition_invariant(spark):
     k1 = {r["id"]: r["z"] for r in df.repartition(1).select("id", z_value([F.col("a"), F.col("b")], 8).alias("z")).collect()}
     k2 = {r["id"]: r["z"] for r in df.repartition(16).select("id", z_value([F.col("a"), F.col("b")], 8).alias("z")).collect()}
     assert k1 == k2
+
+
+def test_optimize_sinks_clusters_each_sink(spark, tmp_path):
+    """OPTIMIZE-ZORDER over routed sinks: rows checksum-stable, file
+    count respects the byte target, and the rewritten layout's per-file
+    footer boxes prune a bucket-selective predicate that the original
+    insertion-order layout could not."""
+    from pyspark.sql import functions as F
+
+    from super_speedy_syslog_searcher_spark.operators.route import optimize_sinks
+    from super_speedy_syslog_searcher_spark.operators.zorder import day_code, hash_bucket
+
+    base = str(tmp_path / "routed")
+    rng = random.Random(17)
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=rng.randrange(0, 20 * 86400)),
+         rng.randrange(0, 64), "a.err" if i % 2 == 0 else "b.info")
+        for i in range(30_000)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, src long, sink_key string")
+    coded = df.select(
+        "event_id",
+        day_code("ts", "2024-01-01", 8).alias("day"),
+        hash_bucket("src", 6).alias("bucket"),
+        "sink_key",
+    )
+    # insertion-order fragmentation: 8 files per sink, z-blind
+    coded.repartition(16, "event_id").write.partitionBy("sink_key").parquet(base)
+    a_dir = str(tmp_path / "routed" / "sink_key=a.err")
+    before_rows = sorted(r["event_id"] for r in spark.read.parquet(a_dir).collect())
+    lin_touch = _touched(_file_boxes(a_dir, ("day", "bucket")), bucket=11)
+    n_lin = len(_file_boxes(a_dir, ("day", "bucket")))
+    assert lin_touch == n_lin  # insertion order: every file matches
+
+    rpt = {
+        r["sink_key"]: r
+        for r in optimize_sinks(
+            spark, base,
+            codes=lambda d: [F.col("day"), F.col("bucket")],
+            target_bytes=25_000,
+        ).collect()
+    }
+    assert rpt["a.err"]["rewritten"] and rpt["b.info"]["rewritten"]
+    boxes = _file_boxes(a_dir, ("day", "bucket"))
+    assert len(boxes) >= 3  # byte target kept multiple files
+    assert _touched(boxes, bucket=11) < len(boxes)  # pruning now possible
+    after_rows = sorted(r["event_id"] for r in spark.read.parquet(a_dir).collect())
+    assert after_rows == before_rows  # pure rewrite
