@@ -40,6 +40,12 @@ def main() -> None:
     ap.add_argument("--checkpoint", default=None, help="manifest/lineage dir (resumable runs)")
     ap.add_argument("--docs", type=int, default=200)
     ap.add_argument(
+        "--optimize",
+        action="store_true",
+        help="after routing, OPTIMIZE-ZORDER each sink on (day, source) "
+        "(requires --out)",
+    )
+    ap.add_argument(
         "--purge-source",
         default=None,
         help="after routing, purge every committed row of this source "
@@ -112,6 +118,19 @@ def main() -> None:
         compact_sinks(spark, args.out, target_bytes=64 << 20).orderBy("sink_key").show(
             20, truncate=False
         )
+
+    if args.optimize:
+        if not args.out:
+            ap.error("--optimize requires --out")
+        from super_speedy_syslog_searcher_spark.operators.route import optimize_sinks
+        from super_speedy_syslog_searcher_spark.operators.zorder import day_code, hash_bucket
+
+        print("== sink OPTIMIZE-ZORDER report (day x source) ==")
+        optimize_sinks(
+            spark, args.out,
+            codes=lambda d: [day_code("ts", "2023-01-01", 10), hash_bucket("source", 6)],
+            min_files=1,
+        ).orderBy("sink_key").show(20, truncate=False)
 
     if args.purge_source:
         if not args.out:
