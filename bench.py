@@ -177,6 +177,20 @@ def run_bench(spark, sf_dir: str) -> dict:
         rate_anomalies(msgs, bucket="hour").count()
         msgs.unpersist()
 
+    # q12: event-funnel analytics (r5) — ordered-step funnel + cohort
+    # retention over the raw events table; measures the single
+    # entity-key shuffle + whole-stage-codegen array step-walk path and
+    # the bounded distinct-active-days retention aggregate
+    def q_funnel():
+        from super_speedy_syslog_searcher_spark.operators.funnel import (
+            cohort_retention,
+            funnel_conversion,
+        )
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        funnel_conversion(ev, EQ.FUNNEL_STEPS).collect()
+        cohort_retention(ev).count()
+
     # e2e runs first and pays whole-write-path JIT on its first rep;
     # 3 runs so the reported min is steady-state even in a window with
     # one throttling spike
@@ -192,6 +206,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("tokens_pack", q_pack)
     timed("tokens_stupid_backoff", q_sb)
     timed("log_analytics", q_analytics)
+    timed("event_funnel_retention", q_funnel)
     # single rep: the trainer is 4 corpus passes by construction and its
     # integer-count determinism makes reps redundant for correctness
     timed("tokens_unigram_train", q_unigram, runs=1)
