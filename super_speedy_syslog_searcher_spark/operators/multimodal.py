@@ -282,17 +282,20 @@ def resize_images(
     target_h: int,
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Image resize stage. PNG and BMP payloads get a REAL pixel kernel
-    (pure-Python decode → numpy half-pixel-center bilinear → re-encode
-    in the same format; ``functions/imaging.py`` — zlib is stdlib, so
-    these two formats need no C codec). JPEG/GIF — where entropy/LZW
-    decode genuinely requires a library this container lacks — and
-    header-only payloads fall back to the clearly-marked deterministic
-    header rebuild. The ``kernel`` column says which ran per row
-    ('bilinear' | 'header-stub'), so stub output can never masquerade
-    as pixels downstream (VERDICT r4 #8: previously every format was
-    the stub). Spark-side shape is unchanged: narrow ``mapInPandas``
-    over the byte-bounded layout, contained per-row failures.
+    """Image resize stage. ALL four recognized image formats get a REAL
+    pixel kernel (pure-Python decode → numpy half-pixel-center bilinear
+    → re-encode in the same format): PNG/BMP via
+    ``functions/imaging.py``, JPEG via the fixed-point baseline codec
+    in ``functions/jpeg.py`` (r5 closed the last declared stub), GIF
+    via the LZW codec in ``functions/gif.py`` (re-encode quantizes to
+    the fixed 6x6x6 cube — documented deterministic quantizer). Only
+    payloads no pure-Python codec can decode (progressive JPEG,
+    palette/interlaced PNG, header-only fixtures) fall back to the
+    clearly-marked deterministic header rebuild. The ``kernel`` column
+    says which ran per row ('bilinear' | 'header-stub'), so stub output
+    can never masquerade as pixels downstream. Spark-side shape is
+    unchanged: narrow ``mapInPandas`` over the byte-bounded layout,
+    contained per-row failures.
 
     Returns ``(media_id, ok, kind, kernel, src_width, src_height,
     width, height, scale_x, scale_y, payload)`` — unparseable rows keep
@@ -309,7 +312,15 @@ def resize_images(
             encode_png,
         )
 
-        codecs = {"png": (decode_png, encode_png), "bmp": (decode_bmp, encode_bmp)}
+        from ..functions.gif import decode_gif, encode_gif
+        from ..functions.jpeg import decode_jpeg, encode_jpeg
+
+        codecs = {
+            "png": (decode_png, encode_png),
+            "bmp": (decode_bmp, encode_bmp),
+            "jpeg": (decode_jpeg, encode_jpeg),
+            "gif": (decode_gif, encode_gif),
+        }
         for pdf in batches:
             rows = {k: [] for k in (
                 "media_id", "ok", "kind", "kernel", "src_width", "src_height",
@@ -380,17 +391,19 @@ def embed_features_stub(
     payload_col: str = "payload",
 ) -> DataFrame:
     """Media → feature-vector stage (the CLIP/audio-embedding slot of a
-    multimodal pipeline). For PNG/BMP payloads with pixel data the
-    feature is computed from REAL PIXELS (r5, reusing
-    ``functions/imaging.py``): the image is decoded, bilinear-downsampled
-    to an 8×8 luma thumbnail, and the embedding is the L2-normalized
-    concatenation of that thumbnail (64 values, resampled to fill
-    ``dim``'s first 48 slots) with a 16-bucket luma histogram — a real
-    perceptual signature (aHash-family): re-encodes and resizes of the
-    same picture land close in cosine, unrelated pictures don't. For
-    JPEG/GIF/audio/video (C codec required) and header-only payloads the
-    documented fallback is the payload's L2-normalized byte-bigram
-    histogram — still deterministic and composition-correct. A
+    multimodal pipeline). For ALL four image formats with pixel data —
+    PNG/BMP (``functions/imaging.py``), baseline JPEG
+    (``functions/jpeg.py``) and GIF (``functions/gif.py``) — the
+    feature is computed from REAL PIXELS: the image is decoded,
+    bilinear-downsampled to an 8×8 luma thumbnail, and the embedding is
+    the L2-normalized concatenation of that thumbnail (64 values,
+    resampled to fill ``dim``'s first 48 slots) with a 16-bucket luma
+    histogram — a real perceptual signature (aHash-family): re-encodes
+    and resizes of the same picture land close in cosine, unrelated
+    pictures don't. For audio/video and undecodable payloads
+    (progressive JPEG, header-only fixtures) the documented fallback is
+    the payload's L2-normalized byte-bigram histogram — still
+    deterministic and composition-correct. A
     ``kernel`` column says which ran ('pixels' | 'byte-bigram'). Either
     way the output COMPOSES with the real similarity operators
     (``similarity.cosine_dup_pairs`` / ``cosine_topk`` /
@@ -403,13 +416,19 @@ def embed_features_stub(
     """
 
     def _pixel_vec(p: bytes) -> "np.ndarray | None":
+        from ..functions.gif import decode_gif
         from ..functions.imaging import bilinear_resize, decode_bmp, decode_png
+        from ..functions.jpeg import decode_jpeg
 
         try:
             if p[:8] == b"\x89PNG\r\n\x1a\n":
                 img = decode_png(p)
             elif p[:2] == b"BM":
                 img = decode_bmp(p)
+            elif p[:2] == b"\xff\xd8":
+                img = decode_jpeg(p)
+            elif p[:6] in (b"GIF87a", b"GIF89a"):
+                img = decode_gif(p)
             else:
                 return None
         except Exception:
