@@ -524,3 +524,216 @@ def decontaminate_embeddings(
         F.col("nn.bench_sim").alias("bench_sim"),
         (F.col("nn.bench_sim") >= threshold).cast("int").alias("contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (Jégou, Douze, Schmid 2011 — "Product Quantization
+# for Nearest Neighbor Search", IEEE TPAMI): the canonical 100-TB ANN
+# memory layout. d-dim vectors split into m subspaces; each subspace is
+# k-means-quantized to ksub codewords, so a vector stores m small codes
+# (m bytes at ksub=256) instead of d floats — a 32x+ compression — and
+# query distance is m table lookups (ADC), not a d-dim dot product.
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vecs: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train PQ codebooks: per-subspace deterministic Lloyd's k-means.
+
+    Returns ``[m, ksub, d/m]`` float64 codebooks.
+
+    Determinism contract (same as ``kmeans_assign``): subspace j
+    initializes from the ksub lowest-id vectors' j-th subvectors,
+    assignment tie-breaks on the lowest code, empty cells keep their
+    previous codeword. With dyadic-rational inputs the distributed sums
+    are EXACT (every partial sum representable), so the result is
+    bit-identical to a sequential twin regardless of partitioning —
+    pinned in tests/test_pq.py.
+
+    Scale shape per round: assignment is ONE map-only Arrow stage (m
+    small matmuls per batch — the corpus never shuffles); the update is
+    a posexplode to (subspace, code, subvec) rows — same total bytes as
+    the corpus, map-side partials absorb it — aggregated to m*ksub
+    bounded rows (count + d/m sums each). Total: ``iters`` corpus
+    scans, zero corpus-scale exchanges — the identical discipline as
+    ``kmeans_assign`` with an m-way tag.
+    """
+    dim_row = vecs.select(F.size(vec_col).alias("d")).first()
+    if dim_row is None:
+        return np.zeros((m, ksub, 0))
+    d = dim_row["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    src = vecs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    init = src.orderBy("id").limit(ksub).collect()
+    sub = np.asarray([r["v"] for r in init], dtype=np.float64).reshape(len(init), m, dsub)
+    books = np.ascontiguousarray(sub.transpose(1, 0, 2))  # [m, ksub_eff, dsub]
+
+    for _ in range(iters):
+        assigned = src.withColumn("codes", _pq_assign_udf(books)(F.col("v")))
+        upd = (
+            assigned.select("v", F.posexplode("codes").alias("j", "code"))
+            .select(
+                "j",
+                "code",
+                F.expr(f"slice(v, j * {dsub} + 1, {dsub})").alias("sv"),
+            )
+            .groupBy("j", "code")
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at(F.col("sv"), i + 1).cast("double")).alias(f"s{i}")
+                    for i in range(dsub)
+                ],
+            )
+        )
+        new = books.copy()
+        for r in upd.collect():  # bounded: ≤ m*ksub rows
+            new[r["j"], r["code"]] = (
+                np.array([r[f"s{i}"] for i in range(dsub)]) / r["n"]
+            )
+        books = new
+    return books
+
+
+def _pq_assign_udf(books: np.ndarray):
+    """array<float> vec → array<int> of m nearest-codeword ids (L2,
+    lowest-code tie-break). One Arrow stage, m small matmuls/batch."""
+    B = books.astype(np.float64)  # [m, ksub, dsub]
+    m, ksub, dsub = B.shape
+    sq = (B * B).sum(axis=2)  # [m, ksub]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _assign(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in col]).reshape(
+            len(col), m, dsub
+        )
+        out = np.empty((len(col), m), dtype=np.int32)
+        for j in range(m):
+            # argmin ||x-c||^2 = argmin |c|^2 - 2<x,c>; ties -> lowest code
+            out[:, j] = np.argmin(sq[j] - 2.0 * (V[:, j, :] @ B[j].T), axis=1)
+        return pd.Series(list(out))
+
+    return _assign
+
+
+def pq_encode(
+    vecs: DataFrame,
+    books: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → ``(id, codes array<int>)`` — map-only, never shuffles.
+    At rest this is the compressed ANN index: m ints per vector."""
+    return vecs.select(
+        F.col(id_col).alias(id_col),
+        _pq_assign_udf(books)(F.col(vec_col)).alias("codes"),
+    )
+
+
+def pq_topk_adc(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    list_col: str | None = None,
+    probe_lists: "dict[int, list[int]] | None" = None,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k scan over PQ codes.
+
+    Per query, a ``[m, ksub]`` lookup table of exact subspace distances
+    ``||q_j - c_{j,code}||²`` is built once; a corpus row's distance is
+    then m table lookups summed — the PQ paper's ADC estimator. The
+    query set (bounded, the same broadcast contract as ``cosine_topk``)
+    rides into ONE map-only Arrow stage over the codes; each batch emits
+    only its local top-k per query, so the exchange into the final
+    per-query rank window carries ≤ batches·|queries|·k rows — never
+    the corpus.
+
+    IVF-PQ composition: with ``list_col`` + ``probe_lists`` (query id →
+    coarse lists to probe), batch rows outside a query's probed lists
+    are masked out before scoring — the residual scan cost is
+    corpus·nprobe/n_lists, the IVFADC layout of the paper (§ IV).
+
+    Returns ``(query_id, rank, neighbor_id, adc_dist)`` ordered by
+    (adc_dist asc, neighbor_id asc) — fully deterministic.
+    """
+    B = books.astype(np.float64)
+    m, ksub, dsub = B.shape
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = (
+        np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows]).reshape(
+            len(qrows), m, dsub
+        )
+        if qrows
+        else np.zeros((0, m, dsub))
+    )
+    # LUT[q, j, c] = ||q_j - B[j,c]||^2, computed once on the driver
+    diff = Q[:, :, None, :] - B[None, :, :, :]
+    lut = np.einsum("qjcd,qjcd->qjc", diff, diff)
+    probes = (
+        {int(q): frozenset(int(x) for x in ls) for q, ls in probe_lists.items()}
+        if probe_lists is not None
+        else None
+    )
+    cols = [id_col, "codes"] + ([list_col] if list_col else [])
+    spark_cols = codes_df.select(*cols)
+
+    def _scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or len(qids) == 0:
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            ids = pdf[id_col].to_numpy()
+            lists = pdf[list_col].to_numpy() if list_col else None
+            out_q, out_n, out_d = [], [], []
+            for qi in range(len(qids)):
+                mask = np.ones(n, dtype=bool)
+                if probes is not None and lists is not None:
+                    allowed = probes.get(int(qids[qi]), frozenset())
+                    mask = np.fromiter(
+                        (int(x) in allowed for x in lists), dtype=bool, count=n
+                    )
+                mask &= ids != qids[qi]
+                if not mask.any():
+                    continue
+                sel = np.nonzero(mask)[0]
+                dist = np.zeros(len(sel))
+                for j in range(m):
+                    dist += lut[qi, j, codes[sel, j]]
+                top = min(k, len(sel))
+                part = np.argpartition(dist, top - 1)[:top]
+                out_q.extend([qids[qi]] * top)
+                out_n.extend(ids[sel[part]].tolist())
+                out_d.extend(dist[part].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
+                )
+
+    local = spark_cols.mapInPandas(
+        _scan, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
