@@ -483,6 +483,42 @@ def main() -> None:
             "rest at read time; queries are unchanged.",
         ),
     ]
+
+    # product quantization (r5 session 2): encode is map-only; the ADC
+    # scan's only exchange carries per-batch local top-k, never the corpus
+    import numpy as np
+
+    from super_speedy_syslog_searcher_spark.operators.similarity import (
+        pq_encode,
+        pq_topk_adc,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    m = 4
+    books = np.random.RandomState(0).randn(m, 16, dim // m)
+    codes = pq_encode(emb, books)
+    sections.append(
+        (
+            "PQ encode (map-only compression to m codes per vector)",
+            codes,
+            "One ArrowEvalPython stage over the scan — zero exchanges; "
+            "the corpus compresses to m small ints per vector without "
+            "ever shuffling. The codebooks ride the closure (m*ksub*dsub "
+            "floats, bounded).",
+        )
+    )
+    sections.append(
+        (
+            "PQ ADC top-k (per-batch local top-k, bounded rank exchange)",
+            pq_topk_adc(codes, emb.limit(4), books, k=5),
+            "The ADC scan is one mapInPandas over the codes; each batch "
+            "emits at most |queries|*k rows, so the single exchange into "
+            "the per-query rank window moves batches*|queries|*k rows — "
+            "never corpus-scale data. Query LUTs are built once on the "
+            "driver from the bounded query set.",
+        )
+    )
     out = ["# PLANS — physical plans of the headline operators\n",
            f"Generated by `python tools/dump_plans.py` at sf0.001.\n"]
     for title, df, comment in sections:
