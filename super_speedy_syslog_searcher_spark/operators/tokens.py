@@ -754,6 +754,119 @@ def apply_bpe(
     return docs.withColumn(tokens_col, _encode(F.col(tokens_col)))
 
 
+def decode_bpe(
+    docs: DataFrame,
+    merges: list[tuple[int, int, int, int, int]] | list[tuple[int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Invert a BPE encoding: expand every merged id back to its two
+    children until only base ids remain — BPE is lossless, so
+    ``decode_bpe(apply_bpe(corpus, merges), merges)`` equals the
+    original corpus EXACTLY (pinned in tests/test_tokens_roundtrip.py).
+    This is the detokenization face a serving/inspection pipeline needs
+    next to the training-side encoder.
+
+    Scale shape: ONE map-only Arrow stage; the expansion tables (two
+    int arrays sized by the merged-vocab range) ride the closure —
+    bounded by vocabulary, never corpus. Each numpy pass expands every
+    currently-merged position at once (mask → cumsum placement), so the
+    pass count is the merge DAG's depth (≤ len(merges)), independent of
+    document length. Full expansion is order-independent: each id's
+    leaf sequence is unique, so no priority bookkeeping is needed.
+    """
+    from pyspark.sql import types as T
+
+    from .dedup import _flatten_segments
+
+    triples = [
+        (int(m[1]), int(m[2]), int(m[3])) if len(m) >= 5 else (int(m[0]), int(m[1]), int(m[2]))
+        for m in merges
+    ]
+    if triples:
+        max_id = max(new for _l, _r, new in triples)
+        left_tab = np.full(max_id + 1, -1, dtype=np.int64)
+        right_tab = np.full(max_id + 1, -1, dtype=np.int64)
+        for left, right, new in triples:
+            left_tab[new] = left
+            right_tab[new] = right
+    else:
+        left_tab = right_tab = np.full(1, -1, dtype=np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _decode(tokens: pd.Series) -> pd.Series:
+        flat, offsets, lens = _flatten_segments(tokens)
+        n_docs = len(tokens)
+        if flat.size == 0:
+            return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
+        flat = flat.astype(np.int64, copy=True)
+        lens = lens.astype(np.int64, copy=True)
+        while True:
+            inrange = flat < left_tab.size
+            mask = np.zeros(flat.size, dtype=bool)
+            mask[inrange] = left_tab[flat[inrange]] >= 0
+            if not mask.any():
+                break
+            counts = 1 + mask.astype(np.int64)
+            pos = np.cumsum(counts) - counts
+            new = np.empty(int(counts.sum()), dtype=np.int64)
+            new[pos] = np.where(mask, left_tab[np.where(mask, flat, 0)], flat)
+            new[pos[mask] + 1] = right_tab[flat[mask]]
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            grow = np.zeros(n_docs, dtype=np.int64)
+            ne = lens > 0
+            if ne.any():
+                grow[ne] = np.add.reduceat(mask.astype(np.int64), offsets[ne])
+            lens = lens + grow
+            flat = new
+        out_off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        flat32 = flat.astype(np.int32)
+        return pd.Series([flat32[out_off[i] : out_off[i] + lens[i]] for i in range(n_docs)])
+
+    return docs.withColumn(tokens_col, _decode(F.col(tokens_col)))
+
+
+def decode_unigram(
+    docs: DataFrame,
+    vocab,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Invert ``apply_unigram(emit_ids=True)``: token ids → piece
+    strings → concatenated text. Piece id i is position i in the
+    (count desc, piece asc)-sorted training vocab — the encoder's own
+    id rule — and id ``len(vocab)`` is UNK. UNK is the one lossy spot
+    of the unigram coder (the original character is gone), so decoded
+    text is NULL wherever a document contains an UNK id and ``n_unk``
+    reports how many; UNK-free documents roundtrip exactly (pinned).
+
+    ONE map-only Arrow stage; the id→piece list rides the closure
+    (bounded by vocabulary size).
+    """
+    if isinstance(vocab, dict):
+        pieces = sorted(vocab)  # best effort: dicts carry no count order
+    else:
+        pieces = [p for p, _c, _lp in sorted(vocab, key=lambda t: (-t[1], t[0]))]
+    table = list(pieces)
+    unk_id = len(table)
+
+    def _gen(batches):
+        for pdf in batches:
+            texts, unks = [], []
+            for toks in pdf[tokens_col]:
+                ids = [int(t) for t in (toks if toks is not None else [])]
+                n_unk = sum(1 for t in ids if t < 0 or t >= unk_id)
+                unks.append(n_unk)
+                texts.append(
+                    None if n_unk else "".join(table[t] for t in ids)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "text": texts, "n_unk": unks})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, tokens_col).mapInPandas(
+        _gen, schema=f"{id_col} {id_type}, text string, n_unk int"
+    )
+
+
 def _mixture_thresholds(
     docs: DataFrame, targets_ppm: dict[str, int], n_buckets: int
 ) -> list[tuple[str, int, int, int]]:
