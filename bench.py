@@ -124,6 +124,21 @@ def run_bench(spark, sf_dir: str) -> dict:
         q = e.filter(F.col("vec_id") < 10)
         cosine_topk(e, q, k=5).count()
 
+    def q_pq():
+        # PQ train (2 rounds) + encode + ADC top-k for 10 queries — the
+        # compressed-index ANN path end to end (r5 session 2)
+        from super_speedy_syslog_searcher_spark.operators.similarity import (
+            pq_encode,
+            pq_topk_adc,
+            pq_train,
+        )
+
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = pq_train(e, m=4, ksub=16, iters=2)
+        codes = pq_encode(e, books)
+        q = e.filter(F.col("vec_id") < 10)
+        pq_topk_adc(codes, q, books, k=5).count()
+
     def q_simhash():
         from super_speedy_syslog_searcher_spark import entry_queries_data as EQD
 
@@ -203,6 +218,7 @@ def run_bench(spark, sf_dir: str) -> dict:
     timed("dedup_simhash", q_simhash)
     timed("dedup_substring", q_substring)
     timed("ann_cosine_topk", q_ann)
+    timed("ann_pq_adc", q_pq)
     timed("tokens_pack", q_pack)
     timed("tokens_stupid_backoff", q_sb)
     timed("log_analytics", q_analytics)
