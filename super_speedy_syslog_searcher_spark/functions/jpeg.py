@@ -543,6 +543,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ImageFormatError("marker sync lost")
+        # spec-legal 0xFF fill bytes may pad the space before a marker
+        while pos + 4 <= len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

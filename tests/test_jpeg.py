@@ -321,3 +321,35 @@ def test_byte_stuffing_region_decodes():
         assert np.array_equal(
             J.decode_jpeg(enc), _twin_decode_of_encode(img, 90, "444")
         )
+
+
+def test_16bit_dqt_and_fill_bytes_decode():
+    """Decoder generality beyond our encoder's output: the same stream
+    with (a) the DQT rewritten in 16-bit (Pq=1) precision and (b) fill
+    0xFF bytes padded before a marker decodes identically."""
+    import struct as _struct
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8, 1) * 3
+    base = J.encode_jpeg(img, quality=75)
+    want = J.decode_jpeg(base)
+
+    # locate the DQT segment (FF DB), rewrite its payload as Pq=1
+    at = base.find(b"\xff\xdb")
+    (seglen,) = _struct.unpack(">H", base[at + 2 : at + 4])
+    seg = base[at + 4 : at + 2 + seglen]
+    assert seg[0] == 0x00  # 8-bit table 0
+    vals = seg[1:65]
+    seg16 = bytes([0x10]) + b"".join(_struct.pack(">H", v) for v in vals)
+    rebuilt = (
+        base[:at]
+        + b"\xff\xdb"
+        + _struct.pack(">H", 2 + len(seg16))
+        + seg16
+        + base[at + 2 + seglen :]
+    )
+    assert np.array_equal(J.decode_jpeg(rebuilt), want)
+
+    # fill bytes: pad 0xFF before the SOF marker
+    sof = rebuilt.find(b"\xff\xc0")
+    padded = rebuilt[:sof] + b"\xff\xff\xff" + rebuilt[sof:]
+    assert np.array_equal(J.decode_jpeg(padded), want)
