@@ -842,11 +842,13 @@ def decode_unigram(
     ONE map-only Arrow stage; the id→piece list rides the closure
     (bounded by vocabulary size).
     """
+    # EXACTLY the encoder's id rule (apply_unigram): a list vocab is
+    # enumerated in its own order (training output is already
+    # count-desc/piece-asc sorted); a dict vocab enumerates sorted keys
     if isinstance(vocab, dict):
-        pieces = sorted(vocab)  # best effort: dicts carry no count order
+        table = sorted(vocab)
     else:
-        pieces = [p for p, _c, _lp in sorted(vocab, key=lambda t: (-t[1], t[0]))]
-    table = list(pieces)
+        table = [p for p, _c, _lp in vocab]
     unk_id = len(table)
 
     def _gen(batches):

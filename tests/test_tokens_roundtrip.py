@@ -116,3 +116,15 @@ class TestUnigramRoundtrip:
         dec = {r["doc_id"]: r for r in decode_unigram(enc, vocab).collect()}
         assert dec["x"]["text"] is None and dec["x"]["n_unk"] >= 1
         assert dec["y"]["text"] == "abab" and dec["y"]["n_unk"] == 0
+
+    def test_decoder_mirrors_encoder_id_rule_on_reordered_vocab(self, spark):
+        """The id is the vocab LIST's own position (the encoder's rule) —
+        a caller-reordered vocab must still roundtrip."""
+        df = spark.createDataFrame(
+            [("a", "abcabcab"), ("b", "cbacba")], "doc_id string, text string"
+        )
+        vocab, _ = train_unigram(df, vocab_size=6, max_piece_len=2)
+        reordered = list(reversed(vocab))
+        enc = apply_unigram(df, reordered, max_piece_len=2, emit_ids=True)
+        dec = {r["doc_id"]: r["text"] for r in decode_unigram(enc, reordered).collect()}
+        assert dec == {"a": "abcabcab", "b": "cbacba"}
