@@ -873,26 +873,81 @@ def q_ann_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus partitioned into 16 inverted lists, queries probe their 4
     nearest lists. Deterministic seeded centroids let the DuckDB oracle
     replicate assignment + probe + exact rank with literal centroid
-    arrays (see _ann_ivf_oracle_sql)."""
-    from .operators.similarity import cosine_topk_ivf
+    arrays (see _ann_ivf_oracle_sql). UNIONED (r5 session 2, tagged by
+    ``method``) with the PRODUCT-QUANTIZATION leg: seeded codebooks
+    (`pq_codebooks`, m=4 ksub=8 over the 64-dim embeddings), map-only
+    encode, ADC top-k — the oracle re-derives per-subspace assignment
+    (row_number over list_distance with lowest-code tie-break) and the
+    ADC distance as the SAME fixed parenthesized 4-term sum the engine
+    uses, so equal-code-tuple neighbors tie EXACTLY in both engines and
+    fall to the neighbor_id tie-break."""
+    from .operators.similarity import (
+        cosine_topk_ivf,
+        pq_codebooks,
+        pq_encode,
+        pq_topk_adc,
+    )
 
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = e.filter(F.col("vec_id") < 10)
-    return cosine_topk_ivf(e, q, k=5)
+    ivf = cosine_topk_ivf(e, q, k=5).select(
+        F.lit("ivf").alias("method"),
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "neighbor_id",
+    )
+    books = pq_codebooks(64, m=4, ksub=8)
+    pq = pq_topk_adc(pq_encode(e, books), q, books, k=5).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "neighbor_id",
+    )
+    return ivf.unionByName(pq)
 
 
-def _ann_ivf_oracle_sql(dim: int = 64, n_lists: int = 16, nprobe: int = 4, k: int = 5) -> str:
-    """DuckDB twin of cosine_topk_ivf with the same seeded centroids."""
-    from .operators.similarity import ivf_centroids
+def _ann_ivf_oracle_sql(
+    dim: int = 64, n_lists: int = 16, nprobe: int = 4, k: int = 5, m: int = 4, ksub: int = 8
+) -> str:
+    """DuckDB twin of cosine_topk_ivf (same seeded centroids) UNION the
+    PQ/ADC leg (same seeded codebooks). The ADC distance is the engine's
+    exact association ``((d0+d1)+d2)+d3`` written out literally — never a
+    SQL SUM, whose row order would perturb equal-tuple ties by an ulp."""
+    from .operators.similarity import ivf_centroids, pq_codebooks
 
     cents = ivf_centroids(dim, n_lists)
     rows = ",\n    ".join(
         "(" + str(i) + ", [" + ", ".join("%.17g" % x for x in cents[i]) + "]::DOUBLE[])"
         for i in range(n_lists)
     )
+    books = pq_codebooks(dim, m=m, ksub=ksub)
+    dsub = dim // m
+    brows = ",\n    ".join(
+        f"({j}, {c}, ["
+        + ", ".join("%.17g" % x for x in books[j, c])
+        + "]::DOUBLE[])"
+        for j in range(m)
+        for c in range(ksub)
+    )
+    qsub_cols = ", ".join(
+        f"list_slice(v, {j * dsub + 1}, {(j + 1) * dsub}) AS sv{j}" for j in range(m)
+    )
+    code_cols = ", ".join(f"max(CASE WHEN j = {j} THEN c END) AS c{j}" for j in range(m))
+    d_terms = [
+        f"power(list_distance(qs.sv{j}, b{j}.bv), 2)" for j in range(m)
+    ]
+    adc_expr = d_terms[0]
+    for t in d_terms[1:]:
+        adc_expr = f"({adc_expr} + {t})"
+    b_joins = "\n  ".join(
+        f"JOIN books b{j} ON b{j}.j = {j} AND b{j}.c = p.c{j}" for j in range(m)
+    )
     return f"""
 WITH cents(cid, cv) AS (VALUES
     {rows}
+),
+books(j, c, bv) AS (VALUES
+    {brows}
 ),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 sims AS (
@@ -918,11 +973,38 @@ scored AS (
   FROM cand c
   JOIN e eq ON eq.vec_id = c.query_id
   JOIN e en ON en.vec_id = c.neighbor_id
+),
+subs AS (
+  SELECT e.vec_id, t.j,
+         list_slice(e.v, t.j * {dsub} + 1, (t.j + 1) * {dsub}) AS sv
+  FROM e CROSS JOIN range({m}) t(j)
+),
+passign AS (
+  SELECT vec_id, j, c FROM (
+    SELECT s.vec_id, s.j, b.c,
+           row_number() OVER (PARTITION BY s.vec_id, s.j
+                              ORDER BY list_distance(s.sv, b.bv), b.c) AS rn
+    FROM subs s JOIN books b ON b.j = s.j
+  ) WHERE rn = 1
+),
+pcodes AS (SELECT vec_id, {code_cols} FROM passign GROUP BY vec_id),
+qs AS (SELECT vec_id AS query_id, {qsub_cols} FROM e WHERE vec_id < 10),
+adc AS (
+  SELECT qs.query_id, p.vec_id AS neighbor_id, {adc_expr} AS dist
+  FROM qs CROSS JOIN pcodes p
+  {b_joins}
+  WHERE p.vec_id != qs.query_id
 )
-SELECT query_id, rank, neighbor_id FROM (
+SELECT 'ivf' AS method, query_id, rank, neighbor_id FROM (
   SELECT query_id, neighbor_id,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
   FROM scored
+) WHERE rank <= {k}
+UNION ALL
+SELECT 'pq' AS method, query_id, rank, neighbor_id FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS rank
+  FROM adc
 ) WHERE rank <= {k}
 """
 

@@ -717,9 +717,15 @@ def pq_topk_adc(
                 for j in range(m):
                     dist += lut[qi, j, codes[sel, j]]
                 top = min(k, len(sel))
-                part = np.argpartition(dist, top - 1)[:top]
+                # local top-k with the GLOBAL tie-break (dist, neighbor_id):
+                # PQ ties are common (equal code tuples ⇒ exactly equal
+                # ADC distance), and an argpartition that drops the
+                # lower-id member of a boundary tie would corrupt the
+                # global rank — lexsort keys are (primary last)
+                nid = ids[sel].astype(np.int64)
+                part = np.lexsort((nid, dist))[:top]
                 out_q.extend([qids[qi]] * top)
-                out_n.extend(ids[sel[part]].tolist())
+                out_n.extend(nid[part].tolist())
                 out_d.extend(dist[part].tolist())
             if out_q:
                 yield pd.DataFrame(
@@ -737,3 +743,14 @@ def pq_topk_adc(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+def pq_codebooks(dim: int, m: int = 4, ksub: int = 8, seed: int = 29) -> np.ndarray:
+    """Deterministic seeded PQ codebooks ``[m, ksub, dim/m]`` — the
+    driver-gate twin trick (same as ``ivf_centroids``): production PQ
+    trains them (``pq_train``); seeding lets the DuckDB oracle replicate
+    assignment + ADC with literal codeword arrays."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    rng = np.random.RandomState(seed)
+    return rng.randn(m, ksub, dim // m)
