@@ -32,7 +32,7 @@ import struct
 
 import numpy as np
 
-from .imaging import ImageFormatError
+from .imaging import ImageFormatError, contained_decoder
 
 _CUBE_PALETTE = np.array(
     [(r * 51, g * 51, b * 51) for r in range(6) for g in range(6) for b in range(6)]
@@ -176,6 +176,7 @@ def lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+@contained_decoder
 def decode_gif(payload: bytes) -> np.ndarray:
     """GIF bytes → HxWx3 uint8 RGB (first frame)."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -218,6 +219,8 @@ def decode_gif(payload: bytes) -> np.ndarray:
             raise ImageFormatError("GIF image without a color table")
         interlaced = bool(ipacked & 0x40)
         mcs = payload[pos]
+        if not 2 <= mcs <= 11:  # spec: bits/pixel 2..8; 12-bit cap bounds it
+            raise ImageFormatError(f"bad LZW min code size {mcs}")
         pos += 1
         chunks = bytearray()
         while pos < len(payload) and payload[pos] != 0:

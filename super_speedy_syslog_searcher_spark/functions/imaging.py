@@ -32,6 +32,7 @@ signature.
 
 from __future__ import annotations
 
+import functools
 import struct
 import zlib
 
@@ -45,6 +46,34 @@ class ImageFormatError(ValueError):
     pass
 
 
+def contained_decoder(fn):
+    """Decoder containment contract (same as the binary container
+    readers): a malformed payload raises ImageFormatError, NEVER a
+    foreign exception type — corruption fuzz found struct.error /
+    KeyError / zlib.error escaping through rarely-taken parse paths,
+    and at scale an uncontained type is a task-killing surprise."""
+
+    @functools.wraps(fn)
+    def wrap(payload, *a, **k):
+        try:
+            return fn(payload, *a, **k)
+        except ImageFormatError:
+            raise
+        except (
+            struct.error,
+            zlib.error,
+            IndexError,
+            KeyError,
+            ValueError,
+            OverflowError,
+        ) as e:
+            raise ImageFormatError(
+                f"{fn.__name__}: malformed payload ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrap
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     p = a + b - c
     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
@@ -53,6 +82,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+@contained_decoder
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG bytes → HxWxC uint8 array (C per color type)."""
     if payload[:8] != _PNG_SIG:
@@ -163,6 +193,7 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+@contained_decoder
 def decode_bmp(payload: bytes) -> np.ndarray:
     """24/32-bit BI_RGB BMP bytes → HxWx3/4 uint8 (RGB[A] order)."""
     if payload[:2] != b"BM" or len(payload) < 54:

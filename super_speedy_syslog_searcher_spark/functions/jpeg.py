@@ -46,7 +46,7 @@ import struct
 
 import numpy as np
 
-from .imaging import ImageFormatError
+from .imaging import ImageFormatError, contained_decoder
 
 # ---------------------------------------------------------------------------
 # fixed-point constants (part of this codec's documented contract)
@@ -529,6 +529,7 @@ def encode_jpeg(
 # ---------------------------------------------------------------------------
 
 
+@contained_decoder
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF bytes → HxWx{1,3} uint8 (gray or RGB)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
