@@ -754,3 +754,148 @@ def pq_codebooks(dim: int, m: int = 4, ksub: int = 8, seed: int = 29) -> np.ndar
         raise ValueError(f"dim {dim} not divisible by m={m}")
     rng = np.random.RandomState(seed)
     return rng.randn(m, ksub, dim // m)
+
+
+# ---------------------------------------------------------------------------
+# IVFADC with residual encoding — the full §IV layout of Jégou et al.:
+# vectors PQ-encode their RESIDUAL to the nearest coarse centroid, so the
+# codebooks spend their bits on the within-cell distribution instead of
+# re-describing cell positions; queries build one LUT per probed cell on
+# (q - c_cell) and scan only those cells' rows.
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_encode(
+    vecs: DataFrame,
+    books: np.ndarray,
+    coarse: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus → ``(id, list_id, codes)``: nearest coarse cell (L2,
+    lowest-id tie-break) + PQ codes of the residual. Map-only — the
+    coarse table and codebooks ride the closure; the corpus never
+    shuffles. At rest ``list_id`` is the table's partition/bucket
+    column, so an nprobe scan prunes to ~nprobe/n_lists of the data."""
+    B = books.astype(np.float64)
+    m, ksub, dsub = B.shape
+    C = coarse.astype(np.float64)
+    csq = (C * C).sum(axis=1)
+    bsq = (B * B).sum(axis=2)  # [m, ksub]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _enc(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack([np.asarray(x, dtype=np.float64) for x in col])
+        lists = np.argmin(csq - 2.0 * (V @ C.T), axis=1)
+        R = (V - C[lists]).reshape(len(V), m, dsub)
+        out = np.empty((len(V), m + 1), dtype=np.int32)
+        out[:, 0] = lists
+        for j in range(m):
+            out[:, j + 1] = np.argmin(bsq[j] - 2.0 * (R[:, j, :] @ B[j].T), axis=1)
+        return pd.Series(list(out))
+
+    enc = vecs.select(F.col(id_col).alias(id_col), _enc(F.col(vec_col)).alias("_lc"))
+    return enc.select(
+        id_col,
+        F.element_at("_lc", 1).alias("list_id"),
+        F.slice("_lc", 2, int(m)).alias("codes"),
+    )
+
+
+def ivfpq_topk(
+    codes_df: DataFrame,
+    queries: DataFrame,
+    books: np.ndarray,
+    coarse: np.ndarray,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-ADC top-k over an ``ivfpq_encode`` index.
+
+    Per query: its ``nprobe`` nearest coarse cells (L2, lowest-id
+    tie-break) are found on the driver and a separate ``[m, ksub]``
+    residual LUT is built per probed cell (``||(q-c_cell)_j -
+    b_{j,code}||²``). The scan is ONE map-only Arrow stage over the
+    codes; rows outside a query's probed cells never score, each batch
+    emits only local top-k under the global (dist, id) tie-break, and
+    the single rank exchange carries ≤ batches·|queries|·k rows.
+
+    Returns ``(query_id, rank, neighbor_id, adc_dist)``.
+    """
+    B = books.astype(np.float64)
+    m, ksub, dsub = B.shape
+    C = coarse.astype(np.float64)
+    csq = (C * C).sum(axis=1)
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    nq = len(qrows)
+    Q = (
+        np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+        if qrows
+        else np.zeros((0, m * dsub))
+    )
+    probes = np.argsort(csq[None, :] - 2.0 * (Q @ C.T), axis=1, kind="stable")[
+        :, :nprobe
+    ] if nq else np.zeros((0, nprobe), dtype=int)
+    # luts[qi][list_id] -> [m, ksub] residual LUT for that probed cell
+    luts: list[dict[int, np.ndarray]] = []
+    for qi in range(nq):
+        d: dict[int, np.ndarray] = {}
+        for l in probes[qi]:
+            r = (Q[qi] - C[l]).reshape(m, dsub)
+            diff = r[:, None, :] - B
+            d[int(l)] = np.einsum("jcd,jcd->jc", diff, diff)
+        luts.append(d)
+
+    def _scan(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or nq == 0:
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])
+            lists = pdf["list_id"].to_numpy().astype(np.int64)
+            ids = pdf[id_col].to_numpy().astype(np.int64)
+            out_q, out_n, out_d = [], [], []
+            for qi in range(nq):
+                cand_d: list[np.ndarray] = []
+                cand_i: list[np.ndarray] = []
+                for l, lut in luts[qi].items():
+                    sel = np.nonzero((lists == l) & (ids != qids[qi]))[0]
+                    if not sel.size:
+                        continue
+                    dist = np.zeros(len(sel))
+                    for j in range(m):
+                        dist += lut[j, codes[sel, j]]
+                    cand_d.append(dist)
+                    cand_i.append(ids[sel])
+                if not cand_d:
+                    continue
+                dist = np.concatenate(cand_d)
+                nid = np.concatenate(cand_i)
+                top = min(k, len(nid))
+                part = np.lexsort((nid, dist))[:top]
+                out_q.extend([qids[qi]] * top)
+                out_n.extend(nid[part].tolist())
+                out_d.extend(dist[part].tolist())
+            if out_q:
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "adc_dist": out_d}
+                )
+
+    local = codes_df.select(id_col, "list_id", "codes").mapInPandas(
+        _scan, schema="query_id long, neighbor_id long, adc_dist double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
+    )
