@@ -1322,3 +1322,76 @@ def span_dedup_keep_first(
         )
     )
     return out
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank over a link graph — the domain-authority signal web
+    curation pipelines rank host lists with (the Common Crawl host-rank
+    shape). Deterministic power iteration with uniform init, dangling
+    mass redistributed uniformly, so Σrank = 1 every round.
+
+    Scale shape per round: ranks live keyed by node; contributions are
+    one edges⋈ranks join (both sides hash-partitioned on the join key —
+    at rest the edge table is bucketed by src, so this co-locates) and
+    ONE groupBy(dst) sum whose map-side partials absorb hot
+    authorities; the dangling mass is a 1-row aggregate. Rank state is
+    ``localCheckpoint``-ed per round to truncate the iterative lineage
+    (the ``kmeans_assign``/closure discipline). Nothing corpus-scale
+    ever reaches the driver.
+
+    Returns ``(node, rank double)`` for every node appearing as src or
+    dst. Float caveat (documented, same as every iterative float
+    operator here): cross-partition sum order makes results equal only
+    to ~1e-12 across layouts; the twin test pins 1e-9.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return spark.createDataFrame([], "node string, rank double")
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # static per-round structure: node -> (outdeg or null)
+    base = nodes.join(outdeg, nodes["node"] == outdeg["src"], "left").select(
+        "node", "outdeg"
+    ).localCheckpoint(eager=True)
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"), "outdeg")
+    for _ in range(iters):
+        dangling = (
+            ranks.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(
+                ranks.select(F.col("node").alias("src"), "rank", "outdeg"), "src"
+            )
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            base.join(contribs, base["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+                "outdeg",
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "rank")
