@@ -1395,3 +1395,36 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node", "rank")
+
+
+def extract_link_graph(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    src_col: str = "source",
+) -> DataFrame:
+    """Documents → ``(src, dst)`` link-graph edges: the document's
+    ``source`` links to every domain its text mentions (per-doc
+    DISTINCT, so one doc can't multiply an edge; across docs repeated
+    mentions become parallel edges — exactly the multi-edge weighting
+    ``pagerank`` consumes, since out-degree counts edge rows). Self
+    edges (a source citing its own domain) are kept — PageRank handles
+    them like any other edge.
+
+    Map-only until one distinct (pure codegen regexp + explode with
+    partial-agg dedup); composes as
+    ``pagerank(extract_link_graph(docs))`` for the domain-authority
+    curation signal.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(src_col).alias("src"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(URL_DOMAIN_RE), 1)
+            ).alias("dst"),
+        )
+        .select(id_col, "src", "dst")
+        .distinct()
+        .select("src", "dst")
+    )

@@ -77,3 +77,49 @@ def test_layout_invariance(spark):
 def test_empty_graph(spark):
     df = spark.createDataFrame([], "src string, dst string")
     assert pagerank(df).count() == 0
+
+
+class TestLinkGraph:
+    def test_extract_and_compose_with_pagerank(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            extract_link_graph,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "see https://a.com/x and http://b.org/y", "en", "siteA"),
+                (2, "again https://a.com/z https://a.com/w", "en", "siteA"),
+                (3, "only http://b.org", "en", "siteB"),
+                (4, "no links here", "en", "siteB"),
+            ],
+            "doc_id long, text string, lang string, source string",
+        )
+        edges = extract_link_graph(docs)
+        got = sorted((r["src"], r["dst"]) for r in edges.collect())
+        # doc 2's duplicate a.com mentions collapse (per-doc distinct);
+        # docs 1 and 2 both yield siteA->a.com = parallel edges
+        assert got == [
+            ("siteA", "a.com"),
+            ("siteA", "a.com"),
+            ("siteA", "b.org"),
+            ("siteB", "b.org"),
+        ]
+        ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=8).collect()}
+        assert set(ranks) == {"siteA", "siteB", "a.com", "b.org"}
+        assert sum(ranks.values()) == pytest.approx(1.0, abs=1e-9)
+        # cited domains outrank the citing sources (sources get no in-links)
+        assert min(ranks["a.com"], ranks["b.org"]) > max(
+            ranks["siteA"], ranks["siteB"]
+        )
+
+    def test_runs_on_the_documents_table(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import (
+            extract_link_graph,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        edges = extract_link_graph(docs)
+        ranks = pagerank(edges, iters=5)
+        total = ranks.agg({"rank": "sum"}).first()[0]
+        if edges.count() > 0:
+            assert total == pytest.approx(1.0, abs=1e-9)
