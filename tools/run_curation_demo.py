@@ -129,6 +129,21 @@ def main() -> None:
     dedup_report(
         docs.withColumn("n_tok", F.length("text")), clusters, source_col="lang"
     ).orderBy("source").show(truncate=False)
+    print("== domain authority (PageRank over the extracted link graph) ==")
+    # the synthetic corpus carries no URLs, so seed the same
+    # deterministic ones the hash-gated url_domain_stats row uses
+    from super_speedy_syslog_searcher_spark.entry_queries_curation import _seed_urls
+    from super_speedy_syslog_searcher_spark.operators.curation import (
+        extract_link_graph,
+        pagerank,
+    )
+
+    seeded = _seed_urls(docs.select("doc_id", "text")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    pagerank(extract_link_graph(seeded), iters=8).orderBy(
+        F.desc("rank"), "node"
+    ).limit(5).withColumn("rank", F.round("rank", 6)).show(truncate=False)
     print("== n-gram novelty by language (low = template/near-copy heavy) ==")
     ngram_novelty(docs).join(docs.select("doc_id", "lang"), "doc_id").groupBy(
         "lang"
