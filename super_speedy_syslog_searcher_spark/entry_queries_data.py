@@ -476,22 +476,29 @@ def _clf_weights(spark: SparkSession) -> DataFrame:
     )
 
 
+BW_BLOCKLIST = ("dup", "slow")
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring + token counting + language-ID + content
-    fingerprint + hashed-linear classifier score in ONE query (registry
-    consolidation — r3 absorbed the former ``text_token_count``, r4
-    absorbed ``text_langid`` to make room for ``dedup_substring``,
-    ``doc_fingerprint`` to make room for ``docs_shuffle``, and gained
-    the ``curation.quality_classifier_score`` columns): all five are
+    fingerprint + hashed-linear classifier score + C4 bad-word filter
+    in ONE query (registry consolidation — r3 absorbed the former
+    ``text_token_count``, r4 absorbed ``text_langid`` to make room for
+    ``dedup_substring``, ``doc_fingerprint`` to make room for
+    ``docs_shuffle``, and gained the
+    ``curation.quality_classifier_score`` columns; r5 absorbed
+    ``curation.badwords_filter`` — the C4 §2.2 any-blocked-word page
+    drop, seeded blocklist shared verbatim by both faces): all six are
     per-doc pipelines over ``documents``, joined on doc_id. The
     classifier weights are deterministic md5-derived integers so the
     DuckDB twin rebuilds the identical table from first principles."""
-    from .operators.curation import quality_classifier_score
+    from .operators.curation import badwords_filter, quality_classifier_score
 
     d = _docs(spark, sf_dir)
     clf = quality_classifier_score(
         d, _clf_weights(spark), n_buckets=CLF_BUCKETS
     ).select("doc_id", "clf_logit", "clf_score", "clf_keep")
+    bw = badwords_filter(d, list(BW_BLOCKLIST))
     return (
         quality_stats(d)
         .join(token_counts(d), "doc_id")
@@ -501,6 +508,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         # features → no evidence); the per-doc contract of this query
         # keeps such docs with NULL clf columns, same as the SQL twin
         .join(clf, "doc_id", "left")
+        .join(bw, "doc_id")
     )
 
 
@@ -544,8 +552,18 @@ SELECT doc_id,
        THEN 'en' ELSE 'unk' END AS predicted_lang,
   md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
   length(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_len,
-  c.clf_logit, c.clf_score, c.clf_keep
+  c.clf_logit, c.clf_score, c.clf_keep,
+  CAST(len(bw.bwl) AS BIGINT) AS bw_hits,
+  CAST(len(list_distinct(bw.bwl)) AS BIGINT) AS bw_distinct,
+  CAST(len(bw.bwl) = 0 AS INT) AS bw_keep
 FROM w LEFT JOIN cls2 c USING (doc_id)
+CROSS JOIN LATERAL (
+  SELECT list_filter(
+           list_transform(
+             string_split_regex(lower(text), '\\s+'),
+             x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')),
+           x -> length(x) > 0 AND x IN {BW_BLOCKLIST!r}) AS bwl
+) AS bw
 """
 
 

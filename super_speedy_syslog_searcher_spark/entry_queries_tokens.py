@@ -592,22 +592,32 @@ FROM u2f
 
 
 def q_tokens_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed BPE tokenizer training over the rendered corpus —
-    the learned merge table (merge_no, left, right, new_id, n_pairs).
-    The training loop is ITERATIVE (one corpus aggregate + one rewrite
-    per round); with the round count FIXED at 8 the loop unrolls to
-    chained SQL rounds, so the driver row is hash-checked against
-    ``_bpe_train_oracle_sql()`` (pair-count group-by + relational greedy
-    rewrite per round). pytest additionally pins exact merge-table +
-    rewritten-corpus equality vs the sequential textbook reference
-    (tests/test_tokens.py)."""
-    from .operators.tokens import train_bpe
+    """Distributed tokenizer MERGE TRAINING over the rendered corpus —
+    the learned merge tables (algo, merge_no, left, right, new_id,
+    n_pairs) for BOTH count-objective BPE (8 rounds) and
+    likelihood-objective WordPiece (4 rounds; r5 absorption —
+    ``tokens.train_wordpiece``, winner = argmax n_pair/(n_left·n_right)
+    resolved in exact integer arithmetic). The training loops are
+    ITERATIVE (one corpus aggregate + one rewrite per round); with the
+    round counts FIXED they unroll to chained SQL rounds, so the driver
+    row is hash-checked against ``_bpe_train_oracle_sql()`` (pair-count
+    group-by + relational greedy rewrite per round; the WordPiece winner
+    restated as a HUGEINT cross-multiplication anti-join — exact
+    fraction comparison, no float scores anywhere in the oracle). pytest
+    additionally pins exact merge-table + rewritten-corpus equality vs
+    the sequential textbook references (tests/test_tokens.py,
+    tests/test_wordpiece.py)."""
+    from .operators.tokens import train_bpe, train_wordpiece
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    merges, _ = train_bpe(rendered_docs(spark, sf_dir), num_merges=8)
+    merges_b, _ = train_bpe(rendered_docs(spark, sf_dir), num_merges=8)
+    merges_w, _ = train_wordpiece(rendered_docs(spark, sf_dir), num_merges=4)
+    rows = [("bpe", *(int(x) for x in m)) for m in merges_b] + [
+        ("wordpiece", *(int(x) for x in m)) for m in merges_w
+    ]
     return spark.createDataFrame(
-        [tuple(int(x) for x in m) for m in merges],
-        "merge_no int, left int, right int, new_id int, n_pairs bigint",
+        rows,
+        "algo string, merge_no int, left int, right int, new_id int, n_pairs bigint",
     )
 
 
@@ -634,7 +644,7 @@ def q_tokens_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_train_oracle_sql(num_merges: int = 8, min_freq: int = 2) -> str:
+def _bpe_train_oracle_sql(num_merges: int = 8, min_freq: int = 2, wp_merges: int = 4) -> str:
     """DuckDB twin of ``q_tokens_bpe_train``: the merge loop unrolled to
     ``num_merges`` chained CTE rounds — each round one pair-count
     group-by (winner = max count, ties to smallest (left, right)), one
@@ -645,7 +655,16 @@ def _bpe_train_oracle_sql(num_merges: int = 8, min_freq: int = 2) -> str:
     even — exactly the textbook greedy scan). new_id numbering restarts
     from max(corpus token) + 1, as the operator does. A round whose best
     pair falls under ``min_freq`` emits no row and leaves the corpus
-    unchanged, matching the trainer's break."""
+    unchanged, matching the trainer's break.
+
+    The WordPiece leg (``wp_merges`` rounds, algo='wordpiece') chains
+    the SAME rewrite CTEs from a fresh copy of the corpus, but elects
+    each round's winner by the likelihood score n/(n_left·n_right):
+    the argmax over a fraction is restated as a NOT-EXISTS anti-join
+    with HUGEINT cross-multiplication (y beats x iff
+    y.n·x.lc·x.rc > x.n·y.lc·y.rc, ties to the smaller (left, right))
+    — exact integer arithmetic end to end, mirroring the operator's
+    Fraction-resolved driver election."""
     parts = [
         f"WITH {_SQL_DOCS.strip()},",
         """t0 AS MATERIALIZED (
@@ -688,12 +707,70 @@ t{r + 1} AS MATERIALIZED (
   LEFT JOIN m{r} d ON d.doc_id = t.doc_id AND d.rn = t.rn - 1
   WHERE d.rn IS NULL
 )""")
+    parts.append(",\nwt0 AS MATERIALIZED (SELECT * FROM t0)")
+    for r in range(wp_merges):
+        parts.append(f""",
+wu{r} AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM wt{r} GROUP BY 1
+),
+wsc{r} AS MATERIALIZED (
+  SELECT p.l, p.r2, p.n, ul.c AS lc, ur.c AS rc
+  FROM (
+    SELECT a.tok AS l, b.tok AS r2, CAST(count(*) AS BIGINT) AS n
+    FROM wt{r} a JOIN wt{r} b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+    GROUP BY 1, 2
+  ) p
+  JOIN wu{r} ul ON ul.tok = p.l
+  JOIN wu{r} ur ON ur.tok = p.r2
+  WHERE p.n >= {min_freq}
+),
+ww{r} AS MATERIALIZED (
+  SELECT l, r2, n FROM wsc{r} x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM wsc{r} y
+    WHERE CAST(y.n AS HUGEINT) * x.lc * x.rc > CAST(x.n AS HUGEINT) * y.lc * y.rc
+       OR (CAST(y.n AS HUGEINT) * x.lc * x.rc = CAST(x.n AS HUGEINT) * y.lc * y.rc
+           AND (y.l < x.l OR (y.l = x.l AND y.r2 < x.r2)))
+  )
+),
+wrs{r} AS MATERIALIZED (
+  SELECT doc_id, rn, min(rn) OVER (PARTITION BY doc_id, isl) AS run_start
+  FROM (
+    SELECT t.doc_id, t.rn,
+           t.rn - row_number() OVER (PARTITION BY t.doc_id ORDER BY t.rn) AS isl
+    FROM wt{r} t, ww{r} w WHERE t.tok = w.l
+  )
+),
+wm{r} AS MATERIALIZED (
+  SELECT a.doc_id, a.rn
+  FROM wt{r} a
+  JOIN wt{r} b ON a.doc_id = b.doc_id AND b.rn = a.rn + 1
+  JOIN wrs{r} s ON s.doc_id = a.doc_id AND s.rn = a.rn
+  CROSS JOIN ww{r} w
+  WHERE a.tok = w.l AND b.tok = w.r2
+    AND (w.l <> w.r2 OR (a.rn - s.run_start) % 2 = 0)
+),
+wt{r + 1} AS MATERIALIZED (
+  SELECT t.doc_id,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY t.rn) AS rn,
+         CASE WHEN k.rn IS NOT NULL THEN (SELECT mx FROM base) + 1 + {r} ELSE t.tok END AS tok
+  FROM wt{r} t
+  LEFT JOIN wm{r} k ON k.doc_id = t.doc_id AND k.rn = t.rn
+  LEFT JOIN wm{r} d ON d.doc_id = t.doc_id AND d.rn = t.rn - 1
+  WHERE d.rn IS NULL
+)""")
     selects = [
-        f"""SELECT CAST({r} AS INT) AS merge_no, CAST(l AS INT) AS "left",
+        f"""SELECT 'bpe' AS algo, CAST({r} AS INT) AS merge_no, CAST(l AS INT) AS "left",
        CAST(r2 AS INT) AS "right",
        CAST((SELECT mx FROM base) + 1 + {r} AS INT) AS new_id, n AS n_pairs
 FROM w{r}"""
         for r in range(num_merges)
+    ] + [
+        f"""SELECT 'wordpiece' AS algo, CAST({r} AS INT) AS merge_no, CAST(l AS INT) AS "left",
+       CAST(r2 AS INT) AS "right",
+       CAST((SELECT mx FROM base) + 1 + {r} AS INT) AS new_id, n AS n_pairs
+FROM ww{r}"""
+        for r in range(wp_merges)
     ]
     return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 

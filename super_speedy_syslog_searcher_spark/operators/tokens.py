@@ -567,6 +567,74 @@ def stupid_backoff_logprob(
     )
 
 
+def _merge_rewrite_udf(left: int, right: int, new_id: int):
+    """Greedy left-to-right single-merge corpus rewrite (the inner
+    rewrite step shared by ``train_bpe`` and ``train_wordpiece``): every
+    non-overlapping (left, right) adjacency becomes ``new_id``. One
+    vectorized numpy pass over the flattened Arrow batch — match
+    positions from one comparison, the only overlap case (left == right
+    runs like ``aaa``) resolved by an O(matches) walk, doc boundaries
+    masked so pairs never span documents."""
+    from pyspark.sql import types as T
+
+    from .dedup import _flatten_segments
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _apply(tokens: pd.Series) -> pd.Series:
+        flat, offsets, lens = _flatten_segments(tokens)
+        n_docs = len(tokens)
+        if flat.size == 0:
+            return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
+        flat = flat.astype(np.int64, copy=True)
+        ends = offsets + lens  # doc end positions (exclusive)
+        # candidate positions: flat[i]==left and flat[i+1]==right,
+        # where i+1 is inside the same doc (mask the last slot of
+        # every doc so pairs never span documents)
+        cand = np.zeros(flat.size, dtype=bool)
+        if flat.size >= 2:
+            cand[:-1] = (flat[:-1] == left) & (flat[1:] == right)
+        cand[ends[lens > 0] - 1] = False  # nonempty docs' final slots
+        matches = np.flatnonzero(cand)
+        if matches.size:
+            # greedy left-to-right: drop a match that starts on the
+            # RIGHT slot of the previous kept match (only possible
+            # when left == right, e.g. 'aaa'); O(matches) walk
+            if left == right:
+                kept = []
+                last = -2
+                for m in matches.tolist():
+                    if m == last + 1:
+                        continue
+                    kept.append(m)
+                    last = m
+                matches = np.asarray(kept, dtype=np.int64)
+            flat[matches] = new_id
+            drop = np.zeros(flat.size, dtype=bool)
+            drop[matches + 1] = True
+            # per-doc new lengths: subtract merges inside each doc.
+            # reduceat runs over NONEMPTY docs only (an empty doc's
+            # offset may equal flat.size, which reduceat rejects, and
+            # repeated offsets would read the next segment); int64
+            # cast because add.reduceat over bool saturates at True.
+            merged_per_doc = np.zeros(n_docs, dtype=np.int64)
+            ne = lens > 0
+            if ne.any():
+                merged_per_doc[ne] = np.add.reduceat(
+                    drop.astype(np.int64), offsets[ne]
+                )
+            flat = flat[~drop]
+            lens2 = lens - merged_per_doc
+        else:
+            lens2 = lens
+        out_off = np.concatenate(([0], np.cumsum(lens2)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
+        flat32 = flat.astype(np.int32)
+        return pd.Series(
+            [flat32[out_off[i]: out_off[i] + lens2[i]] for i in range(n_docs)]
+        )
+
+    return _apply
+
+
 def train_bpe(
     docs: DataFrame,
     num_merges: int = 50,
@@ -599,65 +667,7 @@ def train_bpe(
     Driver state is one (left, right, new_id) triple per round —
     bounded by num_merges, never corpus-scale.
     """
-    from pyspark.sql import types as T
-
-    from .dedup import _flatten_segments
-
-    def make_merge_udf(left: int, right: int, new_id: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def _apply(tokens: pd.Series) -> pd.Series:
-            flat, offsets, lens = _flatten_segments(tokens)
-            n_docs = len(tokens)
-            if flat.size == 0:
-                return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
-            flat = flat.astype(np.int64, copy=True)
-            ends = offsets + lens  # doc end positions (exclusive)
-            # candidate positions: flat[i]==left and flat[i+1]==right,
-            # where i+1 is inside the same doc (mask the last slot of
-            # every doc so pairs never span documents)
-            cand = np.zeros(flat.size, dtype=bool)
-            if flat.size >= 2:
-                cand[:-1] = (flat[:-1] == left) & (flat[1:] == right)
-            cand[ends[lens > 0] - 1] = False  # nonempty docs' final slots
-            matches = np.flatnonzero(cand)
-            if matches.size:
-                # greedy left-to-right: drop a match that starts on the
-                # RIGHT slot of the previous kept match (only possible
-                # when left == right, e.g. 'aaa'); O(matches) walk
-                if left == right:
-                    kept = []
-                    last = -2
-                    for m in matches.tolist():
-                        if m == last + 1:
-                            continue
-                        kept.append(m)
-                        last = m
-                    matches = np.asarray(kept, dtype=np.int64)
-                flat[matches] = new_id
-                drop = np.zeros(flat.size, dtype=bool)
-                drop[matches + 1] = True
-                # per-doc new lengths: subtract merges inside each doc.
-                # reduceat runs over NONEMPTY docs only (an empty doc's
-                # offset may equal flat.size, which reduceat rejects, and
-                # repeated offsets would read the next segment); int64
-                # cast because add.reduceat over bool saturates at True.
-                merged_per_doc = np.zeros(n_docs, dtype=np.int64)
-                ne = lens > 0
-                if ne.any():
-                    merged_per_doc[ne] = np.add.reduceat(
-                        drop.astype(np.int64), offsets[ne]
-                    )
-                flat = flat[~drop]
-                lens2 = lens - merged_per_doc
-            else:
-                lens2 = lens
-            out_off = np.concatenate(([0], np.cumsum(lens2)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
-            flat32 = flat.astype(np.int32)
-            return pd.Series(
-                [flat32[out_off[i]: out_off[i] + lens2[i]] for i in range(n_docs)]
-            )
-
-        return _apply
+    make_merge_udf = _merge_rewrite_udf
 
     cur = docs
     next_id_row = docs.agg(F.max(F.array_max(F.col(tokens_col)))).collect()[0][0]
@@ -750,6 +760,182 @@ def apply_bpe(
         out_off = np.concatenate(([0], np.cumsum(lens)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
         flat32 = flat.astype(np.int32)
         return pd.Series([flat32[out_off[i]: out_off[i] + lens[i]] for i in range(n_docs)])
+
+    return docs.withColumn(tokens_col, _encode(F.col(tokens_col)))
+
+
+def train_wordpiece(
+    docs: DataFrame,
+    num_merges: int = 50,
+    min_freq: int = 2,
+    tokens_col: str = "tokens",
+    top_k: int = 64,
+) -> tuple[list[tuple[int, int, int, int, int]], DataFrame]:
+    """WordPiece-objective merge training (Schuster & Nakajima 2012; the
+    likelihood scoring of the public WordPiece trainers): per round the
+    winning adjacent pair maximizes
+    ``score = n_pair / (n_left * n_right)`` over CURRENT corpus counts,
+    where BPE maximizes the raw ``n_pair`` — WordPiece promotes pairs
+    whose joint frequency is high RELATIVE to their parts (the unigram-LM
+    likelihood gain of the merge), so a rare-but-cohesive pair beats a
+    frequent pair of independently-frequent units. Ties break to the
+    smallest (left, right); the rewrite step and the return shape
+    ``(merges, merged_docs)`` are exactly ``train_bpe``'s (``n_pairs``
+    in the merge row stays the winner's RAW pair count, so the two
+    trainers' tables compare column-for-column).
+
+    Winner selection is EXACT despite the fractional score: the
+    distributed side orders by the float64 score only to shortlist the
+    ``top_k`` candidates (one partial-top-k exchange of ≤ top_k rows),
+    and the driver re-resolves the winner among them in exact integer
+    cross-multiplication (``Fraction``), immune to float rounding. If
+    all ``top_k`` collected rows sit within 1e-9 relative of the best
+    float score AND the shortlist is full — the only configuration in
+    which the true winner could have been shortlisted out — the round
+    raises rather than guess (raise ``top_k``). In practice distinct
+    WordPiece scores differ at ~1e-16 relative only adversarially.
+
+    Scale shape (100 TB): per round ONE pair-count aggregate (map-side
+    partial agg over the bounded pair vocabulary) + ONE unigram-count
+    aggregate (bounded by |vocab|) joined pair→unigram with two
+    broadcast hash joins (the unigram table is vocabulary-sized), a
+    ≤ top_k-row collect, and the same map-only vectorized rewrite as
+    BPE. Driver state stays bounded by num_merges.
+    """
+    from fractions import Fraction
+
+    cur = docs
+    next_id_row = docs.agg(F.max(F.array_max(F.col(tokens_col)))).collect()[0][0]
+    next_id = int(next_id_row) + 1 if next_id_row is not None else 0
+    merges: list[tuple[int, int, int, int, int]] = []
+    for round_no in range(num_merges):
+        uni = (
+            cur.select(F.explode(F.col(tokens_col)).alias("tok"))
+            .groupBy(F.col("tok").cast("bigint").alias("tok"))
+            .agg(F.count("*").alias("c"))
+        )
+        scored = (
+            bpe_pair_stats(cur, tokens_col=tokens_col)
+            .filter(F.col("n_pairs") >= min_freq)
+            .join(F.broadcast(uni.select(F.col("tok").alias("left"), F.col("c").alias("n_left"))), "left")
+            .join(F.broadcast(uni.select(F.col("tok").alias("right"), F.col("c").alias("n_right"))), "right")
+            .withColumn(
+                "score",
+                F.col("n_pairs").cast("double")
+                / (F.col("n_left").cast("double") * F.col("n_right").cast("double")),
+            )
+        )
+        top = (
+            scored.orderBy(F.desc("score"), F.asc("left"), F.asc("right"))
+            .limit(top_k)
+            .collect()
+        )
+        if not top:
+            break
+        if len(top) == top_k and top[-1]["score"] >= top[0]["score"] * (1.0 - 1e-9):
+            raise ValueError(
+                f"train_wordpiece: round {round_no} shortlist saturated with "
+                f"near-tied scores; raise top_k (={top_k}) for exact resolution"
+            )
+        best = min(
+            top,
+            key=lambda r: (
+                Fraction(-int(r["n_pairs"]), int(r["n_left"]) * int(r["n_right"])),
+                int(r["left"]),
+                int(r["right"]),
+            ),
+        )
+        left, right, n_pairs = int(best["left"]), int(best["right"]), int(best["n_pairs"])
+        merges.append((round_no, left, right, next_id, n_pairs))
+        cur = cur.withColumn(
+            tokens_col, _merge_rewrite_udf(left, right, next_id)(F.col(tokens_col))
+        )
+        cur = cur.localCheckpoint(eager=True)
+        next_id += 1
+    return merges, cur
+
+
+def apply_wordpiece(
+    docs: DataFrame,
+    merges: list[tuple[int, int, int, int, int]] | list[tuple[int, int, int]],
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Maximum-munch (longest-match-first) WordPiece ENCODING over the
+    learned piece vocabulary — the classic train/inference asymmetry:
+    BPE inference replays merges in training order (``apply_bpe``),
+    WordPiece inference greedily emits the LONGEST vocabulary piece
+    matching at each position (Schuster & Nakajima 2012; the WordPiece
+    tokenizers in public NLP stacks). The encode vocabulary is every
+    base id (identity pieces) plus each merge's full base-id expansion;
+    when two merges expand to the same base sequence (possible:
+    ``(a, bc)`` and ``(ab, c)`` both spell ``abc``) the EARLIEST-trained
+    piece wins — deterministic and documented. Ids absent from the
+    vocabulary pass through unchanged (the open-vocabulary analogue of
+    UNK-less passthrough). ``decode_bpe`` inverts the encoding exactly
+    (same expansion table; roundtrip pinned in tests).
+
+    Scale shape: ONE map-only Arrow stage, embarrassingly parallel; the
+    piece trie rides the closure (bounded by vocabulary). The in-batch
+    walk is O(output_tokens × max_piece_depth) integer dict steps — the
+    same order as the emitted sequence, with max depth bounded by the
+    merge count, never document length.
+    """
+    from pyspark.sql import types as T
+
+    from .dedup import _flatten_segments
+
+    triples = [
+        (int(m[1]), int(m[2]), int(m[3])) if len(m) >= 5 else (int(m[0]), int(m[1]), int(m[2]))
+        for m in merges
+    ]
+    # base-id expansion of every piece id, in training order
+    expansion: dict[int, tuple[int, ...]] = {}
+
+    def _expand(tok: int) -> tuple[int, ...]:
+        return expansion.get(tok, (tok,))
+
+    for left, right, new in triples:
+        expansion[new] = _expand(left) + _expand(right)
+    # trie over base-id sequences; earliest-trained piece wins a spelling
+    trie: dict = {}
+    seen_spellings: set[tuple[int, ...]] = set()
+    for left, right, new in triples:
+        seq = expansion[new]
+        if seq in seen_spellings:
+            continue
+        seen_spellings.add(seq)
+        node = trie
+        for t in seq:
+            node = node.setdefault(int(t), {})
+        node[-1] = int(new)  # terminal marker (base ids are non-negative)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(tokens: pd.Series) -> pd.Series:
+        flat, offsets, lens = _flatten_segments(tokens)
+        n_docs = len(tokens)
+        if flat.size == 0:
+            return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
+        flat_l = flat.astype(np.int64).tolist()
+        out_docs = []
+        for i in range(n_docs):
+            p, end = int(offsets[i]), int(offsets[i] + lens[i])
+            out: list[int] = []
+            while p < end:
+                node = trie.get(flat_l[p])
+                best_id, best_len = flat_l[p], 1
+                q = p + 1
+                while node is not None:
+                    t = node.get(-1)
+                    if t is not None:
+                        best_id, best_len = t, q - p
+                    if q >= end:
+                        break
+                    node = node.get(flat_l[q])
+                    q += 1
+                out.append(best_id)
+                p += best_len
+            out_docs.append(np.asarray(out, dtype=np.int32))
+        return pd.Series(out_docs)
 
     return docs.withColumn(tokens_col, _encode(F.col(tokens_col)))
 

@@ -1261,3 +1261,55 @@ def test_priority_sample_estimator_is_unbiased_over_seeds(spark):
         ests.append(sum(r["est_w"] for r in got))
     mean = sum(ests) / len(ests)
     assert abs(mean - total) / total < 0.15, (mean, total)
+
+
+class TestBadwordsFilter:
+    """C4 §2.2 any-blocked-word page filter (curation.badwords_filter)."""
+
+    def test_c4_rule_edges(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import badwords_filter
+
+        df = spark.createDataFrame(
+            [
+                ("d0", "a clean line of words"),
+                ("d1", "contains BADWORD mid sentence"),
+                ("d2", "edge Badword! and (badword) twice"),
+                ("d3", "notbadword is a different word"),
+                ("d4", ""),
+                ("d5", "badword badword badword"),
+            ],
+            "doc_id string, text string",
+        )
+        got = {
+            r["doc_id"]: (r["bw_hits"], r["bw_distinct"], r["bw_keep"])
+            for r in badwords_filter(df, ["badword", "zzz"]).collect()
+        }
+        assert got == {
+            "d0": (0, 0, 1),
+            "d1": (1, 1, 0),   # case-insensitive
+            "d2": (2, 1, 0),   # punctuation stripped at edges
+            "d3": (0, 0, 1),   # substring of a longer word never matches
+            "d4": (0, 0, 1),   # empty doc is clean
+            "d5": (3, 1, 0),
+        }
+
+    def test_distinct_counts_and_row_parity(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.curation import badwords_filter
+
+        df = spark.createDataFrame(
+            [("a", "x y z x"), ("b", "x q"), ("c", "q q")],
+            "doc_id string, text string",
+        )
+        out = badwords_filter(df, ["x", "y"]).collect()
+        assert len(out) == df.count()  # one row per input doc, always
+        got = {r["doc_id"]: (r["bw_hits"], r["bw_distinct"]) for r in out}
+        assert got == {"a": (3, 2), "b": (1, 1), "c": (0, 0)}
+
+    def test_blocklist_join_is_broadcast(self, spark):
+        """The word→blocklist join must be a broadcast hash join: the
+        corpus-scale word stream may never shuffle on the word key."""
+        from super_speedy_syslog_searcher_spark.operators.curation import badwords_filter
+
+        df = spark.createDataFrame([("a", "x y")], "doc_id string, text string")
+        plan = badwords_filter(df, ["x"])._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
