@@ -5,9 +5,13 @@ Spark-side plumbing — schema, Arrow batching, ``mapInPandas`` signature,
 partition sizing — is real and tested. Each extractor dispatches to a
 decoder registry: the REAL path parses genuine container headers in
 pure Python (PNG/GIF/BMP/JPEG dimensions, WAV and MP4 durations — no
-imaging/av library needed for metadata), while pixel/sample decode
-(which would need PIL/libav, absent here) stays out of scope. A
-deterministic fake decoder remains for plumbing tests.
+imaging/av library needed for metadata). Pixel decode is REAL for all
+four image formats (``functions/imaging.py``, ``jpeg.py``, ``gif.py``)
+and sample decode is REAL for RIFF/WAVE audio (``functions/audio.py``:
+PCM/float decode, linear resample, spectral features); only compressed
+A/V codecs (MP3/AAC/H.264 — genuinely C-library territory) keep the
+documented deterministic fallbacks. A fake decoder remains for plumbing
+tests.
 
 Scale notes: media batches are bounded by bytes not rows
 (``media_repartition`` targets ~64 MB of payload per task), and metadata
@@ -385,6 +389,78 @@ def resize_images(
 resize_stub = resize_images
 
 
+def resample_audio(
+    media: DataFrame,
+    target_sr: int,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio resample stage — the waveform sibling of ``resize_images``
+    (r5 session 3). RIFF/WAVE payloads get a REAL sample kernel
+    (``functions/audio.py``): pure-numpy PCM/float decode → per-channel
+    linear-interpolation resample to ``target_sr`` → canonical 16-bit
+    PCM re-encode. Payloads that aren't WAV, or WAV variants the
+    pure-Python codec can't decode, are contained: ``ok=false``, NULL
+    payload — stub output never masquerades as samples (the image
+    stage's containment contract; there is no deterministic "rebuild"
+    fallback for audio because a silent waveform would be
+    indistinguishable from a real quiet one downstream).
+
+    Returns ``(media_id, ok, kernel, src_sr, sample_rate, src_frames,
+    n_frames, n_channels, payload)``. Map-only ``mapInPandas`` over the
+    byte-bounded layout, per-row failures contained — same 100-TB shape
+    as every media stage.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import decode_wav, encode_wav, resample_linear
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ok", "kernel", "src_sr", "sample_rate",
+                "src_frames", "n_frames", "n_channels", "payload",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                rows["media_id"].append(mid)
+                try:
+                    samples, sr = decode_wav(p)
+                except Exception:
+                    rows["ok"].append(False)
+                    for k in ("kernel", "src_sr", "sample_rate", "src_frames",
+                              "n_frames", "n_channels", "payload"):
+                        rows[k].append(None)
+                    continue
+                out = resample_linear(samples, sr, target_sr)
+                rows["ok"].append(True)
+                rows["kernel"].append("linear")
+                rows["src_sr"].append(sr)
+                rows["sample_rate"].append(target_sr)
+                rows["src_frames"].append(samples.shape[0])
+                rows["n_frames"].append(out.shape[0])
+                rows["n_channels"].append(samples.shape[1])
+                rows["payload"].append(encode_wav(out, target_sr))
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "ok": rows["ok"],
+                    "kernel": rows["kernel"],
+                    "src_sr": pd.array(rows["src_sr"], dtype="Int32"),
+                    "sample_rate": pd.array(rows["sample_rate"], dtype="Int32"),
+                    "src_frames": pd.array(rows["src_frames"], dtype="Int64"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                    "n_channels": pd.array(rows["n_channels"], dtype="Int32"),
+                    "payload": rows["payload"],
+                }
+            )
+
+    schema = (
+        "media_id string, ok boolean, kernel string, src_sr int, "
+        "sample_rate int, src_frames long, n_frames long, n_channels int, "
+        "payload binary"
+    )
+    return media.select("media_id", payload_col).mapInPandas(_gen, schema=schema)
+
+
 def embed_features_stub(
     media: DataFrame,
     dim: int = 64,
@@ -400,11 +476,16 @@ def embed_features_stub(
     resampled to fill ``dim``'s first 48 slots) with a 16-bucket luma
     histogram — a real perceptual signature (aHash-family): re-encodes
     and resizes of the same picture land close in cosine, unrelated
-    pictures don't. For audio/video and undecodable payloads
-    (progressive JPEG, header-only fixtures) the documented fallback is
-    the payload's L2-normalized byte-bigram histogram — still
-    deterministic and composition-correct. A
-    ``kernel`` column says which ran ('pixels' | 'byte-bigram'). Either
+    pictures don't. RIFF/WAVE audio (r5 session 3: ``functions/audio.py``
+    decodes PCM/float samples in pure numpy) gets a REAL-SAMPLE kernel:
+    rms / peak / zero-crossing / crest + spectral band energies over the
+    decoded waveform (``audio_feature_vector``) — re-encodes and
+    resamples of the same recording land close in cosine. For
+    MP4/compressed-codec audio and undecodable payloads (progressive
+    JPEG, header-only fixtures) the documented fallback is the payload's
+    L2-normalized byte-bigram histogram — still deterministic and
+    composition-correct. A ``kernel`` column says which ran
+    ('pixels' | 'samples' | 'byte-bigram'). Either
     way the output COMPOSES with the real similarity operators
     (``similarity.cosine_dup_pairs`` / ``cosine_topk`` /
     ``kmeans_assign``) exactly like a learned embedding; swap for a
@@ -451,6 +532,17 @@ def embed_features_stub(
         n = float(np.sqrt((vec * vec).sum()))
         return vec / n if n > 0 else vec
 
+    def _sample_vec(p: bytes) -> "np.ndarray | None":
+        from ..functions.audio import AudioFormatError, audio_feature_vector, decode_wav
+
+        if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+            return None
+        try:
+            samples, sr = decode_wav(p)
+        except AudioFormatError:
+            return None
+        return audio_feature_vector(samples, sr, dim=dim)
+
     def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
@@ -461,6 +553,8 @@ def embed_features_stub(
                 vec = _pixel_vec(p)
                 if vec is not None:
                     kernel = "pixels"
+                elif (vec := _sample_vec(p)) is not None:
+                    kernel = "samples"
                 else:
                     kernel = "byte-bigram"
                     a = np.frombuffer(p, dtype=np.uint8)
