@@ -289,10 +289,22 @@ def _seed_urls(d: DataFrame) -> DataFrame:
 URL_BLOCKLIST = ("example.org", "cdn.example.com")
 
 
+FUZZY_CANON = ("cdn.example.com", "site1.example.org", "site7.example.org")
+
+
 def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain URL stats plus (r4.4) the blocklist flag of
     ``curation.filter_blocked_domains``' suffix-at-label-boundary
-    matching semantics, hash-checked per domain."""
+    matching semantics, hash-checked per domain; plus (r5 session 3)
+    the edit-distance record-linkage columns of ``dedup.fuzzy_join``:
+    each observed domain's best match (min dist, ties to the smaller
+    canon) against a seeded canonical host list at max_dist=1, run
+    through the SEGMENT (PassJoin) strategy so the scale path is what
+    sits under the hash gate. The oracle restates the match as a
+    literal cross join + ``levenshtein`` filter — exact on both
+    engines."""
+    from .operators.dedup import fuzzy_join
+
     stats = url_domain_stats(_seed_urls(_docs(spark, sf_dir).select("doc_id", "text")))
     labels = F.split(F.lower(F.col("domain")), "\\.")
     sufs = F.transform(
@@ -302,7 +314,26 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked = F.when(
         F.exists(sufs, lambda s: s.isin(*URL_BLOCKLIST)), 1
     ).otherwise(0)
-    return stats.select("domain", "n_urls", "n_docs", blocked.alias("blocked"))
+    doms = stats.select("domain").distinct()
+    canon = spark.createDataFrame([(c,) for c in FUZZY_CANON], "canon string")
+    best = (
+        fuzzy_join(
+            doms, canon, max_dist=1,
+            left_id="domain", left_col="domain",
+            right_id="canon", right_col="canon",
+            strategy="segment",
+        )
+        .groupBy("domain")
+        .agg(F.min(F.struct("dist", "canon")).alias("_m"))
+        .select(
+            "domain",
+            F.col("_m.canon").alias("fuzzy_canon"),
+            F.col("_m.dist").alias("fuzzy_dist"),
+        )
+    )
+    return stats.select(
+        "domain", "n_urls", "n_docs", blocked.alias("blocked")
+    ).join(best, "domain", "left")
 
 
 _SQL_URL_SEED = """
@@ -323,23 +354,42 @@ urled AS (
 
 _SQL_BLOCKLIST = ", ".join(f"'{b}'" for b in URL_BLOCKLIST)
 
+_SQL_FUZZY_CANON = ", ".join(f"('{c}')" for c in FUZZY_CANON)
+
 SQL_URL_DOMAIN_STATS = f"""
 WITH {_SQL_URL_SEED.strip()},
 hits AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '{URL_DOMAIN_RE}', 1)) AS domain
   FROM urled
+),
+agg AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_urls,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         CASE WHEN len(list_intersect(
+                list_transform(
+                  generate_series(1, len(string_split(lower(domain), '.'))),
+                  i -> array_to_string(list_slice(string_split(lower(domain), '.'),
+                                                  i, len(string_split(lower(domain), '.'))), '.')),
+                [{_SQL_BLOCKLIST}])) > 0
+              THEN 1 ELSE 0 END AS blocked
+  FROM hits GROUP BY domain
+),
+fz AS (
+  SELECT a.domain, c.canon, CAST(levenshtein(a.domain, c.canon) AS INT) AS dist
+  FROM (SELECT DISTINCT domain FROM hits) a
+  CROSS JOIN (VALUES {_SQL_FUZZY_CANON}) AS c(canon)
+  WHERE levenshtein(a.domain, c.canon) <= 1
+),
+fzb AS (
+  SELECT domain, canon AS fuzzy_canon, dist AS fuzzy_dist
+  FROM (SELECT domain, canon, dist,
+               row_number() OVER (PARTITION BY domain ORDER BY dist, canon) AS rn
+        FROM fz)
+  WHERE rn = 1
 )
-SELECT domain,
-       CAST(count(*) AS BIGINT) AS n_urls,
-       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       CASE WHEN len(list_intersect(
-              list_transform(
-                generate_series(1, len(string_split(lower(domain), '.'))),
-                i -> array_to_string(list_slice(string_split(lower(domain), '.'),
-                                                i, len(string_split(lower(domain), '.'))), '.')),
-              [{_SQL_BLOCKLIST}])) > 0
-            THEN 1 ELSE 0 END AS blocked
-FROM hits GROUP BY domain
+SELECT agg.*, fzb.fuzzy_canon, fzb.fuzzy_dist
+FROM agg LEFT JOIN fzb USING (domain)
 """
 
 # ---------------------------------------------------------------------------

@@ -815,3 +815,152 @@ def delta_dedup_new_docs(
     # pin the column order to the empty-delta early return's
     # (delta columns, then fp) — the join would move the key first
     return d.join(F.broadcast(seen), "fp", "left_anti").select(*d.columns)
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    max_dist: int = 1,
+    left_id: str = "left_id",
+    left_col: str = "s",
+    right_id: str = "right_id",
+    right_col: str = "s",
+    strategy: str = "segment",
+    short_side_limit: int = 100_000,
+) -> DataFrame:
+    """Edit-distance string similarity join (record linkage: misspelled
+    hostnames/domains/usernames against a canonical table). Returns one
+    row per pair within ``max_dist`` Levenshtein edits:
+    ``(left_id, right_id, dist)``.
+
+    ``strategy='segment'`` is the scale path — the PassJoin pigeonhole
+    (Li, Deng, Feng 2011): every RIGHT string of length L ≥ d+1 splits
+    into d+1 disjoint contiguous segments; if edit(a, b) ≤ d, at most d
+    of b's segments are touched by edits, so at least one survives in a
+    as an EXACT substring, displaced by at most d positions. Candidate
+    generation is therefore a pure EQUI-join: right explodes to
+    (segment, seg_no, L) keys (d+1 rows/string), left explodes to its
+    substrings at the (seg_no, L ∈ [|a|−d, |a|+d], shift ∈ [−d, d])
+    lattice ((d+1)(2d+1)² rows/string, a constant) — never a theta
+    join, never an all-pairs product. Candidates deduplicate per pair
+    before ONE exact ``levenshtein`` verification (JVM codegen).
+    Right strings shorter than d+1 can't be segmented; they run through
+    a length-banded broadcast equi-join leg (they are a bounded set —
+    keys shorter than the edit budget; the leg raises past
+    ``short_side_limit`` rather than silently degrade).
+
+    ``strategy='broadcast'`` is the small-dimension path: right
+    explodes to its 2d+1 admissible lengths and broadcast-equi-joins
+    left on ``length(a)`` (a hash join on the length band, not a
+    nested loop), then the same levenshtein filter. Strategy
+    equivalence is pinned in tests against a brute-force python twin.
+
+    100-TB shape: the corpus side shuffles only on bounded-fan-out
+    segment/length keys; the verify step touches candidate pairs only.
+    Skewed segments (e.g. 'www' in every hostname) fan out at most
+    |left substrings matching| × |right strings sharing the segment| —
+    cap hot segments upstream the same way n-gram Jaccard caps hot
+    shingles if a pathological key distribution demands it.
+    """
+    k = max_dist + 1
+    lt = left.select(F.col(left_id).alias("_lid"), F.col(left_col).alias("_a"))
+    rt = right.select(F.col(right_id).alias("_rid"), F.col(right_col).alias("_b"))
+    verify = F.levenshtein("_a", "_b") <= max_dist
+
+    if strategy == "broadcast":
+        bands = rt.select(
+            "_rid", "_b",
+            F.explode(
+                F.sequence(F.length("_b") - max_dist, F.length("_b") + max_dist)
+            ).alias("_La"),
+        )
+        return (
+            lt.withColumn("_La", F.length("_a"))
+            .join(F.broadcast(bands), "_La")
+            .filter(verify)
+            .select(
+                F.col("_lid").alias(left_id),
+                F.col("_rid").alias(right_id),
+                F.levenshtein("_a", "_b").alias("dist"),
+            )
+        )
+    if strategy != "segment":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
+    # --- segment leg: right strings long enough to segment ---
+    long_rt = rt.filter(F.length("_b") >= k)
+    segs = (
+        long_rt.withColumn("_L", F.length("_b"))
+        .select("_rid", "_b", "_L", F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("_i"))
+        .withColumn("_base", F.floor(F.col("_L") / k).cast("int"))
+        .withColumn("_rem", F.pmod(F.col("_L"), F.lit(k)).cast("int"))
+        .withColumn("_n", F.col("_base") + F.when(F.col("_i") < F.col("_rem"), 1).otherwise(0))
+        .withColumn("_p", F.col("_i") * F.col("_base") + F.least("_i", "_rem"))
+        .select(
+            "_rid", "_b", "_L", "_i",
+            F.expr("substring(_b, _p + 1, _n)").alias("_seg"),
+        )
+    )
+    combos = F.array(
+        *[
+            F.struct(F.lit(i).alias("i"), F.lit(dl).alias("dl"), F.lit(sh).alias("sh"))
+            for i in range(k)
+            for dl in range(-max_dist, max_dist + 1)
+            for sh in range(-max_dist, max_dist + 1)
+        ]
+    )
+    subs = (
+        lt.withColumn("_La", F.length("_a"))
+        .select("_lid", "_a", "_La", F.explode(combos).alias("_c"))
+        .withColumn("_i", F.col("_c.i"))
+        .withColumn("_L", F.col("_La") + F.col("_c.dl"))
+        .filter(F.col("_L") >= k)
+        .withColumn("_base", F.floor(F.col("_L") / k).cast("int"))
+        .withColumn("_rem", F.pmod(F.col("_L"), F.lit(k)).cast("int"))
+        .withColumn("_n", F.col("_base") + F.when(F.col("_i") < F.col("_rem"), 1).otherwise(0))
+        .withColumn("_p", F.col("_i") * F.col("_base") + F.least("_i", "_rem") + F.col("_c.sh"))
+        .filter((F.col("_p") >= 0) & (F.col("_p") + F.col("_n") <= F.col("_La")))
+        .select(
+            "_lid", "_a", "_L", "_i",
+            F.expr("substring(_a, _p + 1, _n)").alias("_seg"),
+        )
+    )
+    seg_pairs = (
+        subs.join(segs, ["_seg", "_i", "_L"])
+        .select("_lid", "_a", "_rid", "_b")
+        .distinct()
+        .filter(verify)
+    )
+
+    # --- short-right leg: strings too short to segment ---
+    short_rt = rt.filter(F.length("_b") < k)
+    n_short = short_rt.limit(short_side_limit + 1).count()
+    if n_short > short_side_limit:
+        raise ValueError(
+            f"fuzzy_join: {n_short}+ right strings shorter than max_dist+1={k} "
+            f"exceed short_side_limit={short_side_limit}; such keys are shorter "
+            "than the edit budget — filter them or lower max_dist"
+        )
+    out = seg_pairs
+    if n_short:
+        bands = short_rt.select(
+            "_rid", "_b",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.length("_b") - max_dist, F.lit(0)),
+                    F.length("_b") + max_dist,
+                )
+            ).alias("_La"),
+        )
+        short_pairs = (
+            lt.withColumn("_La", F.length("_a"))
+            .join(F.broadcast(bands), "_La")
+            .filter(verify)
+            .select("_lid", "_a", "_rid", "_b")
+        )
+        out = seg_pairs.unionByName(short_pairs)
+    return out.select(
+        F.col("_lid").alias(left_id),
+        F.col("_rid").alias(right_id),
+        F.levenshtein("_a", "_b").alias("dist"),
+    )
