@@ -305,3 +305,97 @@ def hll_corrected(est: float, v: int, b: int = HLL_B) -> float:
     if est <= 2.5 * m and v > 0:
         return m * math.log(m / v)
     return est
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries mergeable heavy hitters (deterministic counter-based sketch)
+# ---------------------------------------------------------------------------
+
+
+def mg_heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Misra-Gries / SpaceSaving-family heavy hitters per group — the
+    DETERMINISTIC counter sketch beside the randomized CMS
+    (``cms_heavy_hitters``): ≤ k−1 counters per group, and after any
+    merge order the classic guarantees hold (Misra & Gries 1982;
+    mergeability per Agarwal et al. 2012, "Mergeable Summaries"):
+
+    * ``est ≤ true_count`` (counts only ever decrement), and
+    * ``true_count − est ≤ n/k`` (n = group's row count), so
+    * every key with ``true_count > n/k`` is PRESENT in the output.
+
+    Unlike the CMS there are no hash collisions and no failure
+    probability — the price is that absent keys carry no estimate.
+
+    Implementation uses the exact-counts characterization of the MG
+    summary: for a bag countable within one task, the tightest valid
+    MG(k) state is ``count − δ`` for the keys where that is positive,
+    with ``δ`` = the k-th largest count (0 if fewer than k keys) —
+    exactly what the streaming decrement algorithm converges to, with
+    δ ≤ n_batch/k by the pigeonhole. Each Arrow batch reduces to that
+    bounded state vectorized (pandas value_counts + nlargest — no
+    per-row Python); states then MERGE with the same rule: sum per
+    key, subtract the new k-th largest, prune.
+
+    100-TB shape: stage 1 is map-only (each task emits ≤ k−1 rows per
+    group it sees); the only exchange carries ≤ tasks × (k−1) rows per
+    group; the merge windows run over that bounded table, never the
+    corpus. Totals ``n`` come from the same scan's exact group counts
+    (one partial-agg exchange of |groups| rows). The output is
+    layout-DEPENDENT within its error envelope (which partition
+    boundaries split which runs), so the sketch is pytest-pinned by its
+    guarantees across layouts rather than hash-gated — the same
+    evidence class as the HLL register-merge bound tests.
+    """
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    gc = list(group_cols)
+
+    def _summarize(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = (
+                pdf.groupby(gc + [key_col], sort=False, dropna=False)
+                .size()
+                .rename("c")
+                .reset_index()
+            )
+            outs = []
+            for _, grp in counts.groupby(gc, sort=False, dropna=False):
+                if len(grp) >= k:
+                    delta = int(grp["c"].nlargest(k).iloc[-1])
+                    grp = grp.assign(c=grp["c"] - delta)
+                    grp = grp[grp["c"] > 0]
+                outs.append(grp)
+            if outs:
+                out = pd.concat(outs, ignore_index=True)
+                out["c"] = out["c"].astype("int64")
+                yield out
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    gtypes = ", ".join(f"{c} {df.schema[c].dataType.simpleString()}" for c in gc)
+    stage1 = df.select(*gc, key_col).mapInPandas(
+        _summarize, schema=f"{gtypes}, {key_col} {key_type}, c long"
+    )
+    summed = stage1.groupBy(*gc, key_col).agg(F.sum("c").alias("c"))
+    w = Window.partitionBy(*gc).orderBy(F.desc("c"), F.col(key_col))
+    ranked = summed.withColumn("_rn", F.row_number().over(w))
+    kth = (
+        ranked.filter(F.col("_rn") == k)
+        .select(*gc, F.col("c").alias("_delta"))
+    )
+    totals = df.groupBy(*gc).agg(F.count("*").alias("n"))
+    return (
+        ranked.join(kth, gc, "left")
+        .withColumn("est", F.col("c") - F.coalesce("_delta", F.lit(0)))
+        .filter(F.col("est") > 0)
+        .join(totals, gc)
+        .select(*gc, key_col, F.col("est").cast("long"), "n")
+    )
