@@ -764,6 +764,125 @@ def apply_bpe(
     return docs.withColumn(tokens_col, _encode(F.col(tokens_col)))
 
 
+def _splitmix64(x: "np.ndarray") -> "np.ndarray":
+    """SplitMix64 finalizer over uint64 — the vectorizable integer mixer
+    behind the seeded dropout decisions (public constant set; wraps
+    mod 2^64 like numpy uint64 arithmetic does natively)."""
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return (z ^ (z >> np.uint64(31))).astype(np.uint64)
+
+
+def apply_bpe_dropout(
+    docs: DataFrame,
+    merges: list[tuple[int, int, int, int, int]] | list[tuple[int, int, int]],
+    p_drop: float = 0.1,
+    seed: str = "bpedrop",
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """BPE-dropout encoding (Provilkov et al. 2020): during the merge
+    replay of ``apply_bpe``, each CANDIDATE merge occurrence is skipped
+    with probability ``p_drop``, yielding stochastic segmentations of
+    the same text — the subword-regularization trick that makes
+    downstream models robust to segmentation noise. ``p_drop=0`` is
+    exactly ``apply_bpe``; ``p_drop=1`` returns the base ids untouched.
+
+    Randomness is DETERMINISTIC and layout-free: the drop decision for
+    a candidate is ``splitmix64(md5_64(seed:doc_id) + merge_no·P1 +
+    occurrence_no·P2) < p_drop·2^64``, where ``occurrence_no`` ranks
+    the candidate among the doc's candidates for THAT merge round
+    (counted before any drop) — a pure function of (corpus, merges,
+    seed), so re-runs, resumed checkpoints, and any repartitioning
+    produce the identical sample (the repo's md5-determinism contract;
+    pinned against a sequential python twin in tests). Fresh epochs
+    come from a new ``seed``.
+
+    Scale shape: identical to ``apply_bpe`` — ONE map-only Arrow stage
+    for the whole table; the extra work per merge is one uint64 mixing
+    pass over the MATCH positions only. ``decode_bpe`` still inverts
+    the output exactly (dropout only chooses which merges fire, every
+    fired merge remains reversible).
+    """
+    from pyspark.sql import types as T
+
+    from .dedup import _flatten_segments
+
+    if not (0.0 <= p_drop <= 1.0):
+        raise ValueError(f"p_drop must be in [0, 1], got {p_drop}")
+    triples = [
+        (int(m[1]), int(m[2]), int(m[3])) if len(m) >= 5 else (int(m[0]), int(m[1]), int(m[2]))
+        for m in merges
+    ]
+    # drop iff mix < threshold; p=1 must drop everything, so clamp up
+    threshold = np.uint64(min(int(p_drop * (1 << 64)), (1 << 64) - 1)) if p_drop < 1.0 else None
+    P1, P2 = np.uint64(0xA24BAED4963EE407), np.uint64(0x9FB21C651E98DF25)
+
+    def _doc_keys(ids) -> "np.ndarray":
+        import hashlib
+
+        return np.array(
+            [
+                int.from_bytes(hashlib.md5(f"{seed}:{d}".encode()).digest()[:8], "big")
+                for d in ids
+            ],
+            dtype=np.uint64,
+        )
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _encode(ids: pd.Series, tokens: pd.Series) -> pd.Series:
+        flat, offsets, lens = _flatten_segments(tokens)
+        n_docs = len(tokens)
+        if flat.size == 0:
+            return pd.Series([np.empty(0, dtype=np.int32)] * n_docs)
+        flat = flat.astype(np.int64, copy=True)
+        lens = lens.astype(np.int64, copy=True)
+        keys = _doc_keys(ids)
+        for merge_no, (left, right, new_id) in enumerate(triples):
+            offsets = np.concatenate(([0], np.cumsum(lens)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
+            ends = offsets + lens
+            cand = np.zeros(flat.size, dtype=bool)
+            if flat.size >= 2:
+                cand[:-1] = (flat[:-1] == left) & (flat[1:] == right)
+            cand[ends[lens > 0] - 1] = False
+            matches = np.flatnonzero(cand)
+            if matches.size == 0:
+                continue
+            if threshold is None:
+                continue  # p_drop == 1: every candidate dropped
+            # doc index and per-doc occurrence rank of each candidate
+            di = np.searchsorted(offsets, matches, side="right") - 1
+            first = np.searchsorted(di, di, side="left")
+            occ = np.arange(matches.size, dtype=np.uint64) - first.astype(np.uint64)
+            mix = _splitmix64(keys[di] + np.uint64(merge_no + 1) * P1 + occ * P2)
+            matches = matches[mix >= threshold]
+            if matches.size == 0:
+                continue
+            if left == right:
+                kept, last = [], -2
+                for m in matches.tolist():
+                    if m == last + 1:
+                        continue
+                    kept.append(m)
+                    last = m
+                matches = np.asarray(kept, dtype=np.int64)
+            flat[matches] = new_id
+            drop = np.zeros(flat.size, dtype=bool)
+            drop[matches + 1] = True
+            merged_per_doc = np.zeros(n_docs, dtype=np.int64)
+            ne = lens > 0
+            if ne.any():
+                merged_per_doc[ne] = np.add.reduceat(drop.astype(np.int64), offsets[ne])
+            flat = flat[~drop]
+            lens = lens - merged_per_doc
+        out_off = np.concatenate(([0], np.cumsum(lens)[:-1])) if n_docs else np.empty(0, dtype=np.int64)
+        flat32 = flat.astype(np.int32)
+        return pd.Series([flat32[out_off[i]: out_off[i] + lens[i]] for i in range(n_docs)])
+
+    return docs.withColumn(tokens_col, _encode(F.col(id_col), F.col(tokens_col)))
+
+
 def train_wordpiece(
     docs: DataFrame,
     num_merges: int = 50,
