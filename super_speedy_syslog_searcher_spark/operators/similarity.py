@@ -899,3 +899,115 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+def pca_fit(
+    vecs: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed PCA fit over the embedding column — the
+    dimensionality-reduction / whitening stage an embedding curation
+    pipeline runs before clustering, ANN indexing, or near-dup
+    thresholds (decorrelated axes make cosine thresholds comparable
+    across corpora). Returns ``(mean, components, explained_var)``:
+    the d-vector column mean, the top-k eigenvectors of the sample
+    covariance as a (k, d) matrix (rows orthonormal, eigenvalue-
+    descending; sign fixed deterministically so the largest-magnitude
+    coordinate of each component is positive), and their eigenvalues.
+
+    Scale shape (100 TB): the corpus contributes ONE map-only Arrow
+    stage — each batch emits its (count, Σx, ΣxxT) moment partial as a
+    single row (the xxT via one BLAS matmul per batch), so the driver
+    collects #tasks bounded rows of d²+d+1 doubles and reduces them in
+    numpy; the corpus never shuffles and no d²-explode ever runs. The
+    (k, d) eigenbasis comes from ``numpy.linalg.eigh`` on the d×d
+    driver-side matrix — d is embedding width (tiny), never corpus
+    size. Float summation order varies with partition boundaries, so
+    results are layout-stable to ~1e-9 relative (tolerance-pinned in
+    tests), not bit-frozen — the documented contract for float moment
+    pipelines (same class as the kmeans centroid update).
+    """
+    from pyspark.sql import types as T
+
+    d_row = vecs.select(F.size(vec_col).alias("d")).first()
+    if d_row is None:
+        raise ValueError("pca_fit: empty input")
+    d = int(d_row["d"])
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("m", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0)],
+                    "m": [(X.T @ X).reshape(-1)],
+                }
+            )
+
+    partials = vecs.select(vec_col).mapInPandas(_moments, schema=schema).collect()
+    if not partials:
+        raise ValueError("pca_fit: empty input")
+    n = sum(p["n"] for p in partials)
+    s = np.zeros(d)
+    m = np.zeros(d * d)
+    for p in partials:
+        s += np.asarray(p["s"])
+        m += np.asarray(p["m"])
+    mean = s / n
+    cov = m.reshape(d, d) / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T  # (k, d)
+    # deterministic sign: largest-|coordinate| entry of each component > 0
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mean, comps, np.maximum(evals[order], 0.0)
+
+
+def pca_project(
+    vecs: DataFrame,
+    mean: np.ndarray,
+    components: np.ndarray,
+    explained_var: np.ndarray | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis (map-only): adds
+    ``out_col`` = components @ (x − mean) as array<float>; with
+    ``whiten=True`` each coordinate divides by sqrt(eigenvalue) so the
+    output covariance is the identity on the kept axes (pinned in
+    tests). The (k, d) basis rides the closure — bounded by embedding
+    width, never corpus size; one BLAS matmul per Arrow batch."""
+    from pyspark.sql import types as T
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)
+    if whiten:
+        if explained_var is None:
+            raise ValueError("whiten=True requires explained_var")
+        scale = 1.0 / np.sqrt(np.maximum(np.asarray(explained_var, dtype=np.float64), 1e-12))
+        W = W * scale[:, None]
+
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def _proj(col: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in col]) if len(col) else np.zeros((0, mu.size))
+        P = (X - mu) @ W.T
+        return pd.Series([row.astype(np.float32) for row in P])
+
+    return vecs.withColumn(out_col, _proj(F.col(vec_col)))
