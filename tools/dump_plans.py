@@ -519,6 +519,87 @@ def main() -> None:
             "driver from the bounded query set.",
         )
     )
+    from super_speedy_syslog_searcher_spark.operators.curation import badwords_filter
+    from super_speedy_syslog_searcher_spark.operators.dedup import fuzzy_join
+    from super_speedy_syslog_searcher_spark.operators.similarity import pca_fit, pca_project
+    from super_speedy_syslog_searcher_spark.operators.sketch import mg_heavy_hitters
+    from super_speedy_syslog_searcher_spark.operators.tokens import apply_wordpiece
+
+    docs_tbl = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    sections.append(
+        (
+            "C4 bad-word filter (broadcast-pruned word stream)",
+            badwords_filter(docs_tbl, ["dup", "slow"]),
+            "The exploded word stream meets the blocklist in a "
+            "BroadcastHashJoin BEFORE any exchange, so the per-doc "
+            "aggregate shuffles only blocked-word hits — near zero rows "
+            "on a clean corpus; the corpus side never shuffles on the "
+            "word key.",
+        )
+    )
+    doms = docs_tbl.select(F.substring("text", 1, 12).alias("domain")).distinct()
+    canon = spark.createDataFrame([("the fast key",)], "canon string")
+    sections.append(
+        (
+            "Fuzzy string join, segment strategy (PassJoin pigeonhole)",
+            fuzzy_join(
+                doms, canon, max_dist=1,
+                left_id="domain", left_col="domain",
+                right_id="canon", right_col="canon",
+            ),
+            "Candidate generation is a pure equi hash join on the "
+            "(segment, seg_no, length) key — right strings explode to "
+            "d+1 segments, left strings to a constant-size substring "
+            "lattice; no CartesianProduct or BroadcastNestedLoopJoin "
+            "anywhere in the plan (regression-tested). Verification is "
+            "one codegen levenshtein over candidate pairs only.",
+        )
+    )
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.concat(F.lit("ev"), (F.col("user_id") % 8).cast("string")).alias("source"),
+        F.col("event_type").alias("key"),
+    )
+    sections.append(
+        (
+            "Misra-Gries heavy hitters (bounded map-side summaries)",
+            mg_heavy_hitters(ev, "key", k=16),
+            "Stage 1 is map-only: each task reduces its batches to <= "
+            "k-1 counter rows per group, so the single exchange carries "
+            "tasks*(k-1) rows per group regardless of key cardinality; "
+            "the rank window and k-th-largest join then run over that "
+            "bounded table, never the corpus.",
+        )
+    )
+    emb2 = spark.read.parquet(f"{SF}/embeddings.parquet")
+    mean, comps, evar = pca_fit(emb2.limit(200), k=4)
+    sections.append(
+        (
+            "PCA projection (map-only matmul against the fitted basis)",
+            pca_project(emb2, mean, comps, evar),
+            "The fit itself is one map-only moments stage (each batch "
+            "emits a single (n, sum, X'X) row; the driver reduces "
+            "#tasks rows) — the projection shown here is the corpus-"
+            "touching half: one ArrowEvalPython stage, zero exchanges, "
+            "the (k, d) basis riding the closure.",
+        )
+    )
+    toks = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)).alias("tokens"),
+    )
+    sections.append(
+        (
+            "WordPiece maximum-munch encode (one Arrow stage)",
+            apply_wordpiece(toks, [(0, 116, 104, 1000, 9), (1, 1000, 101, 1001, 7)]),
+            "Longest-match-first inference is a single map-only "
+            "ArrowEvalPython stage — the piece trie rides the closure "
+            "(bounded by vocabulary); zero exchanges, embarrassingly "
+            "parallel like apply_bpe.",
+        )
+    )
+
     out = ["# PLANS — physical plans of the headline operators\n",
            f"Generated by `python tools/dump_plans.py` at sf0.001.\n"]
     for title, df, comment in sections:
