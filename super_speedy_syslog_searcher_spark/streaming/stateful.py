@@ -531,3 +531,78 @@ def funnel_stateful(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_OUT_SCHEMA = "source string, key string, est long, n long"
+MG_STATE_SCHEMA = "keys array<string>, counts array<long>, n long"
+
+
+def mg_heavy_hitters_stateful(
+    docs_stream: DataFrame,
+    key_col: str = "key",
+    k: int = 64,
+    group_col: str = "source",
+) -> DataFrame:
+    """ONLINE Misra-Gries heavy hitters — the streaming face of
+    ``operators.sketch.mg_heavy_hitters``: per group, state is the
+    bounded MG(k) counter table (≤ k−1 keys + the running total n),
+    CONSTANT per group forever — the property that makes top-talker
+    tracking on an unbounded stream feasible at all. Each micro-batch
+    folds in vectorized (one value_counts + one decrement per batch,
+    no per-row Python) and emits the group's refreshed summary rows;
+    consumers keep the snapshot with the largest ``n``.
+
+    The MG guarantees hold at every emission for the prefix consumed
+    so far, regardless of how the stream was split into micro-batches
+    (pinned in tests across splits and a checkpoint restart):
+    ``est ≤ true_count``, ``true_count − est ≤ n/k``, and every key
+    above ``n/k`` of the prefix is present.
+
+    Scale: the only shuffle keys on the group column (same key as the
+    batch sketch's merge); state is ≤ k−1 (string, long) pairs + one
+    long per group.
+    """
+    from pyspark.sql import functions as F
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (src,) = key
+        if state.exists:
+            keys, counts, n = state.get
+            ctr = dict(zip(list(keys), [int(c) for c in counts]))
+            n = int(n)
+        else:
+            ctr, n = {}, 0
+        touched = False
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            touched = True
+            vc = pdf[key_col].value_counts()
+            n += int(vc.sum())
+            for kk, c in vc.items():
+                ctr[kk] = ctr.get(kk, 0) + int(c)
+            if len(ctr) >= k:
+                delta = sorted(ctr.values(), reverse=True)[k - 1]
+                ctr = {kk: c - delta for kk, c in ctr.items() if c - delta > 0}
+        state.update((list(ctr.keys()), [int(c) for c in ctr.values()], n))
+        if touched and ctr:
+            yield pd.DataFrame(
+                {
+                    "source": [src] * len(ctr),
+                    "key": list(ctr.keys()),
+                    "est": [int(c) for c in ctr.values()],
+                    "n": [n] * len(ctr),
+                }
+            )
+
+    return (
+        docs_stream.select(F.col(group_col).alias("source"), F.col(key_col).alias(key_col))
+        .groupBy("source")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=MG_OUT_SCHEMA,
+            stateStructType=MG_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -831,3 +831,69 @@ def test_stateful_funnel_out_of_order_raises(spark, tmp_path):
     run_once([(1, t0 + dt.timedelta(seconds=100), 1, "view")], "overwrite")
     with pytest.raises(Exception, match="order regressed"):
         run_once([(2, t0 + dt.timedelta(seconds=50), 1, "click")], "append")
+
+
+def test_stateful_mg_heavy_hitters_across_batches(spark, tmp_path):
+    """Streaming Misra-Gries: state = the bounded counter table; after
+    micro-batched delivery AND a checkpoint restart with new data, the
+    latest snapshot per source satisfies the MG guarantees for
+    everything delivered so far (est<=true, true-est<=n/k, every >n/k
+    key present)."""
+    from collections import Counter
+
+    from super_speedy_syslog_searcher_spark.streaming.pipeline import await_or_raise
+    from super_speedy_syslog_searcher_spark.streaming.stateful import (
+        mg_heavy_hitters_stateful,
+    )
+
+    in_dir = str(tmp_path / "mg_stream")
+    ckpt = str(tmp_path / "mg_ckpt")
+    out_dir = str(tmp_path / "mg_out")
+    schema = "source string, key string"
+    k = 8
+
+    import random
+
+    rng = random.Random(7)
+    batch1 = [("s0", f"k{min(int(rng.paretovariate(1.3)), 40)}") for _ in range(1500)]
+    batch1 += [("s0", "whale")] * 300
+    batch2 = [("s0", f"k{min(int(rng.paretovariate(1.3)), 40)}") for _ in range(800)]
+    batch2 += [("s0", "whale")] * 150
+
+    def run_once(rows, mode):
+        spark.createDataFrame(rows, schema).repartition(3).write.mode(mode).parquet(in_dir)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            mg_heavy_hitters_stateful(stream, key_col="key", k=k)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+
+    def check(rows_delivered):
+        snaps = spark.read.parquet(out_dir).collect()
+        n_max = max(r["n"] for r in snaps)
+        assert n_max == len(rows_delivered)  # totals track the prefix
+        final = {r["key"]: r["est"] for r in snaps if r["n"] == n_max}
+        assert 0 < len(final) <= k
+        true = Counter(key for _, key in rows_delivered)
+        for key, est in final.items():
+            assert 0 < est <= true[key]
+            assert true[key] - est <= n_max / k
+        for key, t in true.items():
+            if t > n_max / k:
+                assert key in final, (key, t)
+        assert "whale" in final
+
+    run_once(batch1, "overwrite")
+    check(batch1)
+    run_once(batch2, "append")
+    check(batch1 + batch2)
