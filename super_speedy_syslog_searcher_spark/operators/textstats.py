@@ -296,3 +296,69 @@ def bm25_topk(
             "score",
         )
     )
+
+
+SCRIPT_RANGES = (
+    # (script, character-class regex over the public Unicode blocks)
+    ("latin", r"[A-Za-zÀ-ɏ]"),
+    ("cyrillic", r"[Ѐ-ӿ]"),
+    ("greek", r"[Ͱ-Ͽ]"),
+    ("arabic", r"[؀-ۿ]"),
+    ("hebrew", r"[֐-׿]"),
+    ("devanagari", r"[ऀ-ॿ]"),
+    ("cjk", r"[一-鿿㐀-䶿]"),
+    ("kana", r"[぀-ヿ]"),
+    ("hangul", r"[가-힯ᄀ-ᇿ]"),
+    ("digit", r"[0-9]"),
+)
+
+
+def script_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc Unicode SCRIPT histogram — the writing-system signal a
+    multilingual curation pipeline reads before any language model:
+    mixed-script spam, mojibake leakage, and wrong-corpus routing all
+    show up as script-share anomalies that stopword language-ID
+    (``langid``) is blind to (it only knows the languages it has
+    stopwords for).
+
+    Emits one share column per entry of ``SCRIPT_RANGES`` (fraction of
+    the doc's NON-SPACE characters in that script's blocks, 4 dp),
+    ``other_share`` for everything unmatched, and ``main_script`` — the
+    argmax share with ties to the earlier table entry, or NULL for an
+    all-space/empty doc.
+
+    Scale shape: map-only whole-stage codegen — one ``regexp_count``
+    per script over the row, no explode, no shuffle, no Python. The
+    script table is a constant; adding a block is one tuple.
+    """
+    nonspace = F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+    shares = []
+    for name, pat in SCRIPT_RANGES:
+        cnt = F.length(F.col(text_col)) - F.length(
+            F.regexp_replace(F.col(text_col), pat, "")
+        )
+        shares.append(
+            F.when(nonspace > 0, F.round(cnt / nonspace, 4)).alias(f"{name}_share")
+        )
+    out = df.select(F.col(id_col), nonspace.alias("_ns"), *shares)
+    total = sum((F.coalesce(F.col(f"{n}_share"), F.lit(0.0)) for n, _ in SCRIPT_RANGES), F.lit(0.0))
+    other = F.when(F.col("_ns") > 0, F.round(F.greatest(F.lit(1.0) - total, F.lit(0.0)), 4))
+    pairs = F.array(
+        *[
+            F.struct(
+                F.coalesce(F.col(f"{n}_share"), F.lit(0.0)).alias("s"),
+                F.lit(i).alias("i"),
+                F.lit(n).alias("name"),
+            )
+            for i, (n, _) in enumerate(SCRIPT_RANGES)
+        ]
+    )
+    # argmax share, ties to the earlier table entry: max over (s, -i)
+    best = F.array_max(F.transform(pairs, lambda p: F.struct(p["s"].alias("s"), (-p["i"]).alias("ni"), p["name"].alias("name"))))
+    main = F.when((F.col("_ns") > 0) & (best["s"] > 0), best["name"])
+    return out.select(
+        id_col,
+        *[f"{n}_share" for n, _ in SCRIPT_RANGES],
+        other.alias("other_share"),
+        main.alias("main_script"),
+    )
