@@ -277,6 +277,94 @@ def frame_sample_stub(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
+def audio_window_stats(
+    media: DataFrame,
+    window_ms: int = 100,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Audio → windowed sample statistics (the audio analogue of video
+    frame sampling, on REAL samples): each RIFF/WAVE payload explodes
+    into fixed ``window_ms`` windows with per-window rms / peak /
+    zero-crossing count over the channel mean — the telemetry a speech
+    curation pipeline thresholds on (silence trimming, clipping
+    detection, voice-activity heuristics). Non-WAV / undecodable
+    payloads are contained: one ``ok=false`` row, NULL stats.
+
+    Map-only ``mapInPandas``; per-window stats come from one reshaped
+    numpy pass per payload (no per-sample Python). Fan-out is bounded
+    by duration/window_ms. Returns ``(media_id, ok, win_no, win_ts_ms,
+    n_frames, rms, peak, zero_crossings)``.
+    """
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.audio import decode_wav
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "ok", "win_no", "win_ts_ms", "n_frames",
+                "rms", "peak", "zero_crossings",
+            )}
+
+            def _contained(mid):
+                rows["media_id"].append(mid)
+                rows["ok"].append(False)
+                for k in ("win_no", "win_ts_ms", "n_frames", "rms", "peak", "zero_crossings"):
+                    rows[k].append(None)
+
+            for mid, payload in zip(pdf["media_id"], pdf[payload_col]):
+                p = bytes(payload) if payload is not None else b""
+                try:
+                    samples, sr = decode_wav(p)
+                except Exception:
+                    _contained(mid)
+                    continue
+                x = samples.astype(np.float64).mean(axis=1)
+                if x.size == 0:
+                    _contained(mid)
+                    continue
+                win = max(int(sr * window_ms / 1000), 1)
+                n_win = (x.size + win - 1) // win
+                pad = np.zeros(n_win * win)
+                pad[: x.size] = x
+                W = pad.reshape(n_win, win)
+                counts = np.minimum(
+                    x.size - np.arange(n_win, dtype=np.int64) * win, win
+                )
+                rms = np.sqrt((W * W).sum(axis=1) / counts)
+                peak = np.abs(W).max(axis=1)
+                sb = np.signbit(pad)
+                zc_flat = np.flatnonzero(sb[1:] != sb[:-1])
+                zc_flat = zc_flat[zc_flat + 1 < x.size]
+                zcs = np.bincount(zc_flat // win, minlength=n_win)
+                for w in range(n_win):
+                    rows["media_id"].append(mid)
+                    rows["ok"].append(True)
+                    rows["win_no"].append(w)
+                    rows["win_ts_ms"].append(w * window_ms)
+                    rows["n_frames"].append(int(counts[w]))
+                    rows["rms"].append(float(rms[w]))
+                    rows["peak"].append(float(peak[w]))
+                    rows["zero_crossings"].append(int(zcs[w]))
+            yield pd.DataFrame(
+                {
+                    "media_id": rows["media_id"],
+                    "ok": rows["ok"],
+                    "win_no": pd.array(rows["win_no"], dtype="Int32"),
+                    "win_ts_ms": pd.array(rows["win_ts_ms"], dtype="Int64"),
+                    "n_frames": pd.array(rows["n_frames"], dtype="Int64"),
+                    "rms": pd.array(rows["rms"], dtype="Float64"),
+                    "peak": pd.array(rows["peak"], dtype="Float64"),
+                    "zero_crossings": pd.array(rows["zero_crossings"], dtype="Int64"),
+                }
+            )
+
+    schema = (
+        "media_id string, ok boolean, win_no int, win_ts_ms long, "
+        "n_frames long, rms double, peak double, zero_crossings long"
+    )
+    return media.select("media_id", payload_col).mapInPandas(_gen, schema=schema)
+
+
 _BUILDERS = {"png": build_png, "gif": build_gif, "bmp": build_bmp, "jpeg": build_jpeg}
 
 

@@ -206,3 +206,54 @@ class TestOperators:
         # matches the local kernel (float32 cast tolerance)
         ref = audio_feature_vector(*decode_wav(wav), dim=64)
         np.testing.assert_allclose(v, ref, atol=1e-6)
+
+
+class TestAudioWindowStats:
+    def test_matches_per_window_reference(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import audio_window_stats
+
+        sr, secs = 800, 0.53  # non-multiple of the window → ragged tail
+        x = _sine16(40, sr, secs)[:, None] if _sine16(40, sr, secs).ndim == 1 else _sine16(40, sr, secs)
+        x = _sine16(40, sr, secs)
+        wav = encode_wav(x, sr)
+        df = spark.createDataFrame([("a", bytearray(wav))], "media_id string, payload binary")
+        got = {r["win_no"]: r for r in audio_window_stats(df, window_ms=100).collect()}
+        win = sr // 10
+        n_win = (len(x) + win - 1) // win
+        assert set(got) == set(range(n_win))
+        xf = x.astype(np.float64)
+        for w in range(n_win):
+            seg = xf[w * win : (w + 1) * win]
+            r = got[w]
+            assert r["ok"] and r["n_frames"] == len(seg)
+            assert r["rms"] == pytest.approx(float(np.sqrt((seg**2).mean())), rel=1e-12)
+            assert r["peak"] == pytest.approx(float(np.abs(seg).max()), rel=1e-12)
+            # reference zero crossings: sign changes between i, i+1 with i in window
+            sb = np.signbit(xf)
+            zc = sum(
+                1
+                for i in range(w * win, min((w + 1) * win, len(xf)) )
+                if i + 1 < len(xf) and sb[i] != sb[i + 1] and i // win == w
+            )
+            assert r["zero_crossings"] == zc, w
+
+    def test_containment_and_empty(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import audio_window_stats
+
+        rows = [("junk", bytearray(b"mp3 data here")), ("n", None)]
+        df = spark.createDataFrame(rows, "media_id string, payload binary")
+        got = {r["media_id"]: r for r in audio_window_stats(df).collect()}
+        assert not got["junk"]["ok"] and got["junk"]["rms"] is None
+        assert not got["n"]["ok"]
+
+    def test_silence_vs_tone_discriminates(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.multimodal import audio_window_stats
+
+        sr = 800
+        tone = _sine16(100, sr, 0.2)
+        silence = np.zeros(len(tone), dtype=np.int32)
+        wav = encode_wav(np.concatenate([silence, tone]), sr)
+        df = spark.createDataFrame([("a", bytearray(wav))], "media_id string, payload binary")
+        rows = sorted(audio_window_stats(df, window_ms=100).collect(), key=lambda r: r["win_no"])
+        rmss = [r["rms"] for r in rows]
+        assert max(rmss[:2]) < 1.0 and min(rmss[2:]) > 1000.0
