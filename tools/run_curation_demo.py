@@ -13,6 +13,8 @@ Stages (each prints a funnel row: docs in → docs out):
                          thresholds: min_words=20, min_stop_hits=1)
   2. dedup               exact + MinHash-LSH pairs → connected components
                          → keep each cluster's min id
+  2c. badwords           C4 blocked-word page drop (after dedup: the
+                         synthetic dups are marked with the word 'dup')
   2b. leakage-safe split cluster-keyed train/valid/test; train continues
   3. decontaminate       drop docs sharing an 8-gram with a small
                          synthetic "benchmark" set
@@ -43,6 +45,7 @@ from pyspark.sql import functions as F
 
 from super_speedy_syslog_searcher_spark.functions.codec import encode_text_udf
 from super_speedy_syslog_searcher_spark.operators.curation import (
+    badwords_filter,
     decontaminate,
     extract_html_text,
     gopher_quality_stats,
@@ -116,6 +119,11 @@ def main() -> None:
         .join(g_keep, "doc_id", "left_semi")
         .join(gq_keep, "doc_id", "left_semi")
     )
+    # truncate lineage here: every later stage (dedup telemetry,
+    # pagerank, novelty, splits, …) re-derives `docs`, and under plain
+    # spark-submit the driver runs at the default heap — replaying the
+    # on-ramp + quality plan per stage is what blows it
+    docs = docs.localCheckpoint(eager=True)
     funnel.append(("quality+gopher", docs.count()))
 
     # 2. dedup: LSH candidate pairs (subsumes exact dups) → closure →
@@ -153,6 +161,18 @@ def main() -> None:
     ).orderBy("lang").show(truncate=False)
     docs = docs.join(losers, "doc_id", "left_anti")
     funnel.append(("dedup", docs.count()))
+
+    # 2c. C4 bad-word page drop (Raffel et al. §2.2): any blocked word
+    #     removes the page; the word stream is broadcast-pruned before
+    #     the per-doc aggregate so clean docs cost no shuffle rows.
+    #     (Runs after dedup here because the synthetic corpus marks its
+    #     seeded duplicates with the literal word 'dup' — blocking
+    #     first would empty the dedup demonstration.)
+    bw = badwords_filter(docs, ["dup"])
+    docs = docs.join(
+        bw.filter(F.col("bw_keep") == 1).select("doc_id"), "doc_id", "left_semi"
+    )
+    funnel.append(("badwords", docs.count()))
 
     # 2b. leakage-safe split: the split key is the duplicate CLUSTER
     #     (unclustered docs are their own singleton cluster), so
