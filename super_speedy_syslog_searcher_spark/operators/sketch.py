@@ -399,3 +399,68 @@ def mg_heavy_hitters(
         .join(totals, gc)
         .select(*gc, key_col, F.col("est").cast("long"), "n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Sketch / AMS second-moment (self-join size) estimator
+# ---------------------------------------------------------------------------
+
+
+def countsketch_f2(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 256,
+    group_cols: tuple[str, ...] = ("source",),
+    seed: str = "cs",
+) -> DataFrame:
+    """AMS/Count-Sketch second-moment estimate per group (Alon, Matias,
+    Szegedy 1996; Charikar, Chen, Farach-Colton 2002):
+    ``F2 = Σ_k count(k)²`` — the SELF-JOIN SIZE of the key column, the
+    number a join planner needs to predict skew-join blowup before
+    running it, in ``depth × width`` integers regardless of key
+    cardinality.
+
+    Each sketch row r holds cells ``S[r][c] = Σ_k sign_r(k)·count(k)``
+    over keys hashing to cell c; ``Σ_c S[r][c]²`` is an unbiased F2
+    estimate, and the output takes the MEDIAN over the ``depth`` rows
+    (returned as ``f2_est``) next to each row's estimate spread
+    (``f2_min``/``f2_max``). Everything up to and including the median
+    is EXACT INTEGER arithmetic on md5-derived hashes — the estimate is
+    a pure function of the bag of keys, layout-independent and
+    bit-reproducible (unlike float moment pipelines), and the cells
+    MERGE additively across shards/days (mergeability = linearity).
+
+    Scale shape: one tagged explode (``depth`` rows per input row) into
+    a partial-agg groupBy on the bounded (group, r, cell) space — each
+    task contributes ≤ depth·width rows per group to the exchange; the
+    square/median step runs on depth·width rows per group, never the
+    corpus.
+    """
+    rows = df.select(
+        *group_cols,
+        F.col(key_col).cast("string").alias("_k"),
+        F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("_r"),
+    )
+    def _h(tag: str, modulus: int) -> Column:
+        s = F.concat(
+            F.lit(f"{seed}:{tag}:"), F.col("_r").cast("string"), F.lit(":"), F.col("_k")
+        )
+        h = F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10)
+        return h.cast("long") % modulus
+
+    cell = _h("c", width)
+    sign = _h("s", 2) * 2 - 1
+    cells = (
+        rows.select(*group_cols, "_r", cell.alias("_c"), sign.alias("_sgn"))
+        .groupBy(*group_cols, "_r", "_c")
+        .agg(F.sum("_sgn").cast("long").alias("_s"))
+    )
+    per_row = cells.groupBy(*group_cols, "_r").agg(
+        F.sum(F.col("_s") * F.col("_s")).cast("long").alias("_est")
+    )
+    return per_row.groupBy(*group_cols).agg(
+        F.expr("CAST(median(_est) AS DOUBLE)").alias("f2_est"),
+        F.min("_est").alias("f2_min"),
+        F.max("_est").alias("f2_max"),
+    )

@@ -12,6 +12,7 @@ expressions (whole-stage codegen, no Python in the hot path).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -362,3 +363,63 @@ def script_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         other.alias("other_share"),
         main.alias("main_script"),
     )
+
+
+def compression_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+    max_ratio: float = 0.45,
+) -> DataFrame:
+    """Per-doc zlib compression ratio — the entropy-style quality
+    signal crawl pipelines threshold on (the RefinedWeb/MassiveText
+    family uses repetition rules for the same target): machine-generated
+    boilerplate, keyword stuffing, and template spam compress far
+    better than natural prose, so a LOW ratio flags them even when
+    word-level heuristics pass. Emits ``n_raw`` (utf-8 bytes),
+    ``n_compressed`` (zlib at a FIXED level — zlib output is
+    deterministic for a given level/input, so the columns are
+    reproducible everywhere), ``compression_ratio`` (compressed/raw,
+    4 dp, NULL for empty docs) and ``cr_keep``
+    (1 iff ratio ≥ ``max_ratio`` — natural text typically lands
+    0.5–0.8, heavy repetition well under 0.4).
+
+    Scale shape: map-only Arrow stage (zlib per row inside the batch
+    loop — CPU-bounded by payload bytes, the same class as the codec
+    on-ramp); no shuffle, no state.
+    """
+    import zlib
+
+    schema = T.StructType(
+        [
+            T.StructField("n_raw", T.LongType()),
+            T.StructField("n_compressed", T.LongType()),
+            T.StructField("compression_ratio", T.DoubleType()),
+            T.StructField("cr_keep", T.IntegerType()),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def _cr(texts: pd.Series) -> pd.DataFrame:
+        n_raw, n_comp, ratio, keep = [], [], [], []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                n_raw.append(0)
+                n_comp.append(0)
+                ratio.append(None)
+                keep.append(1)
+                continue
+            comp = zlib.compress(raw, level)
+            r = round(len(comp) / len(raw), 4)
+            n_raw.append(len(raw))
+            n_comp.append(len(comp))
+            ratio.append(r)
+            keep.append(int(r >= max_ratio))
+        return pd.DataFrame(
+            {"n_raw": n_raw, "n_compressed": n_comp, "compression_ratio": ratio, "cr_keep": keep}
+        )
+
+    out = df.select(F.col(id_col), _cr(F.col(text_col)).alias("_c"))
+    return out.select(id_col, "_c.n_raw", "_c.n_compressed", "_c.compression_ratio", "_c.cr_keep")

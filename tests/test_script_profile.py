@@ -81,3 +81,50 @@ class TestScriptProfile:
         plan = script_profile(df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan  # pure codegen, no UDF
+
+
+class TestCompressionStats:
+    def _run(self, spark, rows, **kw):
+        from super_speedy_syslog_searcher_spark.operators.textstats import compression_stats
+
+        df = spark.createDataFrame(rows, "doc_id string, text string")
+        return {r["doc_id"]: r.asDict() for r in compression_stats(df, **kw).collect()}
+
+    def test_matches_local_zlib_exactly(self, spark):
+        import zlib
+
+        rows = [("a", "the quick brown fox jumps over the lazy dog " * 5),
+                ("b", "spam " * 200)]
+        got = self._run(spark, rows)
+        for doc, text in rows:
+            raw = text.encode()
+            comp = zlib.compress(raw, 6)
+            assert got[doc]["n_raw"] == len(raw)
+            assert got[doc]["n_compressed"] == len(comp)
+            assert got[doc]["compression_ratio"] == round(len(comp) / len(raw), 4)
+
+    def test_repetitive_spam_flagged_prose_kept(self, spark):
+        import random
+
+        rng = random.Random(3)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        # high-entropy stand-in for diverse prose: fresh word forms
+        prose = " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(3, 10)))
+            for _ in range(300)
+        )
+        spam = "buy now click here " * 100
+        got = self._run(spark, [("p", prose), ("s", spam)])
+        assert got["p"]["cr_keep"] == 1 and got["p"]["compression_ratio"] >= 0.45
+        assert got["s"]["cr_keep"] == 0 and got["s"]["compression_ratio"] < 0.2
+
+    def test_empty_doc_kept_with_null_ratio(self, spark):
+        got = self._run(spark, [("e", ""), ("n", None)])
+        for d in ("e", "n"):
+            assert got[d]["compression_ratio"] is None and got[d]["cr_keep"] == 1
+
+    def test_threshold_dial(self, spark):
+        rows = [("x", "abcd " * 50)]
+        strict = self._run(spark, rows, max_ratio=0.99)
+        lax = self._run(spark, rows, max_ratio=0.01)
+        assert strict["x"]["cr_keep"] == 0 and lax["x"]["cr_keep"] == 1
