@@ -464,3 +464,66 @@ def countsketch_f2(
         F.min("_est").alias("f2_min"),
         F.max("_est").alias("f2_max"),
     )
+
+
+def countsketch_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    depth: int = 5,
+    width: int = 256,
+    seed: str = "cs",
+) -> DataFrame:
+    """AGMS JOIN-SIZE estimate |left ⋈ right| on ``key_col`` — the
+    inner product of the two sides' Count-Sketches built with the SAME
+    hash functions (the classic application of the AMS sketch: sketch
+    each day's table once, answer any pairwise join-size question from
+    the stored d×w cells without touching the data again). Per sketch
+    row r, ``Σ_c S_L[r][c]·S_R[r][c]`` is an unbiased estimate of
+    ``Σ_k count_L(k)·count_R(k)``; the output is the exact-integer
+    MEDIAN over rows plus the row spread — layout-independent and
+    bit-reproducible like :func:`countsketch_f2` (same guarantees, and
+    a shared-seed F2 sketch IS the self-join special case).
+
+    Scale shape: one bounded tagged-explode aggregate per side (each
+    task ≤ depth·width rows out), then a join of the two cell tables on
+    (r, cell) — depth·width rows each, never corpus-scale.
+    """
+
+    def _cells(df: DataFrame) -> DataFrame:
+        rows = df.select(
+            F.col(key_col).cast("string").alias("_k"),
+            F.explode(F.array(*[F.lit(r) for r in range(depth)])).alias("_r"),
+        )
+
+        def _h(tag: str, modulus: int) -> Column:
+            s = F.concat(
+                F.lit(f"{seed}:{tag}:"), F.col("_r").cast("string"), F.lit(":"), F.col("_k")
+            )
+            h = F.conv(F.substring(F.md5(F.encode(s, "UTF-8")), 1, 8), 16, 10)
+            return h.cast("long") % modulus
+
+        return (
+            rows.select("_r", _h("c", width).alias("_c"), (_h("s", 2) * 2 - 1).alias("_sgn"))
+            .groupBy("_r", "_c")
+            .agg(F.sum("_sgn").cast("long").alias("_s"))
+        )
+
+    lc = _cells(left).withColumnRenamed("_s", "_sl")
+    rc = _cells(right).withColumnRenamed("_s", "_sr")
+    per_row = (
+        lc.join(rc, ["_r", "_c"])
+        .groupBy("_r")
+        .agg(F.sum(F.col("_sl") * F.col("_sr")).cast("long").alias("_est"))
+    )
+    # a sketch row with no overlapping occupied cells estimates 0; keep
+    # every row in the median by re-attaching the full row range
+    rows_df = left.sparkSession.range(depth).select(F.col("id").cast("int").alias("_r"))
+    full = rows_df.join(per_row, "_r", "left").select(
+        F.coalesce("_est", F.lit(0)).alias("_est")
+    )
+    return full.agg(
+        F.expr("CAST(median(_est) AS DOUBLE)").alias("join_size_est"),
+        F.min("_est").alias("join_size_min"),
+        F.max("_est").alias("join_size_max"),
+    )

@@ -86,3 +86,53 @@ class TestCountSketchF2:
         df = spark.createDataFrame(rows, "source string, key string")
         got = {r["source"]: r["f2_est"] for r in countsketch_f2(df, "key").collect()}
         assert got == {"g1": 100.0, "g2": 400.0}
+
+
+class TestCountSketchJoinSize:
+    def _twin_join(self, a_keys, b_keys, depth=5, width=256, seed="cs"):
+        ca, cb = Counter(a_keys), Counter(b_keys)
+        ests = []
+        for r in range(depth):
+            sa, sb = Counter(), Counter()
+            for k, c in ca.items():
+                sa[_h(seed, "c", r, k, width)] += (_h(seed, "s", r, k, 2) * 2 - 1) * c
+            for k, c in cb.items():
+                sb[_h(seed, "c", r, k, width)] += (_h(seed, "s", r, k, 2) * 2 - 1) * c
+            ests.append(sum(sa[c] * sb.get(c, 0) for c in sa))
+        ests.sort()
+        d = len(ests)
+        med = ests[d // 2] if d % 2 else (ests[d // 2 - 1] + ests[d // 2]) / 2
+        return float(med), min(ests), max(ests)
+
+    def test_matches_python_twin_exactly(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.sketch import countsketch_join_size
+
+        rng = random.Random(19)
+        a = [(f"k{rng.randrange(40)}",) for _ in range(1500)]
+        b = [(f"k{rng.randrange(60)}",) for _ in range(900)]
+        la = spark.createDataFrame(a, "key string")
+        lb = spark.createDataFrame(b, "key string")
+        got = countsketch_join_size(la, lb, "key").collect()[0]
+        med, lo, hi = self._twin_join([k for k, in a], [k for k, in b])
+        assert (got["join_size_est"], got["join_size_min"], got["join_size_max"]) == (med, lo, hi)
+
+    def test_estimate_tracks_true_join_size(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.sketch import countsketch_join_size
+
+        rng = random.Random(23)
+        a = [(f"k{min(int(rng.paretovariate(1.2)), 50)}",) for _ in range(4000)]
+        b = [(f"k{min(int(rng.paretovariate(1.2)), 50)}",) for _ in range(3000)]
+        ca, cb = Counter(k for k, in a), Counter(k for k, in b)
+        true = sum(c * cb.get(k, 0) for k, c in ca.items())
+        la = spark.createDataFrame(a, "key string")
+        lb = spark.createDataFrame(b, "key string")
+        got = countsketch_join_size(la, lb, "key", width=1024).collect()[0]
+        assert abs(got["join_size_est"] - true) / true < 0.2, (got["join_size_est"], true)
+
+    def test_disjoint_keys_estimate_near_zero(self, spark):
+        from super_speedy_syslog_searcher_spark.operators.sketch import countsketch_join_size
+
+        la = spark.createDataFrame([(f"a{i}",) for i in range(50)], "key string")
+        lb = spark.createDataFrame([(f"b{i}",) for i in range(50)], "key string")
+        got = countsketch_join_size(la, lb, "key", width=1024).collect()[0]
+        assert abs(got["join_size_est"]) <= 5  # collision noise only
