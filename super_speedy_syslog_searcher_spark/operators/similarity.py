@@ -928,45 +928,10 @@ def pca_fit(
     tests), not bit-frozen — the documented contract for float moment
     pipelines (same class as the kmeans centroid update).
     """
-    from pyspark.sql import types as T
-
-    d_row = vecs.select(F.size(vec_col).alias("d")).first()
-    if d_row is None:
-        raise ValueError("pca_fit: empty input")
-    d = int(d_row["d"])
-
-    schema = T.StructType(
-        [
-            T.StructField("n", T.LongType()),
-            T.StructField("s", T.ArrayType(T.DoubleType())),
-            T.StructField("m", T.ArrayType(T.DoubleType())),
-        ]
-    )
-
-    def _moments(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            yield pd.DataFrame(
-                {
-                    "n": [len(X)],
-                    "s": [X.sum(axis=0)],
-                    "m": [(X.T @ X).reshape(-1)],
-                }
-            )
-
-    partials = vecs.select(vec_col).mapInPandas(_moments, schema=schema).collect()
-    if not partials:
-        raise ValueError("pca_fit: empty input")
-    n = sum(p["n"] for p in partials)
-    s = np.zeros(d)
-    m = np.zeros(d * d)
-    for p in partials:
-        s += np.asarray(p["s"])
-        m += np.asarray(p["m"])
-    mean = s / n
-    cov = m.reshape(d, d) / n - np.outer(mean, mean)
+    try:
+        _n, mean, cov = _corpus_moments(vecs, vec_col)
+    except ValueError as e:
+        raise ValueError("pca_fit: empty input") from e
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order].T  # (k, d)
@@ -1011,3 +976,87 @@ def pca_project(
         return pd.Series([row.astype(np.float32) for row in P])
 
     return vecs.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def _corpus_moments(vecs: DataFrame, vec_col: str) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, covariance) of an embedding column via ONE map-only
+    Arrow moments stage (the ``pca_fit`` machinery): each batch emits a
+    single (count, Σx, XᵀX) row; the driver reduces #tasks rows. The
+    corpus never shuffles."""
+    from pyspark.sql import types as T
+
+    d_row = vecs.select(F.size(vec_col).alias("d")).first()
+    if d_row is None:
+        raise ValueError("empty embedding input")
+    d = int(d_row["d"])
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("m", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def _moments(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            yield pd.DataFrame(
+                {"n": [len(X)], "s": [X.sum(axis=0)], "m": [(X.T @ X).reshape(-1)]}
+            )
+
+    partials = vecs.select(vec_col).mapInPandas(_moments, schema=schema).collect()
+    if not partials:
+        raise ValueError("empty embedding input")
+    n = sum(p["n"] for p in partials)
+    s = np.zeros(d)
+    m = np.zeros(d * d)
+    for p in partials:
+        s += np.asarray(p["s"])
+        m += np.asarray(p["m"])
+    mean = s / n
+    cov = m.reshape(d, d) / n - np.outer(mean, mean)
+    return int(n), mean, cov
+
+
+def embedding_frechet_distance(
+    a: DataFrame,
+    b: DataFrame,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fréchet distance between the Gaussian fits of two embedding
+    corpora — the FID-family drift metric (Heusel et al. 2017 compute
+    exactly this between Inception embeddings; the same statistic over
+    ANY embedding column answers "did today's crawl drift from
+    yesterday's?" / "does the deduped corpus still cover the original
+    distribution?"):
+
+        d² = ||μ_a − μ_b||² + tr(C_a + C_b − 2·(C_a C_b)^{1/2})
+
+    Returns ``{"frechet_sq", "mean_term", "cov_term", "n_a", "n_b"}``.
+    Identical corpora score 0; a pure mean shift of δ scores ‖δ‖²
+    (both pinned in tests).
+
+    Scale shape: each corpus contributes ONE map-only moments pass
+    (bounded (n, Σx, XᵀX) partials — see ``_corpus_moments``); the
+    matrix square root runs driver-side on d×d via symmetric
+    eigendecomposition of C_a^{1/2} C_b C_a^{1/2} (same nonzero
+    spectrum as C_a·C_b, but symmetric PSD — numerically safe without
+    scipy), d = embedding width, never corpus size.
+    """
+    n_a, mu_a, ca = _corpus_moments(a, vec_col)
+    n_b, mu_b, cb = _corpus_moments(b, vec_col)
+    diff = mu_a - mu_b
+    mean_term = float(diff @ diff)
+    wa, va = np.linalg.eigh(ca)
+    s1 = (va * np.sqrt(np.maximum(wa, 0.0))) @ va.T  # C_a^{1/2}
+    lam = np.linalg.eigvalsh(s1 @ cb @ s1)
+    cov_term = float(np.trace(ca) + np.trace(cb) - 2.0 * np.sqrt(np.maximum(lam, 0.0)).sum())
+    return {
+        "frechet_sq": mean_term + cov_term,
+        "mean_term": mean_term,
+        "cov_term": cov_term,
+        "n_a": n_a,
+        "n_b": n_b,
+    }
